@@ -1,0 +1,51 @@
+"""Public API.
+
+Mirrors the reference's conceptual surface — build a Scene, call a render —
+(``render_scene(scene, primitives, bvh)`` in each integrator module,
+e.g. src/path_tracing.py:371) plus ``simulate`` for the photon-transport
+capability the reference stubbed out.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from light_transport_tpu.core.config import PhotonRunConfig, RenderConfig
+from light_transport_tpu.scene.scene import Scene
+
+
+def render(
+    scene: Scene,
+    cfg: Optional[RenderConfig] = None,
+    seed: int = 0,
+    integrator: str = "path",
+    ray_chunk: Optional[int] = None,
+):
+    """Render a camera image. ``integrator``: 'path' (flagship NEE path
+    tracer), 'whitted' (legacy recursive ray tracer), or 'bdpt'."""
+    cfg = cfg or RenderConfig()
+    key = jax.random.key(cfg.seed if seed is None else seed)
+    if integrator == "path":
+        from light_transport_tpu.integrators.path_tracer import render_image
+
+        return render_image(scene, cfg, key, ray_chunk=ray_chunk)
+    if integrator == "whitted":
+        from light_transport_tpu.integrators.whitted import render_whitted
+
+        return render_whitted(scene, cfg, key, ray_chunk=ray_chunk)
+    if integrator == "bdpt":
+        from light_transport_tpu.integrators.bdpt import render_bdpt
+
+        return render_bdpt(scene, cfg, key, ray_chunk=ray_chunk)
+    raise ValueError(f"unknown integrator: {integrator}")
+
+
+def simulate(medium, run_cfg: Optional[PhotonRunConfig] = None, seed: int = 0):
+    """Run the photon Monte Carlo engine on a layered medium; returns the
+    tally pytree (reflectance, transmittance, fluence, ...)."""
+    from light_transport_tpu.transport.photon import simulate_photons
+
+    run_cfg = run_cfg or PhotonRunConfig()
+    return simulate_photons(medium, run_cfg, jax.random.key(seed))

@@ -1,0 +1,94 @@
+"""Typed configuration objects.
+
+The reference has no config system — parameters live as notebook literals,
+Streamlit widget values, and constructor defaults (SURVEY.md §5).  Here every
+run is described by plain dataclasses that are hashable (usable as static
+jit args) and overridable from the CLI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Camera-render settings.
+
+    Mirrors the reference ``Scene`` constructor surface
+    (src/scene.py:54-73): width/height, max_depth, f_distance, spp; screen
+    bounds derive from the aspect ratio exactly as there (:61-64).
+    """
+
+    width: int = 150
+    height: int = 150
+    spp: int = 12
+    max_depth: int = 4
+    f_distance: float = 5.0
+    # Russian roulette starts after this bounce (reference: bounce > 3 in the
+    # flagship tracer, src/path_tracing.py:148; > 5 in fix1).
+    rr_start: int = 3
+    rr_floor: float = 0.05
+    # 'first_hit': emission only added at bounce 0 (flagship tracer :59);
+    # 'always': emission at every bounce (path_tracing_fix1.py:45-46).
+    emission_mode: str = "first_hit"
+    seed: int = 0
+
+    @property
+    def aspect_ratio(self) -> float:
+        return self.width / self.height
+
+    @property
+    def screen_bounds(self) -> Tuple[float, float, float, float]:
+        """(left, right, top, bottom) — reference src/scene.py:61-64."""
+        ar = self.aspect_ratio
+        return (-1.0, 1.0, 1.0 / ar, -1.0 / ar)
+
+
+@dataclasses.dataclass(frozen=True)
+class MediumConfig:
+    """One homogeneous layer of a participating medium (MCML convention).
+
+    mu_a, mu_s in 1/cm; g = Henyey-Greenstein anisotropy; n = refractive
+    index.  The reference only gestures at this (``henyey_greenstein``,
+    src/medium_samples.py:14-16, never called); we implement the full layered
+    photon-transport capability it stubbed out.
+    """
+
+    mu_a: float = 0.1
+    mu_s: float = 10.0
+    g: float = 0.9
+    n: float = 1.0
+    thickness: float = float("inf")  # cm
+
+
+@dataclasses.dataclass(frozen=True)
+class PhotonRunConfig:
+    """Photon Monte Carlo run settings (BASELINE.json configs 1-3, 5)."""
+
+    n_photons: int = 100_000
+    # static superstep count per batch; photons that die are respawned so
+    # lanes stay occupied (lockstep masked loop).
+    steps_per_batch: int = 64
+    weight_threshold: float = 1e-4
+    rr_survive: float = 0.1  # MCML roulette survival probability
+    # fluence grid (r, z) in cm
+    nr: int = 64
+    nz: int = 64
+    dr: float = 0.01
+    dz: float = 0.01
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshTopology:
+    """Device-mesh description for sharded runs.
+
+    Only data parallelism is semantically required for MC transport
+    (SURVEY.md §2): photon/pixel batches shard over ``batch``; the scene,
+    BVH and medium tables replicate per chip; tallies psum over ICI.
+    """
+
+    batch_axis: str = "batch"
+    n_devices: Optional[int] = None  # None = all available

@@ -1,0 +1,5 @@
+from light_transport_tpu.integrators.path_tracer import (  # noqa: F401
+    camera_rays,
+    render_image,
+    trace_paths,
+)

@@ -1,0 +1,296 @@
+"""Flagship integrator: iterative path tracing with next-event estimation.
+
+TPU-native rebuild of the reference's canonical pipeline
+(``src/path_tracing.py:24-159`` / ``path_tracing_fix1.py:18-136``): instead
+of one Python ``while`` loop per path, the *entire lane population*
+(H*W*spp paths) advances one bounce per superstep under a ``lax.scan`` with
+a boolean alive mask — the vectorized form of the reference's
+``bounce_record`` masking (src/scene.py:72).  BSDF selection is a branchless
+3-way select on the material's integer BSDF code, replacing the if/elif
+chain at src/path_tracing.py:68-145.
+
+A path is a pure function of its uniform tensor (the property the
+reference engineers via pre-drawn ``scene.rand_0/1``, src/scene.py:68-71),
+which makes the control-variates log-pdf gradients *exact* via jax.grad
+(see integrators/control_variates.py) instead of finite differences.
+
+Physics contract per bounce (reference lines cited inline):
+  hit -> emission at first hit -> orient normal -> BSDF:
+    diffuse: NEE shadow ray + cosine-weighted bounce
+    mirror:  reflect
+    transmissive: Schlick-probability reflect/refract with TIR
+  -> Russian roulette after ``rr_start`` bounces.
+
+Documented deviations (all deliberate, SURVEY.md §7 hard-part 5):
+- proper Schlick ``(1-|cos|)^5`` instead of the reference's
+  ``(1-cos(cos_theta))^5`` (src/path_tracing.py:121);
+- independent uniforms for BSDF / light pick / RR instead of reusing
+  ``rand_0`` for all three (src/path_tracing.py:132,150);
+- light points sampled over *both* light triangles area-weighted (the
+  reference samples only tri_1's surface: src/light_samples.py:29);
+- cosine sampling done purely in the shading frame (the reference mixes
+  world and local z, src/utils.py:144-152).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from light_transport_tpu.core import math as lm
+from light_transport_tpu.core import rng
+from light_transport_tpu.core.config import RenderConfig
+from light_transport_tpu.ops import intersect
+from light_transport_tpu.ops import sampling
+from light_transport_tpu.scene.lights import geometry_term, sample_light_points
+from light_transport_tpu.scene.material import (
+    BSDF_DIFFUSE,
+    BSDF_MIRROR,
+    BSDF_TRANSMISSIVE,
+)
+from light_transport_tpu.scene.scene import Scene
+
+
+class PathState(NamedTuple):
+    """SoA per-lane path state carried across bounce supersteps."""
+
+    origin: jnp.ndarray  # (N, 3)
+    direction: jnp.ndarray  # (N, 3)
+    throughput: jnp.ndarray  # (N, 3)
+    radiance: jnp.ndarray  # (N, 3)
+    alive: jnp.ndarray  # (N,) bool
+
+
+class TraceRecord(NamedTuple):
+    """Per-bounce telemetry (the reference's ``record_log_pdf`` /
+    ``bounce_record`` / direct-indirect lists, src/path_tracing.py:27-30)."""
+
+    log_pdf: jnp.ndarray  # (N, depth) log of BSDF pdf at diffuse bounces
+    alive: jnp.ndarray  # (N, depth) lane alive at bounce b
+    direct: jnp.ndarray  # (N, depth, 3) NEE contribution at bounce b
+
+
+def _bounce(
+    scene: Scene,
+    cfg: RenderConfig,
+    state: PathState,
+    u: jnp.ndarray,  # (N, NUM_U) this bounce's uniforms
+    bounce: jnp.ndarray,  # () int32 bounce index
+    ray_chunk: Optional[int],
+):
+    mesh = scene.mesh
+    mats = scene.materials
+    n_lanes = state.origin.shape[0]
+    eps = lm.EPSILON
+
+    hit = intersect.intersect_rays(
+        state.origin, state.direction, mesh, ray_chunk=ray_chunk
+    )
+    hit_ok = hit.valid & state.alive
+    tri = jnp.maximum(hit.tri, 0)
+    hit_p = state.origin + state.direction * hit.t[:, None]
+    hit_p = jnp.where(hit_ok[:, None], hit_p, 0.0)
+
+    mat_id = mesh.mat_id[tri]
+    n_geo = mesh.normal[tri]
+    cos_in = lm.dot(n_geo, state.direction)
+    inside = cos_in > 0.0
+    # orient the shading normal against the incoming ray
+    # (src/path_tracing.py:62-65)
+    n_s = jnp.where(inside[:, None], -n_geo, n_geo)
+
+    emission = mats.emission[mat_id]
+    is_light = mesh.is_light[tri]
+    bsdf = mats.bsdf[mat_id]
+    diffuse_rgb = mats.diffuse[mat_id]
+    ior = mats.ior[mat_id]
+
+    # --- emission (src/path_tracing.py:59-60: bounce 0 only; fix1 :45: always)
+    if cfg.emission_mode == "first_hit":
+        add_emit = hit_ok & is_light & (bounce == 0)
+    else:
+        add_emit = hit_ok & is_light
+    radiance = state.radiance + jnp.where(
+        add_emit[:, None], emission[:, None] * state.throughput, 0.0
+    )
+
+    # --- diffuse branch: NEE + cosine bounce -------------------------------
+    lp, ln, lrad, pdf_area = sample_light_points(
+        scene.lights, u[:, rng.U_PICK], u[:, rng.U_LIGHT0], u[:, rng.U_LIGHT1]
+    )
+    shadow_o = hit_p + eps * n_s
+    g_term, wi, dist = geometry_term(shadow_o, n_s, lp, ln)
+    blocked = intersect.occluded(
+        shadow_o, wi, mesh, dist * (1.0 - 1e-3), ray_chunk=ray_chunk
+    )
+    f_diffuse = diffuse_rgb * lm.INV_PI
+    # contract: src/light_samples.py:55-59 — L * f * G / pdf_area
+    direct = lrad * f_diffuse * (g_term / jnp.maximum(pdf_area, 1e-30))[:, None]
+    direct = jnp.where(blocked[:, None], 0.0, direct)
+
+    d_dir, d_pdf = sampling.cosine_weighted_hemisphere(
+        n_s, u[:, rng.U_BSDF0], u[:, rng.U_BSDF1]
+    )
+    pdf_ok = d_pdf > 0.0
+    cos_o = lm.dot(d_dir, n_s)
+    safe_pdf = jnp.where(pdf_ok, d_pdf, 1.0)
+    diffuse_tp_scale = f_diffuse * (cos_o / safe_pdf)[:, None]
+    diffuse_new_o = hit_p + eps * d_dir  # src/path_tracing.py:82
+
+    # --- mirror branch (src/path_tracing.py:103-106) -----------------------
+    m_dir = lm.reflect(state.direction, n_s)
+    mirror_new_o = hit_p + eps * n_s
+
+    # --- transmissive branch (src/path_tracing.py:108-141) -----------------
+    n1 = jnp.where(inside, ior, 1.0)
+    n2 = jnp.where(inside, 1.0, ior)
+    r0 = sampling.schlick_r0(n1, n2)
+    cos_i = -lm.dot(state.direction, n_s)  # >= 0 after orientation
+    refl_prob = sampling.schlick_reflectance(r0, cos_i)
+    eta = n1 / n2
+    t_dir, tir = lm.refract(state.direction, n_s, eta)
+    do_refract = (~tir) & (u[:, rng.U_BSDF0] > refl_prob)
+    trans_dir = jnp.where(do_refract[:, None], t_dir, m_dir)
+    trans_new_o = jnp.where(
+        do_refract[:, None], hit_p - eps * n_s, hit_p + eps * n_s
+    )
+
+    # --- select by BSDF code (branchless) ----------------------------------
+    is_diffuse = bsdf == BSDF_DIFFUSE
+    is_mirror = bsdf == BSDF_MIRROR
+    is_trans = bsdf == BSDF_TRANSMISSIVE
+    bsdf_ok = is_diffuse | is_mirror | is_trans  # else: terminate (:143-145)
+
+    new_dir = jnp.where(
+        is_diffuse[:, None],
+        d_dir,
+        jnp.where(is_mirror[:, None], m_dir, trans_dir),
+    )
+    new_o = jnp.where(
+        is_diffuse[:, None],
+        diffuse_new_o,
+        jnp.where(is_mirror[:, None], mirror_new_o, trans_new_o),
+    )
+    tp_scale = jnp.where(is_diffuse[:, None], diffuse_tp_scale, 1.0)
+
+    shade = hit_ok & is_diffuse
+    direct_contrib = jnp.where(shade[:, None], state.throughput * direct, 0.0)
+    radiance = radiance + direct_contrib
+
+    new_tp = state.throughput * jnp.where(hit_ok[:, None], tp_scale, 1.0)
+
+    alive = state.alive & hit_ok & bsdf_ok & (pdf_ok | ~is_diffuse)
+
+    # --- Russian roulette (src/path_tracing.py:147-155) --------------------
+    rr_active = alive & (bounce > cfg.rr_start)
+    r_r = jnp.maximum(cfg.rr_floor, 1.0 - new_tp[:, 1])
+    rr_kill = rr_active & (u[:, rng.U_RR] < r_r)
+    rr_scale = jnp.where(rr_active & ~rr_kill, 1.0 / (1.0 - r_r), 1.0)
+    new_tp = new_tp * rr_scale[:, None]
+    alive = alive & ~rr_kill
+
+    log_pdf = jnp.where(shade & pdf_ok, jnp.log(safe_pdf), 0.0)
+
+    new_state = PathState(
+        origin=new_o,
+        direction=new_dir,
+        throughput=new_tp,
+        radiance=radiance,
+        alive=alive,
+    )
+    per_bounce = (log_pdf, hit_ok & state.alive, direct_contrib)
+    return new_state, per_bounce
+
+
+def trace_paths(
+    scene: Scene,
+    cfg: RenderConfig,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    uniforms: jnp.ndarray,  # (N, max_depth, NUM_U)
+    ray_chunk: Optional[int] = None,
+) -> Tuple[jnp.ndarray, TraceRecord]:
+    """Trace a lane population to completion; pure function of ``uniforms``.
+
+    Returns ``(radiance (N, 3), TraceRecord)``.
+    """
+    n = origins.shape[0]
+    dtype = origins.dtype
+    state = PathState(
+        origin=origins,
+        direction=directions,
+        throughput=jnp.ones((n, 3), dtype=dtype),
+        radiance=jnp.zeros((n, 3), dtype=dtype),
+        alive=jnp.ones((n,), dtype=bool),
+    )
+
+    def step(carry, xs):
+        u_b, b = xs
+        new_state, rec = _bounce(scene, cfg, carry, u_b, b, ray_chunk)
+        return new_state, rec
+
+    u_scan = jnp.moveaxis(uniforms, 1, 0)  # (depth, N, NUM_U)
+    bounces = jnp.arange(cfg.max_depth, dtype=jnp.int32)
+    final, recs = jax.lax.scan(step, state, (u_scan, bounces))
+    record = TraceRecord(
+        log_pdf=jnp.moveaxis(recs[0], 0, 1),
+        alive=jnp.moveaxis(recs[1], 0, 1),
+        direct=jnp.moveaxis(recs[2], 0, 1),
+    )
+    return final.radiance, record
+
+
+def camera_rays(scene: Scene, cfg: RenderConfig, u_aa: jnp.ndarray):
+    """Generate pinhole camera rays for every (pixel, sample) lane.
+
+    Geometry contract: reference render loop (src/path_tracing.py:263-287):
+    pixel grid y=linspace(top,bottom,H), x=linspace(left,right,W), screen at
+    z=f_distance, ray = normalize(pixel - camera), AA jitter of one pixel's
+    extent.  Deviation: the reference jitters x and y with the *same* uniform
+    (rand[0][0] for both, :282-283); we use two independent ones.
+
+    ``u_aa``: (N, 2) with N = H*W*spp.  Returns (origins, dirs) each (N, 3).
+    """
+    left, right, top, bottom = cfg.screen_bounds
+    dtype = scene.camera.dtype
+    xs = jnp.linspace(left, right, cfg.width, dtype=dtype)
+    ys = jnp.linspace(top, bottom, cfg.height, dtype=dtype)
+    px = jnp.tile(jnp.repeat(xs[None, :], cfg.height, axis=0).reshape(-1), cfg.spp)
+    py = jnp.tile(jnp.repeat(ys, cfg.width), cfg.spp)
+    # lane layout: s-major [(s, i, j)] -> reshape (spp, H, W)
+    jx = u_aa[:, 0] / cfg.width
+    jy = u_aa[:, 1] / cfg.height
+    pixel = jnp.stack(
+        [px + jx, py + jy, jnp.full_like(px, cfg.f_distance)], axis=-1
+    )
+    origin = jnp.broadcast_to(scene.camera, pixel.shape)
+    direction = lm.normalize(pixel - origin)
+    return origin, direction
+
+
+def render_image(
+    scene: Scene,
+    cfg: RenderConfig,
+    key: jax.Array,
+    ray_chunk: Optional[int] = None,
+    return_samples: bool = False,
+):
+    """Render the scene: returns ``image (H, W, 3)`` clipped to [0, 1]
+    (reference: np.clip at src/path_tracing.py:305), and optionally the raw
+    per-sample radiances ``(H, W, spp, 3)``."""
+    n = cfg.height * cfg.width * cfg.spp
+    k_aa, k_u = jax.random.split(key)
+    u_aa = jax.random.uniform(k_aa, (n, 2), dtype=scene.camera.dtype)
+    uniforms = rng.path_uniforms(k_u, n, cfg.max_depth, dtype=scene.camera.dtype)
+    origins, directions = camera_rays(scene, cfg, u_aa)
+    radiance, _ = trace_paths(
+        scene, cfg, origins, directions, uniforms, ray_chunk=ray_chunk
+    )
+    samples = radiance.reshape(cfg.spp, cfg.height, cfg.width, 3)
+    samples = jnp.moveaxis(samples, 0, 2)  # (H, W, spp, 3)
+    image = jnp.clip(jnp.mean(samples, axis=2), 0.0, 1.0)
+    if return_samples:
+        return image, samples
+    return image

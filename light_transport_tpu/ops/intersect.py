@@ -1,0 +1,220 @@
+"""Batched ray-primitive intersection kernels.
+
+TPU-native replacement for the reference's scalar kernels
+(src/intersects.py): every test here is a branchless masked op over an
+``(N_rays, N_tris)`` tile, so the whole ray population and triangle soup is
+processed by fused VPU code — no per-ray control flow, no candidate lists.
+
+- :func:`intersect_rays` — nearest hit via masked Möller–Trumbore
+  (physics contract: ``triangle_intersect``, src/intersects.py:46-104)
+- :func:`occluded` — any-hit visibility for NEE shadow rays
+  (contract: ``cast_one_shadow_ray``'s distance test, src/light_samples.py:53)
+- :func:`sphere_intersect` / :func:`plane_intersect` / :func:`aabb_intersect`
+  — parity with src/intersects.py:11-42,142-162,165-175.
+
+For big meshes, rays are processed in chunks (``ray_chunk``) so the
+``(N, T)`` intermediate stays within HBM/VMEM budgets; the BVH path in
+``accel/`` bounds T per ray instead.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from light_transport_tpu.core import math as lm
+from light_transport_tpu.scene.geometry import TriangleMesh
+
+# |det| below this is treated as ray-parallel-to-triangle (reference uses
+# 1e-7 in float64, src/intersects.py:56; float32 needs a scale-aware guard —
+# the mask on u/v/t already rejects garbage from near-zero dets).
+DET_EPS = 1e-12
+# Minimum hit distance (reference: t > 1e-7, src/intersects.py:101).
+T_EPS = 1e-5
+
+
+class Hit(NamedTuple):
+    """SoA hit record for a ray batch."""
+
+    t: jnp.ndarray  # (N,) hit distance; +inf on miss
+    tri: jnp.ndarray  # (N,) int32 triangle index; -1 on miss
+    valid: jnp.ndarray  # (N,) bool
+
+
+def _mt_tile(o, d, v0, e1, e2, t_min, t_max):
+    """Möller–Trumbore on an (N, T) tile. Returns (t (N,T), valid (N,T))."""
+    # (N, 1, 3) x (1, T, 3)
+    d_b = d[:, None, :]
+    pvec = lm.cross(d_b, e2[None, :, :])  # (N, T, 3)
+    det = jnp.sum(e1[None, :, :] * pvec, axis=-1)  # (N, T)
+    inv_det = jnp.where(jnp.abs(det) > DET_EPS, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    tvec = o[:, None, :] - v0[None, :, :]  # (N, T, 3)
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = lm.cross(tvec, e1[None, :, :])  # (N, T, 3)
+    v = jnp.sum(d_b * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2[None, :, :] * qvec, axis=-1) * inv_det
+    valid = (
+        (jnp.abs(det) > DET_EPS)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > t_min[:, None])
+        & (t < t_max[:, None])
+    )
+    return t, valid
+
+
+def _broadcast_t(x, n, dtype):
+    x = jnp.asarray(x, dtype=dtype)
+    return jnp.broadcast_to(x, (n,))
+
+
+def intersect_rays(
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    mesh: TriangleMesh,
+    t_min=T_EPS,
+    t_max=jnp.inf,
+    ray_chunk: Optional[int] = None,
+) -> Hit:
+    """Nearest-hit intersection of a ray batch against the full soup.
+
+    ``origins``/``directions``: (N, 3). Returns a :class:`Hit`.
+    """
+    n = origins.shape[0]
+    dtype = origins.dtype
+    t_min = _broadcast_t(t_min, n, dtype)
+    t_max = _broadcast_t(t_max, n, dtype)
+
+    def run(o, d, tmin, tmax):
+        t, valid = _mt_tile(o, d, mesh.v0, mesh.e1, mesh.e2, tmin, tmax)
+        t_masked = jnp.where(valid, t, jnp.inf)
+        tri = jnp.argmin(t_masked, axis=-1).astype(jnp.int32)
+        t_best = jnp.take_along_axis(t_masked, tri[:, None], axis=-1)[:, 0]
+        ok = jnp.isfinite(t_best)
+        return Hit(
+            t=t_best,
+            tri=jnp.where(ok, tri, -1),
+            valid=ok,
+        )
+
+    if ray_chunk is None or n <= ray_chunk:
+        return run(origins, directions, t_min, t_max)
+
+    # Chunk over rays to bound the (chunk, T) intermediate; pad the tail
+    # with dead rays (t_max = 0 rejects everything).
+    o_p, d_p, tn_p, tx_p, total = _pad_rays(
+        origins, directions, t_min, t_max, ray_chunk
+    )
+    hits = jax.lax.map(
+        lambda args: run(*args),
+        (
+            o_p.reshape(-1, ray_chunk, 3),
+            d_p.reshape(-1, ray_chunk, 3),
+            tn_p.reshape(-1, ray_chunk),
+            tx_p.reshape(-1, ray_chunk),
+        ),
+    )
+    return Hit(
+        t=hits.t.reshape(total)[:n],
+        tri=hits.tri.reshape(total)[:n],
+        valid=hits.valid.reshape(total)[:n],
+    )
+
+
+def _pad_rays(origins, directions, t_min, t_max, chunk):
+    n = origins.shape[0]
+    total = ((n + chunk - 1) // chunk) * chunk
+    pad = total - n
+    if pad:
+        origins = jnp.concatenate([origins, jnp.zeros((pad, 3), origins.dtype)])
+        dz = jnp.zeros((pad, 3), directions.dtype).at[:, 2].set(1.0)
+        directions = jnp.concatenate([directions, dz])
+        t_min = jnp.concatenate([t_min, jnp.zeros((pad,), t_min.dtype)])
+        t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
+    return origins, directions, t_min, t_max, total
+
+
+def occluded(
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    mesh: TriangleMesh,
+    max_dist: jnp.ndarray,
+    t_min=T_EPS,
+    ray_chunk: Optional[int] = None,
+) -> jnp.ndarray:
+    """Any-hit test: True where something blocks the segment before
+    ``max_dist``.  Matches the reference visibility rule
+    ``min_distance >= |shadow_ray| - EPSILON`` (src/light_samples.py:53) with
+    the epsilon folded into ``max_dist`` by the caller.
+    """
+    n = origins.shape[0]
+    dtype = origins.dtype
+    t_min = _broadcast_t(t_min, n, dtype)
+    max_dist = _broadcast_t(max_dist, n, dtype)
+
+    def run(o, d, tmin, tmax):
+        _, valid = _mt_tile(o, d, mesh.v0, mesh.e1, mesh.e2, tmin, tmax)
+        return jnp.any(valid, axis=-1)
+
+    if ray_chunk is None or n <= ray_chunk:
+        return run(origins, directions, t_min, max_dist)
+    o_p, d_p, tn_p, tx_p, total = _pad_rays(
+        origins, directions, t_min, max_dist, ray_chunk
+    )
+    res = jax.lax.map(
+        lambda args: run(*args),
+        (
+            o_p.reshape(-1, ray_chunk, 3),
+            d_p.reshape(-1, ray_chunk, 3),
+            tn_p.reshape(-1, ray_chunk),
+            tx_p.reshape(-1, ray_chunk),
+        ),
+    )
+    return res.reshape(total)[:n]
+
+
+def sphere_intersect(origins, directions, center, radius):
+    """Batched ray-sphere test (contract: src/intersects.py:11-42).
+
+    Returns nearest positive t, +inf on miss.
+    """
+    oc = origins - jnp.asarray(center)
+    b = 2.0 * lm.dot(directions, oc)
+    c = lm.dot(oc, oc) - radius * radius
+    disc = b * b - 4.0 * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = (-b - sq) / 2.0
+    t2 = (-b + sq) / 2.0
+    t_near = jnp.minimum(t1, t2)
+    t_far = jnp.maximum(t1, t2)
+    t = jnp.where(t_near > T_EPS, t_near, t_far)
+    return jnp.where((disc > 0.0) & (t > T_EPS), t, jnp.inf)
+
+
+def plane_intersect(origins, directions, point, normal):
+    """Batched ray-plane test (contract: src/intersects.py:142-162)."""
+    point = jnp.asarray(point)
+    normal = jnp.asarray(normal)
+    denom = lm.dot(directions, normal)
+    safe = jnp.where(jnp.abs(denom) > 1e-6, denom, 1.0)
+    t = lm.dot(point - origins, normal) / safe
+    return jnp.where((jnp.abs(denom) > 1e-6) & (t > T_EPS), t, jnp.inf)
+
+
+def aabb_intersect(origins, directions, box_min, box_max, t_max=jnp.inf):
+    """Batched slab test (contract: src/intersects.py:165-196).
+
+    Returns (hit mask, t_near, t_far).
+    """
+    inv_d = 1.0 / directions  # IEEE inf for zero components is correct here
+    t1 = (jnp.asarray(box_min) - origins) * inv_d
+    t2 = (jnp.asarray(box_max) - origins) * inv_d
+    t_near = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    t_far = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    t_near = jnp.maximum(t_near, 0.0)
+    t_far = jnp.minimum(t_far, t_max)
+    return t_near <= t_far, t_near, t_far

@@ -1,0 +1,137 @@
+"""Sampling and light-transport math — batched, branchless.
+
+Physics contracts (reference):
+
+- concentric disk + Malley cosine-hemisphere: ``concentric_sample_disk`` /
+  ``cosine_weighted_hemisphere_sampling`` (src/utils.py:114-161)
+- uniform hemisphere: src/utils.py:83-111
+- Schlick Fresnel: src/path_tracing.py:118-121 — with the reference's
+  ``(1 - cos(theta))**5`` oddity fixed: it takes the cosine *of a dot product
+  that already is cos(theta)* (SURVEY.md §7 hard-part 5); we use the standard
+  ``(1 - |cos_i|)**5``.
+- Henyey-Greenstein phase function: src/medium_samples.py:14-16, plus the
+  analytic inverse-CDF sampler the reference never implemented.
+
+Every function maps over arbitrary leading batch dims.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from light_transport_tpu.core import math as lm
+
+
+def concentric_sample_disk(u0: jnp.ndarray, u1: jnp.ndarray):
+    """Shirley-Chiu concentric disk warp; branchless masked form of
+    src/utils.py:114-128.  Returns (dx, dy)."""
+    ox = 2.0 * u0 - 1.0
+    oy = 2.0 * u1 - 1.0
+    use_x = jnp.abs(ox) > jnp.abs(oy)
+    r = jnp.where(use_x, ox, oy)
+    denom = jnp.where(use_x, ox, oy)
+    num = jnp.where(use_x, oy, ox)
+    safe = jnp.where(denom == 0.0, 1.0, denom)
+    ratio = jnp.where(denom == 0.0, 0.0, num / safe)
+    theta = jnp.where(
+        use_x, lm.PI_OVER_4 * ratio, lm.PI_OVER_2 - lm.PI_OVER_4 * ratio
+    )
+    zero = (ox == 0.0) & (oy == 0.0)
+    r = jnp.where(zero, 0.0, r)
+    return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
+def cosine_weighted_hemisphere(normal: jnp.ndarray, u0, u1):
+    """Cosine-weighted direction about ``normal`` via Malley's method.
+
+    Returns ``(direction (...,3), pdf (...))`` with pdf = cos(theta)/pi.
+
+    Deliberate deviation from src/utils.py:131-161: the reference mixes the
+    *world* z-component of the incoming ray with the *local* z of the sample
+    to decide hemisphere flips and pdf zeroing — a frame-confusion quirk.  We
+    sample purely in the local frame of the (already shading-oriented)
+    normal, which is the estimator the surrounding code intends.
+    """
+    dx, dy = concentric_sample_disk(u0, u1)
+    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - dx * dx - dy * dy))
+    local = jnp.stack([dx, dy, z], axis=-1)
+    direction = lm.to_world(local, normal)
+    pdf = z * lm.INV_PI
+    return direction, pdf
+
+
+def uniform_hemisphere(normal: jnp.ndarray, u0, u1):
+    """Uniform hemisphere sample (contract: src/utils.py:83-111);
+    pdf = 1/(2 pi)."""
+    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - u0 * u0))
+    phi = 2.0 * jnp.pi * u1
+    local = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), u0], axis=-1)
+    direction = lm.to_world(local, normal)
+    pdf = jnp.broadcast_to(jnp.asarray(lm.INV_2PI, direction.dtype), u0.shape)
+    return direction, pdf
+
+
+def schlick_r0(n1, n2):
+    """R0 = ((n1-n2)/(n1+n2))^2 (src/path_tracing.py:118)."""
+    r = (n1 - n2) / (n1 + n2)
+    return r * r
+
+
+def schlick_reflectance(r0, cos_i):
+    """Schlick's approximation R = R0 + (1-R0)(1-|cos_i|)^5."""
+    m = 1.0 - jnp.abs(cos_i)
+    m = jnp.clip(m, 0.0, 1.0)
+    return r0 + (1.0 - r0) * m**5
+
+
+def henyey_greenstein_pdf(cos_theta, g):
+    """HG phase function value (solid-angle pdf); contract:
+    src/medium_samples.py:14-16."""
+    denom = 1.0 + g * g + 2.0 * g * cos_theta
+    denom = jnp.maximum(denom, 1e-12)
+    return lm.INV_4PI * (1.0 - g * g) / (denom * jnp.sqrt(denom))
+
+
+def sample_henyey_greenstein(g, u):
+    """Analytic inverse-CDF sample of HG scattering cosine.
+
+    cos(theta) = (1 + g^2 - ((1-g^2)/(1-g+2gu))^2) / (2g), with the
+    isotropic limit cos = 2u - 1 taken branchlessly for |g| ~ 0.
+    """
+    g_safe = jnp.where(jnp.abs(g) < 1e-3, 1.0, g)
+    frac = (1.0 - g * g) / (1.0 - g + 2.0 * g * u)
+    cos_aniso = (1.0 + g * g - frac * frac) / (2.0 * g_safe)
+    cos_iso = 2.0 * u - 1.0
+    cos_theta = jnp.where(jnp.abs(g) < 1e-3, cos_iso, cos_aniso)
+    return jnp.clip(cos_theta, -1.0, 1.0)
+
+
+def scatter_direction(direction, cos_theta, u_phi):
+    """Rotate ``direction`` by scattering angle (cos_theta, phi=2*pi*u_phi).
+
+    Spins the new direction in the orthonormal frame of the old one —
+    the deflection step of volumetric scattering.
+    """
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    phi = 2.0 * jnp.pi * u_phi
+    local = jnp.stack(
+        [sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta], axis=-1
+    )
+    return lm.to_world(local, direction)
+
+
+def fresnel_dielectric(cos_i, n1, n2):
+    """Exact unpolarized Fresnel reflectance for a dielectric interface.
+
+    Used by the photon engine at refractive-index boundaries (the MCML
+    convention); the surface path tracer uses Schlick for reference parity.
+    Returns R in [0, 1]; total internal reflection gives 1.
+    """
+    cos_i = jnp.clip(jnp.abs(cos_i), 0.0, 1.0)
+    sin_t2 = (n1 / n2) ** 2 * (1.0 - cos_i * cos_i)
+    tir = sin_t2 >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin_t2, 0.0))
+    rs = (n1 * cos_i - n2 * cos_t) / jnp.maximum(n1 * cos_i + n2 * cos_t, 1e-12)
+    rp = (n1 * cos_t - n2 * cos_i) / jnp.maximum(n1 * cos_t + n2 * cos_i, 1e-12)
+    r = 0.5 * (rs * rs + rp * rp)
+    return jnp.where(tir, 1.0, jnp.clip(r, 0.0, 1.0))

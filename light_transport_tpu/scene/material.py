@@ -1,0 +1,146 @@
+"""Materials as an SoA table.
+
+The reference stores a ``Material`` jitclass pointer on every triangle
+(src/material.py:18-37, src/primitives.py:91); BSDF dispatch branches on its
+``is_diffuse`` / ``is_mirror`` / ``transmission`` flags
+(src/path_tracing.py:68,103,108).  TPU-natively, materials are rows of a small
+replicated table and each triangle carries an int32 ``mat_id``; dispatch is a
+branchless select on an integer BSDF code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from flax import struct
+
+# BSDF dispatch codes — ordered to match the reference's if/elif chain
+# (src/path_tracing.py:68-145): is_diffuse wins over is_mirror which wins
+# over transmission > 0; anything else terminates the path.
+BSDF_DIFFUSE = 0
+BSDF_MIRROR = 1
+BSDF_TRANSMISSIVE = 2
+BSDF_NONE = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class Color:
+    """Host-side color triple (ambient, diffuse, specular) — mirrors the
+    reference ``Color`` jitclass (src/material.py:4-13)."""
+
+    ambient: tuple
+    diffuse: tuple
+    specular: tuple
+
+    @staticmethod
+    def of(ambient, diffuse, specular) -> "Color":
+        return Color(tuple(ambient), tuple(diffuse), tuple(specular))
+
+
+@dataclasses.dataclass(frozen=True)
+class Material:
+    """Host-side material description — the reference ``Material`` surface
+    (src/material.py:29-37) with identical defaults."""
+
+    color: Color
+    shininess: float = 1.0
+    reflection: float = 0.0
+    ior: float = 1.0
+    emission: float = 0.0
+    transmission: float = 0.0
+    is_diffuse: bool = True
+    is_mirror: bool = False
+
+    @property
+    def bsdf(self) -> int:
+        if self.is_diffuse:
+            return BSDF_DIFFUSE
+        if self.is_mirror:
+            return BSDF_MIRROR
+        if self.transmission > 0.0:
+            return BSDF_TRANSMISSIVE
+        return BSDF_NONE
+
+
+@struct.dataclass
+class MaterialTable:
+    """Device-side SoA material table; one row per distinct material."""
+
+    ambient: np.ndarray  # (M, 3)
+    diffuse: np.ndarray  # (M, 3)
+    specular: np.ndarray  # (M, 3)
+    shininess: np.ndarray  # (M,)
+    reflection: np.ndarray  # (M,)
+    ior: np.ndarray  # (M,)
+    emission: np.ndarray  # (M,)
+    transmission: np.ndarray  # (M,)
+    bsdf: np.ndarray  # (M,) int32 BSDF code
+
+    @staticmethod
+    def build(materials: Sequence[Material], dtype=np.float32) -> "MaterialTable":
+        def arr(f):
+            return jnp.asarray(
+                np.asarray([f(m) for m in materials], dtype=dtype)
+            )
+
+        return MaterialTable(
+            ambient=arr(lambda m: m.color.ambient),
+            diffuse=arr(lambda m: m.color.diffuse),
+            specular=arr(lambda m: m.color.specular),
+            shininess=arr(lambda m: m.shininess),
+            reflection=arr(lambda m: m.reflection),
+            ior=arr(lambda m: m.ior),
+            emission=arr(lambda m: m.emission),
+            transmission=arr(lambda m: m.transmission),
+            bsdf=jnp.asarray([m.bsdf for m in materials], dtype=jnp.int32),
+        )
+
+    @property
+    def num(self) -> int:
+        return self.bsdf.shape[0]
+
+
+class _Presets:
+    """Named colors/materials mirroring the reference palette
+    (src/constants.py:27-85)."""
+
+    WHITE = Color.of((1, 1, 1), (1, 1, 1), (1, 1, 1))
+    WHITE_2 = Color.of((0, 0, 0), (0.55, 0.55, 0.55), (0.7, 0.7, 0.7))
+    RED = Color.of((0.1, 0, 0), (0.7, 0, 0), (1, 1, 1))
+    PURPLE = Color.of((0.1, 0, 0.1), (0.7, 0, 0.7), (1, 1, 1))
+    YELLOW = Color.of((0.05, 0.05, 0.0), (0.5, 0.5, 0.4), (0.7, 0.7, 0.04))
+    SILVER = Color.of(
+        (0.23125,) * 3, (0.2775,) * 3, (0.773911,) * 3
+    )
+    GREEN = Color.of((0, 0.1, 0), (0, 0.6, 0), (1, 1, 1))
+    GREY = Color.of((0.1, 0.1, 0.1), (0.6, 0.6, 0.6), (1, 1, 1))
+    TURQUOISE = Color.of(
+        (0.1, 0.18725, 0.1745),
+        (0.396, 0.74151, 0.69102),
+        (0.297254, 0.30829, 0.306678),
+    )
+    BRONZE = Color.of(
+        (0.2125, 0.1275, 0.054),
+        (0.714, 0.4284, 0.18144),
+        (0.393548, 0.271906, 0.166721),
+    )
+    GLASS = Color.of(
+        (0.0, 0.0, 0.0), (0.588235, 0.670588, 0.729412), (0.9, 0.9, 0.9)
+    )
+
+    TURQUOISE_MAT = Material(color=TURQUOISE, shininess=0.1, reflection=2, ior=1.65)
+    BRONZE_MAT = Material(
+        color=PURPLE, shininess=10, reflection=0.75, ior=1.180,
+        transmission=1.0, is_diffuse=False, is_mirror=True,
+    )
+    GLASS_MAT = Material(
+        color=GLASS, shininess=96, reflection=0.2, ior=1.5,
+        transmission=1.0, is_diffuse=False, is_mirror=False,
+    )
+
+
+presets = _Presets()

@@ -1,0 +1,40 @@
+"""Scene container — a pure pytree of device arrays.
+
+The reference ``Scene`` jitclass (src/scene.py:30-73) mixes configuration
+(width, height, max_depth), derived state (screen bounds), the image buffer,
+and the full pre-drawn RNG tensors, and integrators mutate it in place.
+Here the Scene is an immutable pytree of geometry/material/light tables plus
+the camera; render settings live in :class:`RenderConfig` (static) and all
+RNG flows through explicit keys/uniform tensors — functional purity removes
+the reference's benign-data-race hazard class (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from light_transport_tpu.scene.geometry import TriangleMesh
+from light_transport_tpu.scene.lights import LightTable
+from light_transport_tpu.scene.material import MaterialTable
+
+
+@struct.dataclass
+class Scene:
+    mesh: TriangleMesh
+    materials: MaterialTable
+    lights: LightTable
+    camera: np.ndarray  # (3,) pinhole position
+
+    @staticmethod
+    def build(mesh: TriangleMesh, materials: MaterialTable, camera,
+              dtype=np.float32) -> "Scene":
+        return Scene(
+            mesh=mesh,
+            materials=materials,
+            lights=LightTable.build(mesh, materials, dtype=dtype),
+            camera=jnp.asarray(np.asarray(camera, dtype=dtype)),
+        )

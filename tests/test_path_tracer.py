@@ -1,0 +1,179 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from light_transport_tpu.core import math as lm
+from light_transport_tpu.core import rng
+from light_transport_tpu.core.config import RenderConfig
+from light_transport_tpu.integrators.path_tracer import (
+    camera_rays,
+    render_image,
+    trace_paths,
+)
+from light_transport_tpu.scene.cornell import cornell_box_scene
+from light_transport_tpu.scene.geometry import TriangleMesh, quad_triangles
+from light_transport_tpu.scene.material import Material, MaterialTable, presets
+from light_transport_tpu.scene.scene import Scene
+
+
+@pytest.fixture(scope="module")
+def small_scene():
+    return cornell_box_scene(width=24, height=24, spp=4, max_depth=3)
+
+
+def test_camera_rays_geometry(small_scene):
+    scene, cfg = small_scene
+    n = cfg.height * cfg.width * cfg.spp
+    u_aa = jnp.zeros((n, 2))
+    o, d = camera_rays(scene, cfg, u_aa)
+    assert o.shape == (n, 3) and d.shape == (n, 3)
+    np.testing.assert_allclose(
+        np.asarray(o), np.broadcast_to(np.asarray(scene.camera), o.shape),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(np.asarray(lm.norm(d)), 1.0, atol=1e-5)
+    # rays point into the box (-z; camera is at z = dim + 0.5, screen at dim)
+    assert np.all(np.asarray(d[:, 2]) < 0)
+    # first lane is the top-left pixel: direction has +y (top) and -x (left)
+    d0 = np.asarray(d[0])
+    assert d0[0] < 0 and d0[1] > 0
+
+
+def test_render_image_sane(small_scene):
+    scene, cfg = small_scene
+    img = render_image(scene, cfg, jax.random.key(0))
+    img = np.asarray(img)
+    assert img.shape == (cfg.height, cfg.width, 3)
+    assert np.all(np.isfinite(img))
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    assert img.mean() > 0.02  # not black
+    # left wall is red-ish, right wall green-ish in the LTS scene
+    left = img[12, 1]
+    right = img[12, -2]
+    assert left[0] > left[1]
+    assert right[1] > right[0]
+
+
+def test_render_deterministic(small_scene):
+    scene, cfg = small_scene
+    a = np.asarray(render_image(scene, cfg, jax.random.key(7)))
+    b = np.asarray(render_image(scene, cfg, jax.random.key(7)))
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(render_image(scene, cfg, jax.random.key(8)))
+    assert not np.array_equal(a, c)
+
+
+def test_trace_is_pure_function_of_uniforms(small_scene):
+    scene, cfg = small_scene
+    n = 64
+    key = jax.random.key(3)
+    u = rng.path_uniforms(key, n, cfg.max_depth)
+    u_aa = jax.random.uniform(jax.random.key(4), (n, 2))
+    o, d = camera_rays(scene, cfg, jnp.tile(u_aa, (cfg.height * cfg.width * cfg.spp // n, 1))[: cfg.height * cfg.width * cfg.spp])
+    o, d = o[:n], d[:n]
+    r1, rec1 = trace_paths(scene, cfg, o, d, u)
+    r2, rec2 = trace_paths(scene, cfg, o, d, u)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_array_equal(np.asarray(rec1.log_pdf), np.asarray(rec2.log_pdf))
+
+
+def single_emitter_scene(emission=10.0, light_y=1.0, half=0.5,
+                         light_diffuse=True):
+    """A diffuse floor at y=0 with a square emitter overhead."""
+    floor = quad_triangles((-5, 0, -5), (-5, 0, 5), (5, 0, 5), (5, 0, -5))
+    lightq = quad_triangles(
+        (-half, light_y, -half),
+        (half, light_y, -half),
+        (half, light_y, half),
+        (-half, light_y, half),
+    )
+    mats = MaterialTable.build(
+        [
+            Material(color=presets.WHITE_2),
+            Material(color=presets.WHITE, emission=emission,
+                     is_diffuse=light_diffuse),
+        ]
+    )
+    verts = np.concatenate([floor, lightq])
+    ids = np.asarray([0, 0, 1, 1], np.int32)
+    is_light = np.asarray([False, False, True, True])
+    mesh = TriangleMesh.build(verts, ids, is_light)
+    scene = Scene.build(mesh, mats, camera=[0.0, 3.0, 8.0])
+    return scene
+
+
+def test_nee_direct_lighting_matches_quadrature():
+    """Single-bounce NEE at a point under an area light vs numeric integral.
+
+    This is the statistical parity test generalizing the reference's
+    image-MAE cross-check (LTS.ipynb cells 37-38): the estimator's mean must
+    match the analytic direct-illumination integral within MC error.
+    """
+    emission, light_y, half = 10.0, 1.0, 0.5
+    scene = single_emitter_scene(emission, light_y, half)
+    cfg = RenderConfig(max_depth=1, spp=1)
+
+    # lanes all start just above the floor (below the emitter plane so the
+    # camera ray doesn't pass through the light) shooting straight down
+    n = 1 << 14
+    o = jnp.tile(jnp.asarray([[0.0, 0.5, 0.0]]), (n, 1))
+    d = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]]), (n, 1))
+    u = rng.path_uniforms(jax.random.key(0), n, cfg.max_depth)
+    radiance, _ = trace_paths(scene, cfg, o, d, u)
+    mc = np.asarray(radiance).mean(axis=0)
+    se = np.asarray(radiance).std(axis=0) / np.sqrt(n)
+
+    # ground truth: L * rho/pi * integral over light of cos/cos'/r^2 dA
+    rho = 0.55  # WHITE_2 diffuse
+    L = emission * 1.0  # emission * white diffuse
+    xs = np.linspace(-half, half, 400)
+    zs = np.linspace(-half, half, 400)
+    X, Z = np.meshgrid(xs, zs)
+    # shade point at origin (floor y=0), light points at y=light_y
+    r2 = X**2 + Z**2 + light_y**2
+    cos_t = light_y / np.sqrt(r2)  # floor normal +y
+    cos_p = light_y / np.sqrt(r2)  # light normal (-y toward floor); |cos|
+    integrand = cos_t * cos_p / r2
+    dA = (xs[1] - xs[0]) * (zs[1] - zs[0])
+    truth = L * (rho / np.pi) * integrand.sum() * dA
+    for c in range(3):
+        assert abs(mc[c] - truth) < 4 * se[c] + 1e-3, (c, mc[c], truth, se[c])
+
+
+def test_emission_modes():
+    # non-diffuse emitter: path terminates at the light (the reference's
+    # `else: break`, src/path_tracing.py:143-145), so radiance == emission
+    scene = single_emitter_scene(emission=5.0, light_diffuse=False)
+    # camera ray pointed straight at the light from below
+    n = 8
+    o = jnp.tile(jnp.asarray([[0.0, 0.5, 0.0]]), (n, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (n, 1))
+    u = rng.path_uniforms(jax.random.key(1), n, 2)
+    cfg = RenderConfig(max_depth=2, emission_mode="first_hit")
+    r, _ = trace_paths(scene, cfg, o, d, u)
+    np.testing.assert_allclose(np.asarray(r), 5.0, rtol=1e-5)
+
+
+def test_max_depth_zero_paths_terminate(small_scene):
+    scene, cfg = small_scene
+    n = 16
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, 0.0]]), (n, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (n, 1))
+    u = rng.path_uniforms(jax.random.key(2), n, 1)
+    cfg1 = RenderConfig(max_depth=1)
+    r, rec = trace_paths(scene, cfg1, o, d, u)
+    assert np.all(np.isfinite(np.asarray(r)))
+    assert rec.log_pdf.shape == (n, 1)
+
+
+def test_miss_rays_are_black():
+    scene = single_emitter_scene()
+    n = 4
+    o = jnp.tile(jnp.asarray([[0.0, 2.0, 0.0]]), (n, 1))
+    d = jnp.tile(jnp.asarray([[1.0, 0.5, 0.0]]), (n, 1))
+    d = lm.normalize(d)
+    u = rng.path_uniforms(jax.random.key(3), n, 3)
+    r, rec = trace_paths(scene, RenderConfig(max_depth=3), o, d, u)
+    np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-7)
+    assert not np.any(np.asarray(rec.alive))
