@@ -68,9 +68,10 @@ class PhotonRunConfig:
     """Photon Monte Carlo run settings (BASELINE.json configs 1-3, 5)."""
 
     n_photons: int = 100_000
-    # static superstep count per batch; photons that die are respawned so
-    # lanes stay occupied (lockstep masked loop).
-    steps_per_batch: int = 64
+    # supersteps per while-loop round in simulate_photons: the termination
+    # check (all photons done) runs between rounds only.  16 keeps XLA
+    # compile time low while amortizing loop sync overhead.
+    steps_per_batch: int = 16
     weight_threshold: float = 1e-4
     rr_survive: float = 0.1  # MCML roulette survival probability
     # fluence grid (r, z) in cm

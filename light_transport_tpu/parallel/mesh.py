@@ -1,0 +1,181 @@
+"""Multi-chip scaling: photon/pixel batches over a device mesh.
+
+The reference's only parallelism is shared-memory ``numba.prange`` over image
+rows (src/path_tracing.py:266-270); there is no distributed backend at all
+(SURVEY.md §2).  The TPU-native equivalent: a 1-D ``batch`` mesh axis,
+photon/pixel lanes sharded across chips with ``shard_map``, the scene /
+medium / material tables replicated, and tally partials reduced with
+``jax.lax.psum`` over ICI.  Multi-host runs reuse the same code — the mesh
+just spans hosts (DCN) after ``jax.distributed.initialize``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.7 exposes shard_map at top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from light_transport_tpu.core.config import PhotonRunConfig, RenderConfig
+from light_transport_tpu.scene.medium import LayeredMedium
+from light_transport_tpu.scene.scene import Scene
+from light_transport_tpu.tally.tallies import PhotonTallies
+
+BATCH = "batch"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = BATCH) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def simulate_sharded(
+    medium: LayeredMedium,
+    cfg: PhotonRunConfig,
+    key: jax.Array,
+    mesh: Optional[Mesh] = None,
+    lanes_per_device: int = 16384,
+) -> PhotonTallies:
+    """Photon run sharded over the mesh: each chip simulates an equal share
+    of the photon quota with an independently folded key; tallies are
+    psum-reduced over ICI so every chip returns the global result."""
+    from light_transport_tpu.transport.photon import simulate_photons
+
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    share = cfg.n_photons // n_dev
+    # device 0 absorbs the remainder so exactly n_photons launch in total
+    rem = cfg.n_photons - share * n_dev
+
+    def per_device(key):
+        key = key.reshape(())
+        idx = jax.lax.axis_index(BATCH)
+        my_key = jax.random.fold_in(key, idx)
+        my_quota = share + jnp.where(idx == 0, rem, 0)
+        local_cfg_photons = int(share + rem)  # static upper bound per chip
+        import dataclasses
+
+        local_cfg = dataclasses.replace(cfg, n_photons=local_cfg_photons)
+        tallies = _simulate_dynamic_quota(
+            medium, local_cfg, my_key, my_quota, lanes_per_device
+        )
+        return jax.tree.map(lambda x: jax.lax.psum(x, BATCH), tallies)
+
+    keys = jnp.broadcast_to(jax.random.key_data(key), (n_dev,) + jax.random.key_data(key).shape)
+    fn = shard_map(
+        lambda k: per_device(jax.random.wrap_key_data(k[0])),
+        mesh=mesh,
+        in_specs=P(BATCH),
+        out_specs=P(),  # psum-reduced: replicated output
+        check_vma=False,
+    )
+    return fn(keys)
+
+
+def _simulate_dynamic_quota(medium, cfg, key, quota, lanes):
+    """simulate_photons with a traced (dynamic) quota — used per-shard."""
+    from light_transport_tpu.transport.photon import (
+        PhotonState,
+        superstep,
+        _NUM_U,
+    )
+
+    lanes = min(lanes, cfg.n_photons)
+    round_len = max(1, cfg.steps_per_batch)
+
+    state = PhotonState.dead(lanes)
+    tallies = PhotonTallies.zeros(cfg)
+    quota = quota.astype(jnp.float32)
+
+    def cond(carry):
+        state, _, quota, step = carry
+        return ((quota > 0) | jnp.any(state.alive)) & (step < 1_000_000)
+
+    def round_body(carry):
+        def one(carry2, step):
+            state, tallies, quota = carry2
+            u = jax.random.uniform(
+                jax.random.fold_in(key, step), (lanes, _NUM_U),
+                dtype=state.w.dtype,
+            )
+            state, tallies, quota = superstep(
+                state, tallies, u, medium, cfg, quota
+            )
+            return (state, tallies, quota), None
+
+        state, tallies, quota, step = carry
+        (state, tallies, quota), _ = jax.lax.scan(
+            one, (state, tallies, quota),
+            step + jnp.arange(round_len, dtype=jnp.int32),
+        )
+        return state, tallies, quota, step + round_len
+
+    _, tallies, _, _ = jax.lax.while_loop(
+        cond, round_body, (state, tallies, quota, jnp.asarray(0, jnp.int32))
+    )
+    return tallies
+
+
+def render_sharded(
+    scene: Scene,
+    cfg: RenderConfig,
+    key: jax.Array,
+    mesh: Optional[Mesh] = None,
+    ray_chunk: Optional[int] = None,
+):
+    """Camera render with the lane population sharded over the mesh.
+
+    Pixel/sample lanes are split across chips (pure data parallelism — rays
+    are independent); the scene tables replicate.  Output image is gathered
+    to every chip.
+    """
+    from light_transport_tpu.core import rng as _rng
+    from light_transport_tpu.integrators.path_tracer import (
+        camera_rays,
+        trace_paths,
+    )
+
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    n = cfg.height * cfg.width * cfg.spp
+    pad = (-n) % n_dev
+
+    k_aa, k_u = jax.random.split(key)
+    u_aa = jax.random.uniform(k_aa, (n, 2), dtype=scene.camera.dtype)
+    uniforms = _rng.path_uniforms(k_u, n, cfg.max_depth, dtype=scene.camera.dtype)
+    origins, directions = camera_rays(scene, cfg, u_aa)
+    if pad:
+        z3 = jnp.zeros((pad, 3), origins.dtype)
+        origins = jnp.concatenate([origins, z3])
+        directions = jnp.concatenate(
+            [directions, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], z3.dtype), (pad, 1))]
+        )
+        uniforms = jnp.concatenate(
+            [uniforms, jnp.full((pad,) + uniforms.shape[1:], 0.5, uniforms.dtype)]
+        )
+
+    def per_device(o, d, u):
+        radiance, _ = trace_paths(scene, cfg, o, d, u, ray_chunk=ray_chunk)
+        return radiance
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(BATCH), P(BATCH), P(BATCH)),
+        out_specs=P(BATCH),
+        check_vma=False,
+    )
+    radiance = fn(origins, directions, uniforms)[:n]
+    samples = jnp.moveaxis(
+        radiance.reshape(cfg.spp, cfg.height, cfg.width, 3), 0, 2
+    )
+    return jnp.clip(jnp.mean(samples, axis=2), 0.0, 1.0)

@@ -39,6 +39,8 @@ class LayeredMedium:
     @staticmethod
     def build(layers: Sequence[MediumConfig], n_above: float = 1.0,
               n_below: float = 1.0, dtype=np.float32) -> "LayeredMedium":
+        import jax.numpy as jnp
+
         mu_a = np.asarray([l.mu_a for l in layers], dtype=dtype)
         mu_s = np.asarray([l.mu_s for l in layers], dtype=dtype)
         g = np.asarray([l.g for l in layers], dtype=dtype)
@@ -46,15 +48,15 @@ class LayeredMedium:
         thick = np.asarray([l.thickness for l in layers], dtype=np.float64)
         z = np.concatenate([[0.0], np.cumsum(thick)])
         return LayeredMedium(
-            mu_a=mu_a,
-            mu_s=mu_s,
-            mu_t=mu_a + mu_s,
-            g=g,
-            n=n,
-            z_top=z[:-1].astype(dtype),
-            z_bot=z[1:].astype(dtype),
-            n_above=np.asarray(n_above, dtype=dtype),
-            n_below=np.asarray(n_below, dtype=dtype),
+            mu_a=jnp.asarray(mu_a),
+            mu_s=jnp.asarray(mu_s),
+            mu_t=jnp.asarray(mu_a + mu_s),
+            g=jnp.asarray(g),
+            n=jnp.asarray(n),
+            z_top=jnp.asarray(z[:-1].astype(dtype)),
+            z_bot=jnp.asarray(z[1:].astype(dtype)),
+            n_above=jnp.asarray(n_above, dtype=dtype),
+            n_below=jnp.asarray(n_below, dtype=dtype),
         )
 
     @property

@@ -1,0 +1,294 @@
+"""Photon Monte Carlo superstep engine for layered media.
+
+This is the subsystem the reference stubbed out (``photon_tracing.py`` is
+empty; ``henyey_greenstein`` defined but never called,
+src/medium_samples.py:14-16) built the TPU-native way (BASELINE.json north
+star): the per-photon random walk becomes a fully vectorized SoA photon
+population advanced in lockstep *supersteps* — the MCML hop-drop-spin cycle
+as branchless masked ops:
+
+  hop   : sample optical depth tau = -ln(u); move min(tau/mu_t, boundary)
+  drop  : deposit w * mu_a/mu_t into the (r, z) absorption grid (scatter-add)
+  spin  : Henyey-Greenstein deflection (analytic inverse CDF)
+  bounce: Fresnel reflect/refract at layer interfaces, with the remaining
+          *dimensionless* optical depth carried across the interface
+          (the MCML "sleft" rule), exit tallies at top/bottom
+  roulette + respawn: dead lanes are reloaded with fresh photons from the
+          launch quota so VPU lanes stay occupied
+
+Everything is a pure function of (seed, superstep counter) via threefry
+fold-in; tallies are psum-reducible partials (see parallel/).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from light_transport_tpu.core.config import PhotonRunConfig
+from light_transport_tpu.ops import sampling
+from light_transport_tpu.scene.medium import LayeredMedium
+from light_transport_tpu.tally.tallies import PhotonTallies
+
+# uniform slots per lane per superstep
+_U_TAU, _U_HG, _U_PHI, _U_FRESNEL, _U_RR = range(5)
+_NUM_U = 5
+
+
+class PhotonState(NamedTuple):
+    pos: jnp.ndarray  # (N, 3); z increases into the medium, surface at z=0
+    dir: jnp.ndarray  # (N, 3) unit
+    w: jnp.ndarray  # (N,) packet weight
+    layer: jnp.ndarray  # (N,) int32 current layer
+    tau: jnp.ndarray  # (N,) leftover optical depth of an interrupted hop
+    alive: jnp.ndarray  # (N,) bool
+
+    @staticmethod
+    def dead(n: int, dtype=jnp.float32) -> "PhotonState":
+        return PhotonState(
+            pos=jnp.zeros((n, 3), dtype),
+            dir=jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], dtype), (n, 1)),
+            w=jnp.zeros((n,), dtype),
+            layer=jnp.zeros((n,), jnp.int32),
+            tau=jnp.zeros((n,), dtype),
+            alive=jnp.zeros((n,), bool),
+        )
+
+
+def _specular_r(medium: LayeredMedium):
+    """Launch-time specular reflection at the top surface (MCML R_sp)."""
+    n0 = medium.n[0]
+    return sampling.schlick_r0(medium.n_above, n0)
+
+
+def _grid_indices(pos, cfg: PhotonRunConfig):
+    r = jnp.sqrt(pos[:, 0] ** 2 + pos[:, 1] ** 2)
+    ir = jnp.clip((r / cfg.dr).astype(jnp.int32), 0, cfg.nr - 1)
+    iz = jnp.clip((pos[:, 2] / cfg.dz).astype(jnp.int32), 0, cfg.nz - 1)
+    return ir, iz
+
+
+def superstep(
+    state: PhotonState,
+    tallies: PhotonTallies,
+    u: jnp.ndarray,  # (N, 5) uniforms for this superstep
+    medium: LayeredMedium,
+    cfg: PhotonRunConfig,
+    quota: jnp.ndarray,  # () float32: photons still allowed to launch
+) -> Tuple[PhotonState, PhotonTallies, jnp.ndarray]:
+    """One lockstep hop-drop-spin event per lane. Returns updated
+    (state, tallies, quota)."""
+    n = state.w.shape[0]
+    num_layers = medium.num_layers
+
+    # ---- respawn dead lanes from the quota --------------------------------
+    dead = ~state.alive
+    order = jnp.cumsum(dead.astype(jnp.float32))
+    respawn = dead & (order <= quota)
+    n_respawn = jnp.sum(respawn.astype(jnp.float32))
+    r_sp = _specular_r(medium)
+    w0 = 1.0 - r_sp
+    pos = jnp.where(respawn[:, None], 0.0, state.pos)
+    direc = jnp.where(
+        respawn[:, None], jnp.asarray([0.0, 0.0, 1.0], state.dir.dtype), state.dir
+    )
+    w = jnp.where(respawn, w0, state.w)
+    layer = jnp.where(respawn, 0, state.layer)
+    tau = jnp.where(respawn, 0.0, state.tau)
+    alive = state.alive | respawn
+    quota = quota - n_respawn
+    tallies = tallies.replace(
+        specular=tallies.specular + n_respawn * r_sp,
+        launched=tallies.launched + n_respawn,
+        steps=tallies.steps + jnp.sum(alive.astype(jnp.float32)),
+    )
+
+    # ---- hop ---------------------------------------------------------------
+    mu_t = medium.mu_t[layer]
+    mu_a = medium.mu_a[layer]
+    g = medium.g[layer]
+    tau_new = jnp.where(tau > 0.0, tau, -jnp.log1p(-u[:, _U_TAU]))
+    s = tau_new / jnp.maximum(mu_t, 1e-12)
+
+    uz = direc[:, 2]
+    z = pos[:, 2]
+    zb = jnp.where(uz > 0.0, medium.z_bot[layer], medium.z_top[layer])
+    safe_uz = jnp.where(jnp.abs(uz) < 1e-12, 1.0, uz)
+    db = jnp.where(jnp.abs(uz) < 1e-12, jnp.inf, (zb - z) / safe_uz)
+    db = jnp.maximum(db, 0.0)
+    hits_boundary = alive & (db < s)
+
+    dist = jnp.minimum(s, db)
+    pos = jnp.where(alive[:, None], pos + direc * dist[:, None], pos)
+    # leftover optical depth carried across the interface (MCML sleft)
+    tau = jnp.where(hits_boundary, tau_new - db * mu_t, 0.0)
+
+    # ---- drop + spin (scatter lanes) ---------------------------------------
+    scatters = alive & ~hits_boundary
+    ir, iz = _grid_indices(pos, cfg)
+    albedo_comp = mu_a / jnp.maximum(mu_t, 1e-12)
+    dw = jnp.where(scatters, w * albedo_comp, 0.0)
+    tallies = tallies.replace(
+        absorb_rz=tallies.absorb_rz.at[ir, iz].add(dw)
+    )
+    w = w - dw
+
+    cos_hg = sampling.sample_henyey_greenstein(g, u[:, _U_HG])
+    new_dir_scatter = sampling.scatter_direction(direc, cos_hg, u[:, _U_PHI])
+
+    # roulette (after drop, MCML convention)
+    low_w = scatters & (w < cfg.weight_threshold)
+    survive = u[:, _U_RR] < cfg.rr_survive
+    w = jnp.where(low_w & survive, w / cfg.rr_survive, w)
+    alive = alive & ~(low_w & ~survive)
+
+    # ---- boundary (Fresnel) lanes ------------------------------------------
+    going_down = uz > 0.0
+    next_layer = jnp.where(going_down, layer + 1, layer - 1)
+    n1 = medium.n[layer]
+    # neighbor index via padded table [n_above, n_0..n_{L-1}, n_below]
+    n_padded = jnp.concatenate(
+        [medium.n_above[None], medium.n, medium.n_below[None]]
+    )
+    n2 = n_padded[jnp.clip(next_layer, -1, num_layers) + 1]
+    cos_i = jnp.abs(uz)
+    refl_p = sampling.fresnel_dielectric(cos_i, n1, n2)
+    do_reflect = u[:, _U_FRESNEL] < refl_p
+
+    # reflected: flip z component, stay in layer, keep leftover tau
+    dir_reflect = direc * jnp.asarray([1.0, 1.0, -1.0], direc.dtype)
+    # transmitted: Snell in the meridional plane
+    eta = n1 / n2
+    sin_t2 = eta**2 * (1.0 - cos_i**2)
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin_t2, 0.0))
+    dir_transmit = jnp.stack(
+        [
+            direc[:, 0] * eta,
+            direc[:, 1] * eta,
+            jnp.sign(uz) * cos_t,
+        ],
+        axis=-1,
+    )
+    exits = hits_boundary & ~do_reflect & (
+        (next_layer < 0) | (next_layer >= num_layers)
+    )
+    exit_top = exits & ~going_down
+    exit_bot = exits & going_down
+    w_top = jnp.where(exit_top, w, 0.0)
+    w_bot = jnp.where(exit_bot, w, 0.0)
+    tallies = tallies.replace(
+        refl_r=tallies.refl_r.at[ir].add(w_top),
+        trans_r=tallies.trans_r.at[ir].add(w_bot),
+    )
+
+    transmit_inside = hits_boundary & ~do_reflect & ~exits
+
+    # ---- merge -------------------------------------------------------------
+    new_dir = jnp.where(
+        scatters[:, None],
+        new_dir_scatter,
+        jnp.where(
+            (hits_boundary & do_reflect)[:, None],
+            dir_reflect,
+            jnp.where(hits_boundary[:, None], dir_transmit, direc),
+        ),
+    )
+    new_layer = jnp.where(transmit_inside, next_layer, layer)
+    alive = alive & ~exits
+
+    # nudge boundary-lane z off the interface to dodge f32 re-hit loops
+    z_adj = jnp.where(
+        hits_boundary & alive, pos[:, 2] + jnp.sign(new_dir[:, 2]) * 1e-7, pos[:, 2]
+    )
+    pos = pos.at[:, 2].set(z_adj)
+
+    new_state = PhotonState(
+        pos=pos, dir=new_dir, w=w, layer=new_layer, tau=tau, alive=alive
+    )
+    return new_state, tallies, quota
+
+
+def simulate_photons(
+    medium: LayeredMedium,
+    cfg: PhotonRunConfig,
+    key: jax.Array,
+    lanes: int = 16384,
+    max_supersteps: int = 100_000,
+) -> PhotonTallies:
+    """Run exactly ``cfg.n_photons`` photons to completion (unbiased: the
+    loop continues until every launched photon has exited or died)."""
+    lanes = min(lanes, cfg.n_photons)
+
+    # Inner scan length: supersteps executed per while-loop iteration.  The
+    # termination condition is only re-evaluated between rounds — crucial on
+    # remote/tunneled TPUs where every while_loop iteration costs a host
+    # round-trip.  Correctness is unaffected (dead lanes with zero quota are
+    # no-ops).
+    round_len = max(1, cfg.steps_per_batch)
+
+    @jax.jit
+    def run(key):
+        state = PhotonState.dead(lanes)
+        tallies = PhotonTallies.zeros(cfg)
+        quota = jnp.asarray(float(cfg.n_photons), jnp.float32)
+
+        def cond(carry):
+            state, _, quota, step = carry
+            return ((quota > 0) | jnp.any(state.alive)) & (step < max_supersteps)
+
+        def round_body(carry):
+            def one(carry2, step):
+                state, tallies, quota = carry2
+                u = jax.random.uniform(
+                    jax.random.fold_in(key, step), (lanes, _NUM_U),
+                    dtype=state.w.dtype,
+                )
+                state, tallies, quota = superstep(
+                    state, tallies, u, medium, cfg, quota
+                )
+                return (state, tallies, quota), None
+
+            state, tallies, quota, step = carry
+            (state, tallies, quota), _ = jax.lax.scan(
+                one, (state, tallies, quota),
+                step + jnp.arange(round_len, dtype=jnp.int32),
+            )
+            return state, tallies, quota, step + round_len
+
+        _, tallies, _, _ = jax.lax.while_loop(
+            cond, round_body, (state, tallies, quota, jnp.asarray(0, jnp.int32))
+        )
+        return tallies
+
+    return run(key)
+
+
+def run_fixed_steps(
+    medium: LayeredMedium,
+    cfg: PhotonRunConfig,
+    key: jax.Array,
+    lanes: int,
+    n_steps: int,
+):
+    """Benchmark kernel: ``n_steps`` supersteps with unconditional respawn
+    (infinite quota).  Returns the tally pytree; ``tallies.steps`` counts
+    total lane-events processed — the BASELINE throughput metric."""
+
+    def step_fn(carry, step):
+        state, tallies = carry
+        u = jax.random.uniform(
+            jax.random.fold_in(key, step), (lanes, _NUM_U), dtype=state.w.dtype
+        )
+        state, tallies, _ = superstep(
+            state, tallies, u, medium, cfg, jnp.asarray(jnp.inf, jnp.float32)
+        )
+        return (state, tallies), None
+
+    state = PhotonState.dead(lanes)
+    tallies = PhotonTallies.zeros(cfg)
+    (state, tallies), _ = jax.lax.scan(
+        step_fn, (state, tallies), jnp.arange(n_steps, dtype=jnp.int32)
+    )
+    return state, tallies

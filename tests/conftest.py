@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The axon TPU harness pre-pends its platform to jax_platforms regardless of
+# the env var; force pure-CPU so tests run on the virtual 8-device mesh.
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 
