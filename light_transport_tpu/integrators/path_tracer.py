@@ -85,9 +85,16 @@ def _bounce(
     n_lanes = state.origin.shape[0]
     eps = lm.EPSILON
 
-    hit = intersect.intersect_rays(
-        state.origin, state.direction, mesh, ray_chunk=ray_chunk
-    )
+    if scene.bvh is not None:
+        from light_transport_tpu.accel import bvh as bvh_mod
+
+        hit = bvh_mod.intersect_bvh(
+            state.origin, state.direction, mesh, scene.bvh
+        )
+    else:
+        hit = intersect.intersect_rays(
+            state.origin, state.direction, mesh, ray_chunk=ray_chunk
+        )
     hit_ok = hit.valid & state.alive
     tri = jnp.maximum(hit.tri, 0)
     hit_p = state.origin + state.direction * hit.t[:, None]
@@ -122,9 +129,16 @@ def _bounce(
     )
     shadow_o = hit_p + eps * n_s
     g_term, wi, dist = geometry_term(shadow_o, n_s, lp, ln)
-    blocked = intersect.occluded(
-        shadow_o, wi, mesh, dist * (1.0 - 1e-3), ray_chunk=ray_chunk
-    )
+    if scene.bvh is not None:
+        from light_transport_tpu.accel import bvh as bvh_mod
+
+        blocked = bvh_mod.occluded_bvh(
+            shadow_o, wi, mesh, scene.bvh, dist * (1.0 - 1e-3)
+        )
+    else:
+        blocked = intersect.occluded(
+            shadow_o, wi, mesh, dist * (1.0 - 1e-3), ray_chunk=ray_chunk
+        )
     f_diffuse = diffuse_rgb * lm.INV_PI
     # contract: src/light_samples.py:55-59 — L * f * G / pdf_area
     direct = lrad * f_diffuse * (g_term / jnp.maximum(pdf_area, 1e-30))[:, None]

@@ -94,12 +94,14 @@ def quad_triangles(a, b, c, d) -> np.ndarray:
 
 
 def concat_meshes(meshes: Sequence[TriangleMesh]) -> TriangleMesh:
+    import jax.numpy as jnp
+
     return TriangleMesh(
-        v0=np.concatenate([m.v0 for m in meshes]),
-        e1=np.concatenate([m.e1 for m in meshes]),
-        e2=np.concatenate([m.e2 for m in meshes]),
-        normal=np.concatenate([m.normal for m in meshes]),
-        centroid=np.concatenate([m.centroid for m in meshes]),
-        mat_id=np.concatenate([m.mat_id for m in meshes]),
-        is_light=np.concatenate([m.is_light for m in meshes]),
+        v0=jnp.concatenate([m.v0 for m in meshes]),
+        e1=jnp.concatenate([m.e1 for m in meshes]),
+        e2=jnp.concatenate([m.e2 for m in meshes]),
+        normal=jnp.concatenate([m.normal for m in meshes]),
+        centroid=jnp.concatenate([m.centroid for m in meshes]),
+        mat_id=jnp.concatenate([m.mat_id for m in meshes]),
+        is_light=jnp.concatenate([m.is_light for m in meshes]),
     )

@@ -28,6 +28,7 @@ class Scene:
     materials: MaterialTable
     lights: LightTable
     camera: np.ndarray  # (3,) pinhole position
+    bvh: Optional["BVH"] = None  # set by with_bvh(); None = brute force
 
     @staticmethod
     def build(mesh: TriangleMesh, materials: MaterialTable, camera,
@@ -37,4 +38,18 @@ class Scene:
             materials=materials,
             lights=LightTable.build(mesh, materials, dtype=dtype),
             camera=jnp.asarray(np.asarray(camera, dtype=dtype)),
+        )
+
+    def with_bvh(self, max_leaf: int = 4) -> "Scene":
+        """Attach a BVH (host build; reorders the mesh and rebuilds the
+        light table over the reordered triangle indices)."""
+        from light_transport_tpu.accel import bvh as bvh_mod
+
+        bvh, ordered = bvh_mod.build(self.mesh, max_leaf=max_leaf)
+        return Scene(
+            mesh=ordered,
+            materials=self.materials,
+            lights=LightTable.build(ordered, self.materials),
+            camera=self.camera,
+            bvh=bvh,
         )
