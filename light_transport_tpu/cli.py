@@ -1,0 +1,155 @@
+"""Command-line front end.
+
+The reference's front ends are a Streamlit GUI (app.py), a stale script
+entry (src/main.py), and notebooks; this CLI is the equivalent driver
+surface: render the demo scenes, run photon simulations, benchmark.
+
+    python -m light_transport_tpu.cli render --preset lts --out img.png
+    python -m light_transport_tpu.cli simulate --preset demo
+    python -m light_transport_tpu.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+
+def _add_render(sub):
+    p = sub.add_parser("render", help="render a camera image")
+    p.add_argument("--preset", default="lts", choices=["lts", "glass", "mesh"])
+    p.add_argument("--integrator", default="path",
+                   choices=["path", "whitted", "bdpt", "cv"])
+    p.add_argument("--width", type=int)
+    p.add_argument("--height", type=int)
+    p.add_argument("--spp", type=int)
+    p.add_argument("--max-depth", type=int, dest="max_depth")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sharded", action="store_true",
+                   help="shard lanes over all devices")
+    p.add_argument("--out", default="render.png")
+
+
+def _add_simulate(sub):
+    p = sub.add_parser("simulate", help="run the photon transport engine")
+    p.add_argument("--preset", default="demo",
+                   choices=["demo", "multilayer", "full_scale"])
+    p.add_argument("--photons", type=int)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sharded", action="store_true")
+    p.add_argument("--checkpoint", help="npz path for resumable runs")
+
+
+def _add_bench(sub):
+    sub.add_parser("bench", help="photon superstep throughput benchmark")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="light_transport_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    _add_render(sub)
+    _add_simulate(sub)
+    _add_bench(sub)
+    args = parser.parse_args(argv)
+
+    if args.cmd == "bench":
+        import bench  # repo-root bench.py
+
+        bench.main()
+        return 0
+
+    import jax
+    import numpy as np
+
+    from light_transport_tpu.models import presets as P
+
+    if args.cmd == "render":
+        scene, cfg = P.PRESETS[args.preset]()
+        overrides = {
+            k: getattr(args, k)
+            for k in ("width", "height", "spp", "max_depth")
+            if getattr(args, k) is not None
+        }
+        if overrides:
+            cfg = dataclasses.replace(cfg, **overrides)
+        t0 = time.time()
+        if args.integrator == "cv":
+            from light_transport_tpu.integrators.control_variates import render_cv
+
+            out = render_cv(scene, cfg, jax.random.key(args.seed))
+            img = np.asarray(out.image_cv)
+        elif args.sharded:
+            from light_transport_tpu.parallel.mesh import render_sharded
+
+            img = np.asarray(
+                render_sharded(scene, cfg, jax.random.key(args.seed))
+            )
+        else:
+            from light_transport_tpu.api import render
+
+            img = np.asarray(
+                render(scene, cfg, seed=args.seed, integrator=args.integrator)
+            )
+        dt = time.time() - t0
+        print(f"rendered {img.shape[1]}x{img.shape[0]} in {dt:.2f}s "
+              f"(integrator={args.integrator}, spp={cfg.spp}, "
+              f"depth={cfg.max_depth})")
+        _save_png(args.out, img)
+        print(f"wrote {args.out}")
+        return 0
+
+    if args.cmd == "simulate":
+        medium, cfg = P.PRESETS[args.preset]()
+        if args.photons:
+            cfg = dataclasses.replace(cfg, n_photons=args.photons)
+        t0 = time.time()
+        if args.checkpoint:
+            from light_transport_tpu.utils.checkpoint import simulate_resumable
+
+            res = simulate_resumable(medium, cfg, args.seed, args.checkpoint)
+        elif args.sharded:
+            from light_transport_tpu.parallel.mesh import simulate_sharded
+
+            res = simulate_sharded(medium, cfg, jax.random.key(args.seed))
+        else:
+            from light_transport_tpu.api import simulate
+
+            res = simulate(medium, cfg, seed=args.seed)
+        dt = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "photons": float(res.launched),
+                    "seconds": dt,
+                    "R_specular": res.specular_reflectance(),
+                    "R_diffuse": res.total_reflectance(),
+                    "A": res.total_absorption(),
+                    "T": res.total_transmittance(),
+                    "energy": res.energy_total(),
+                    "steps": float(res.steps),
+                }
+            )
+        )
+        return 0
+    return 1
+
+
+def _save_png(path, img):
+    import numpy as np
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.imsave(path, np.clip(np.asarray(img), 0, 1))
+    except Exception:
+        np.save(path + ".npy", np.asarray(img))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

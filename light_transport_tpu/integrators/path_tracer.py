@@ -95,6 +95,12 @@ def _bounce(
         hit = intersect.intersect_rays(
             state.origin, state.direction, mesh, ray_chunk=ray_chunk
         )
+    # Intersection is a discrete event (argmin over triangles / BVH walk):
+    # its derivative w.r.t. the path uniforms is zero almost everywhere, and
+    # stopping it here keeps jax.grad of the log-pdf records (the CV
+    # pipeline, integrators/control_variates.py) from trying to
+    # reverse-differentiate the traversal while_loop.
+    hit = jax.tree.map(jax.lax.stop_gradient, hit)
     hit_ok = hit.valid & state.alive
     tri = jnp.maximum(hit.tri, 0)
     hit_p = state.origin + state.direction * hit.t[:, None]

@@ -1,0 +1,129 @@
+"""Runnable presets: the five BASELINE.json configs plus the reference's
+demo scenes, each a zero-argument callable returning everything needed to
+run (the reference keeps these as notebook literals; SURVEY.md §5 calls for
+a real config system)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict
+
+import numpy as np
+
+from light_transport_tpu.core.config import (
+    MediumConfig,
+    PhotonRunConfig,
+    RenderConfig,
+)
+from light_transport_tpu.scene.cornell import cornell_box_scene
+from light_transport_tpu.scene.medium import LayeredMedium
+
+
+def demo_homogeneous():
+    """BASELINE config 1: ~1e5 photons, homogeneous absorbing/scattering
+    medium, reflectance + fluence tallies."""
+    medium = LayeredMedium.build(
+        [MediumConfig(mu_a=1.0, mu_s=9.0, g=0.0, n=1.0)]
+    )
+    cfg = PhotonRunConfig(n_photons=100_000, nr=64, nz=64, dr=0.02, dz=0.02)
+    return medium, cfg
+
+
+def hg_sweep(g_values=(0.0, 0.5, 0.9), mu_a_values=(0.1, 1.0, 10.0),
+             mu_s_values=(10.0, 90.0)):
+    """BASELINE config 2: anisotropic HG sweep in a semi-infinite medium.
+    Yields (label, medium, cfg) triples."""
+    for g in g_values:
+        for mu_a in mu_a_values:
+            for mu_s in mu_s_values:
+                medium = LayeredMedium.build(
+                    [MediumConfig(mu_a=mu_a, mu_s=mu_s, g=g, n=1.0)]
+                )
+                cfg = PhotonRunConfig(n_photons=100_000, nr=64, nz=64,
+                                      dr=0.02, dz=0.02)
+                yield f"g={g}_mua={mu_a}_mus={mu_s}", medium, cfg
+
+
+def multilayer_mismatch():
+    """BASELINE config 3: layered slab with refractive-index mismatch
+    (Fresnel/TIR at interfaces, layered fluence depth profile)."""
+    medium = LayeredMedium.build(
+        [
+            MediumConfig(mu_a=1.0, mu_s=100.0, g=0.9, n=1.4, thickness=0.1),
+            MediumConfig(mu_a=1.0, mu_s=10.0, g=0.0, n=1.0, thickness=0.1),
+            MediumConfig(mu_a=2.0, mu_s=10.0, g=0.7, n=1.37, thickness=0.2),
+        ],
+        n_above=1.0,
+        n_below=1.0,
+    )
+    cfg = PhotonRunConfig(n_photons=200_000, nr=64, nz=100, dr=0.01, dz=0.005)
+    return medium, cfg
+
+
+def mesh_scene():
+    """BASELINE config 4: triangle-mesh geometry with per-surface detectors
+    (the LTS Cornell+cone parity scene at its notebook settings)."""
+    scene, cfg = cornell_box_scene(width=150, height=150, spp=12, max_depth=4)
+    return scene.with_bvh(), cfg
+
+
+def full_scale():
+    """BASELINE config 5: 1e8 photons into a 3D fluence volume + a 512x512
+    detector image, photon batches sharded across the mesh."""
+    medium = LayeredMedium.build(
+        [MediumConfig(mu_a=0.5, mu_s=50.0, g=0.9, n=1.37)]
+    )
+    cfg = PhotonRunConfig(n_photons=100_000_000, nr=512, nz=512,
+                          dr=0.005, dz=0.005)
+    return medium, cfg
+
+
+def lts_scene(**kw):
+    """The flagship notebook scene (LTS.ipynb cells 11-18)."""
+    return cornell_box_scene(**kw)
+
+
+def glass_scene(width=100, height=100, spp=4, max_depth=3):
+    """The refraction demo: whisky glass on a floor under an area light
+    (examples/refraction.ipynb + examples/obj/glass.py)."""
+    from light_transport_tpu.scene.geometry import (
+        TriangleMesh,
+        concat_meshes,
+        quad_triangles,
+    )
+    from light_transport_tpu.scene.glass import design_glass, glass_materials
+    from light_transport_tpu.scene.material import (
+        Material,
+        MaterialTable,
+        presets,
+    )
+    from light_transport_tpu.scene.scene import Scene
+
+    floor_mat = Material(color=presets.WHITE_2)
+    source = Material(color=presets.WHITE, shininess=1, reflection=0.9,
+                      ior=1.5, emission=100.0)
+    mats = MaterialTable.build([floor_mat, source] + glass_materials())
+    glass = design_glass(mat_offset=2)
+    floor = TriangleMesh.build(
+        quad_triangles((-30, -0.5, -30), (-30, -0.5, 30), (30, -0.5, 30),
+                       (30, -0.5, -30)),
+        np.asarray([0, 0], np.int32),
+    )
+    lq = quad_triangles((-5, 30, -5), (5, 30, -5), (5, 30, 5), (-5, 30, 5))
+    lights = TriangleMesh.build(lq, np.asarray([1, 1], np.int32),
+                                np.asarray([True, True]))
+    mesh = concat_meshes([floor, lights, glass])
+    scene = Scene.build(mesh, mats, camera=[0.0, 8.0, 40.0]).with_bvh()
+    cfg = RenderConfig(width=width, height=height, spp=spp,
+                       max_depth=max_depth, f_distance=20.0)
+    return scene, cfg
+
+
+PRESETS: Dict[str, Callable] = {
+    "demo": demo_homogeneous,
+    "multilayer": multilayer_mismatch,
+    "mesh": mesh_scene,
+    "full_scale": full_scale,
+    "lts": lts_scene,
+    "glass": glass_scene,
+}

@@ -37,6 +37,7 @@ class LightTable:
     radiance: np.ndarray  # (L, 3) = emission * diffuse color of the light mat
     cdf: np.ndarray  # (L,) area-weighted pick CDF (inclusive upper edges)
     total_area: np.ndarray  # () scalar
+    mat_id: np.ndarray  # (L,) int32 material row of each light triangle
 
     @staticmethod
     def build(mesh: TriangleMesh, materials: MaterialTable, dtype=np.float32) -> "LightTable":
@@ -52,6 +53,7 @@ class LightTable:
                 radiance=z3,
                 cdf=jnp.ones((1,), dtype=dtype),
                 total_area=jnp.asarray(0.0, dtype=dtype),
+                mat_id=jnp.zeros((1,), jnp.int32),
             )
         e1 = np.asarray(mesh.e1, np.float64)[idx]
         e2 = np.asarray(mesh.e2, np.float64)[idx]
@@ -70,6 +72,7 @@ class LightTable:
             radiance=jnp.asarray(radiance.astype(dtype)),
             cdf=jnp.asarray(cdf.astype(dtype)),
             total_area=jnp.asarray(area.sum(), dtype=dtype),
+            mat_id=jnp.asarray(mat.astype(np.int32)),
         )
 
     @property

@@ -1,0 +1,105 @@
+import dataclasses
+import os
+
+import jax
+import numpy as np
+
+from light_transport_tpu.core.config import MediumConfig, PhotonRunConfig
+from light_transport_tpu.scene.medium import LayeredMedium
+from light_transport_tpu.transport.photon import simulate_photons
+from light_transport_tpu.utils.checkpoint import (
+    accumulate,
+    load_tallies,
+    save_tallies,
+    simulate_resumable,
+)
+from light_transport_tpu.utils.profiling import StepTimer, compile_and_steady
+
+
+def medium():
+    return LayeredMedium.build([MediumConfig(mu_a=1.0, mu_s=9.0, g=0.5)])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = PhotonRunConfig(n_photons=5_000, nr=16, nz=16)
+    res = simulate_photons(medium(), cfg, jax.random.key(0), lanes=1024)
+    p = str(tmp_path / "ckpt.npz")
+    save_tallies(p, res, seed=0, batches_done=3)
+    loaded, seed, batches = load_tallies(p)
+    assert seed == 0 and batches == 3
+    np.testing.assert_array_equal(
+        np.asarray(res.absorb_rz), np.asarray(loaded.absorb_rz)
+    )
+
+
+def test_resumable_matches_uninterrupted(tmp_path):
+    cfg = PhotonRunConfig(n_photons=8_000, nr=16, nz=16)
+    p1 = str(tmp_path / "a.npz")
+    full = simulate_resumable(medium(), cfg, seed=7, checkpoint_path=p1,
+                              n_batches=4, lanes=512)
+    # simulate an interruption: run 2 batches into a fresh checkpoint by
+    # truncating, then resume
+    p2 = str(tmp_path / "b.npz")
+    half = simulate_resumable(
+        medium(), dataclasses.replace(cfg, n_photons=4_000), seed=7,
+        checkpoint_path=p2, n_batches=2, lanes=512,
+    )
+    # hand-craft the checkpoint as if batches 0-1 of the 4-batch run finished
+    save_tallies(p2, half, seed=7, batches_done=2)
+    resumed = simulate_resumable(medium(), cfg, seed=7, checkpoint_path=p2,
+                                 n_batches=4, lanes=512)
+    np.testing.assert_allclose(
+        np.asarray(full.refl_r), np.asarray(resumed.refl_r), rtol=1e-6
+    )
+    assert float(resumed.launched) == cfg.n_photons
+
+
+def test_accumulate():
+    cfg = PhotonRunConfig(n_photons=2_000, nr=8, nz=8)
+    a = simulate_photons(medium(), cfg, jax.random.key(1), lanes=512)
+    b = simulate_photons(medium(), cfg, jax.random.key(2), lanes=512)
+    tot = accumulate(a, b)
+    assert float(tot.launched) == 4_000
+    np.testing.assert_allclose(
+        np.asarray(tot.absorb_rz),
+        np.asarray(a.absorb_rz) + np.asarray(b.absorb_rz),
+        rtol=1e-6,
+    )
+
+
+def test_profiling_helpers():
+    t = StepTimer()
+    for _ in range(3):
+        with t.step():
+            pass
+    assert len(t.times) == 3 and t.steps_per_sec() > 0
+
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x * 2)
+    t_compile, t_steady = compile_and_steady(f, jnp.ones(8))
+    assert t_compile > 0 and t_steady > 0
+
+
+def test_presets_importable():
+    from light_transport_tpu.models.presets import PRESETS, hg_sweep
+
+    assert set(PRESETS) >= {"demo", "multilayer", "mesh", "full_scale",
+                            "lts", "glass"}
+    sweep = list(hg_sweep(g_values=(0.5,), mu_a_values=(1.0,),
+                          mu_s_values=(10.0,)))
+    assert len(sweep) == 1
+
+
+def test_glass_geometry():
+    from light_transport_tpu.scene.glass import design_glass
+
+    mesh = design_glass(resolution=12)
+    assert mesh.num_triangles > 100
+    v = mesh.vertices()
+    assert np.isfinite(v).all()
+    # glass body spans radius up to 7, base at y in [-0.5, 0.5]
+    r = np.sqrt(v[..., 0] ** 2 + v[..., 2] ** 2)
+    np.testing.assert_allclose(r.max(), 7.0, atol=1e-6)
+    assert v[..., 1].min() >= -0.5 - 1e-6
+    assert v[..., 1].max() <= 12.5 + 1e-6

@@ -1,0 +1,51 @@
+import jax
+import numpy as np
+
+from light_transport_tpu.api import render
+from light_transport_tpu.core.config import RenderConfig
+from light_transport_tpu.scene.cornell import cornell_box_scene
+
+
+def test_whitted_render_sane():
+    scene, cfg = cornell_box_scene(width=32, height=32, spp=1, max_depth=2)
+    img = np.asarray(render(scene, cfg, integrator="whitted"))
+    assert img.shape == (32, 32, 3)
+    assert np.all(np.isfinite(img))
+    assert 0.0 <= img.min() and img.max() <= 1.0
+    assert img.mean() > 0.05  # lit scene
+    # left/right wall hue check
+    left, right = img[16, 2], img[16, -3]
+    assert left[0] > left[1]
+    assert right[1] > right[0]
+
+
+def test_whitted_deterministic():
+    scene, cfg = cornell_box_scene(width=16, height=16, spp=1, max_depth=2)
+    a = np.asarray(render(scene, cfg, integrator="whitted", seed=0))
+    b = np.asarray(render(scene, cfg, integrator="whitted", seed=1))
+    # no stochastic terms by default -> identical regardless of seed
+    np.testing.assert_array_equal(a, b)
+
+
+def test_whitted_shadowing():
+    # the cone occludes the ceiling light: the floor region below it must be
+    # no brighter than in the identical scene without the cone
+    scene_c, cfg = cornell_box_scene(width=48, height=48, spp=1, max_depth=0)
+    scene_o, _ = cornell_box_scene(width=48, height=48, spp=1, max_depth=0,
+                                   include_cone=False)
+    img_c = np.asarray(render(scene_c, cfg, integrator="whitted"))
+    img_o = np.asarray(render(scene_o, cfg, integrator="whitted"))
+    floor = (slice(40, 47), slice(18, 30))
+    assert img_c[floor].mean() < img_o[floor].mean() - 0.01
+
+
+def test_whitted_indirect_option():
+    from light_transport_tpu.integrators.whitted import render_whitted
+
+    scene, cfg = cornell_box_scene(width=12, height=12, spp=1, max_depth=1)
+    base = np.asarray(render_whitted(scene, cfg, jax.random.key(0)))
+    ind = np.asarray(
+        render_whitted(scene, cfg, jax.random.key(0), indirect_samples=2)
+    )
+    assert np.all(np.isfinite(ind))
+    assert ind.mean() >= base.mean() - 1e-6  # indirect only adds energy
