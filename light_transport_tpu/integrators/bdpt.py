@@ -1,0 +1,463 @@
+"""Bidirectional path tracing with multiple importance sampling.
+
+The reference ships BDPT as an unfinished module (src/bdpt.py — undefined
+symbols at :293,:295,:430, a Vertex constructor its callers can't use, and
+no notebook ever produced a render; SURVEY.md §0).  This module *completes*
+the capability it sketched, TPU-natively:
+
+- camera and light subpaths are random walks stored in **static-shape SoA
+  vertex arrays** ``(lanes, max_len, ...)`` with validity masks (the
+  reference's ``generate_camera_subpaths`` / ``generate_light_subpaths``,
+  src/bdpt.py:182-213,257-268, built per-ray Python lists);
+- every connection strategy (s light vertices, t camera vertices) is a
+  masked batched op over all lanes at once (``connect_paths``,
+  src/bdpt.py:369-435);
+- MIS uses the balance heuristic over forward/reverse area densities with
+  the standard remap(0->1) delta handling (``get_mis_weight``,
+  src/bdpt.py:298-359 attempted the same recursion per-ray).
+
+Scope notes (documented):
+- strategies with t=1 (light tracing splatted straight onto the film) are
+  not sampled, and correspondingly excluded from MIS denominators, so the
+  sampled strategies' weights still partition unity (unbiased);
+- subpath walks do not Russian-roulette (depth is statically bounded);
+- emitted radiance is ``emission * light diffuse color`` on both subpath
+  ends for internal consistency (the reference mixes ``emission`` scalar at
+  hits with ``emission * diffuse`` for NEE, src/path_tracing.py:60 vs
+  src/light_samples.py:55).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from light_transport_tpu.core import math as lm
+from light_transport_tpu.core import rng
+from light_transport_tpu.core.config import RenderConfig
+from light_transport_tpu.ops import intersect, sampling
+from light_transport_tpu.scene.lights import sample_light_points
+from light_transport_tpu.scene.material import BSDF_DIFFUSE, BSDF_MIRROR, BSDF_TRANSMISSIVE
+from light_transport_tpu.scene.scene import Scene
+
+INV_PI = lm.INV_PI
+
+
+class Vertices(NamedTuple):
+    """SoA subpath vertex storage (the reference's per-ray ``Vertex``
+    jitclass, src/vertex.py:9-38, flattened into (N, L, ...) arrays)."""
+
+    pos: jnp.ndarray  # (N, L, 3)
+    ns: jnp.ndarray  # (N, L, 3) shading normal, oriented against arrival
+    diffuse: jnp.ndarray  # (N, L, 3) BSDF albedo
+    beta: jnp.ndarray  # (N, L, 3) throughput up to and including this vertex
+    pdf_fwd: jnp.ndarray  # (N, L) forward area density of this vertex
+    pdf_rev: jnp.ndarray  # (N, L) reverse area density
+    valid: jnp.ndarray  # (N, L)
+    is_light: jnp.ndarray  # (N, L)
+    is_delta: jnp.ndarray  # (N, L) specular (mirror/transmissive) vertex
+    emit: jnp.ndarray  # (N, L, 3) emitted radiance if on a light
+
+
+def _hit(scene, o, d, ray_chunk):
+    if scene.bvh is not None:
+        from light_transport_tpu.accel import bvh as bvh_mod
+
+        h = bvh_mod.intersect_bvh(o, d, scene.mesh, scene.bvh)
+    else:
+        h = intersect.intersect_rays(o, d, scene.mesh, ray_chunk=ray_chunk)
+    return jax.tree.map(jax.lax.stop_gradient, h)
+
+
+def _occluded(scene, o, d, dist, ray_chunk):
+    if scene.bvh is not None:
+        from light_transport_tpu.accel import bvh as bvh_mod
+
+        return bvh_mod.occluded_bvh(o, d, scene.mesh, scene.bvh, dist)
+    return intersect.occluded(o, d, scene.mesh, dist, ray_chunk=ray_chunk)
+
+
+def _to_area(pdf_solid, from_pos, to_pos, to_ns):
+    """Solid-angle -> area density (``convert_density``,
+    src/bdpt.py:271-278)."""
+    v = to_pos - from_pos
+    d2 = jnp.maximum(lm.dot(v, v), 1e-20)
+    w = v / jnp.sqrt(d2)[..., None]
+    return pdf_solid * jnp.abs(lm.dot(to_ns, w)) / d2
+
+
+def random_walk(
+    scene: Scene,
+    origins: jnp.ndarray,  # (N, 3)
+    directions: jnp.ndarray,  # (N, 3)
+    beta0: jnp.ndarray,  # (N, 3) initial throughput
+    pdf_dir0: jnp.ndarray,  # (N,) solid-angle pdf of the initial direction
+    uniforms: jnp.ndarray,  # (N, L, >=2)
+    max_len: int,
+    ray_chunk: Optional[int],
+) -> Vertices:
+    """Shared camera/light subpath walker (reference ``random_walk``,
+    src/bdpt.py:17-147) as a statically unrolled masked loop."""
+    mesh = scene.mesh
+    mats = scene.materials
+    n = origins.shape[0]
+    eps = lm.EPSILON
+
+    fields = {
+        "pos": jnp.zeros((n, max_len, 3)),
+        "ns": jnp.zeros((n, max_len, 3)),
+        "diffuse": jnp.zeros((n, max_len, 3)),
+        "beta": jnp.zeros((n, max_len, 3)),
+        "pdf_fwd": jnp.zeros((n, max_len)),
+        "pdf_rev": jnp.zeros((n, max_len)),
+        "valid": jnp.zeros((n, max_len), bool),
+        "is_light": jnp.zeros((n, max_len), bool),
+        "is_delta": jnp.zeros((n, max_len), bool),
+        "emit": jnp.zeros((n, max_len, 3)),
+    }
+
+    o, d = origins, directions
+    beta = beta0
+    pdf_dir = pdf_dir0  # solid-angle pdf of the ray we're about to trace
+    alive = jnp.ones((n,), bool)
+    prev_pos = origins
+    prev_ns = jnp.zeros((n, 3))
+    have_prev = jnp.zeros((n,), bool)
+
+    for step in range(max_len):
+        hit = _hit(scene, o, d, ray_chunk)
+        ok = alive & hit.valid
+        tri = jnp.maximum(hit.tri, 0)
+        hp = o + d * hit.t[:, None]
+        mat_id = mesh.mat_id[tri]
+        n_geo = mesh.normal[tri]
+        inside = lm.dot(n_geo, d) > 0.0
+        ns = jnp.where(inside[:, None], -n_geo, n_geo)
+        bsdf = mats.bsdf[mat_id]
+        is_delta = (bsdf == BSDF_MIRROR) | (bsdf == BSDF_TRANSMISSIVE)
+        is_diffuse = bsdf == BSDF_DIFFUSE
+        is_light = mesh.is_light[tri] & ok
+        emit = (mats.emission[mat_id][:, None] * mats.diffuse[mat_id])
+
+        pdf_fwd = _to_area(pdf_dir, o, hp, ns)
+
+        fields["pos"] = fields["pos"].at[:, step].set(jnp.where(ok[:, None], hp, 0.0))
+        fields["ns"] = fields["ns"].at[:, step].set(jnp.where(ok[:, None], ns, 0.0))
+        fields["diffuse"] = fields["diffuse"].at[:, step].set(
+            jnp.where(ok[:, None], mats.diffuse[mat_id], 0.0)
+        )
+        fields["beta"] = fields["beta"].at[:, step].set(
+            jnp.where(ok[:, None], beta, 0.0)
+        )
+        fields["pdf_fwd"] = fields["pdf_fwd"].at[:, step].set(
+            jnp.where(ok, pdf_fwd, 0.0)
+        )
+        fields["valid"] = fields["valid"].at[:, step].set(ok)
+        fields["is_light"] = fields["is_light"].at[:, step].set(is_light)
+        fields["is_delta"] = fields["is_delta"].at[:, step].set(is_delta & ok)
+        fields["emit"] = fields["emit"].at[:, step].set(
+            jnp.where(is_light[:, None], emit, 0.0)
+        )
+
+        if step == max_len - 1:
+            break
+
+        u = uniforms[:, step]
+        # --- sample continuation (PT BSDF logic, src/path_tracing.py:68-141)
+        d_dir, d_pdf = sampling.cosine_weighted_hemisphere(ns, u[..., 0], u[..., 1])
+        m_dir = lm.reflect(d, ns)
+        ior = mats.ior[mat_id]
+        n1 = jnp.where(inside, ior, 1.0)
+        n2 = jnp.where(inside, 1.0, ior)
+        refl_p = sampling.schlick_reflectance(
+            sampling.schlick_r0(n1, n2), -lm.dot(d, ns)
+        )
+        t_dir, tir = lm.refract(d, ns, n1 / n2)
+        refract_now = (bsdf == BSDF_TRANSMISSIVE) & ~tir & (u[..., 0] > refl_p)
+        spec_dir = jnp.where(refract_now[:, None], t_dir, m_dir)
+
+        new_dir = jnp.where(is_diffuse[:, None], d_dir, spec_dir)
+        new_o = jnp.where(
+            refract_now[:, None], hp - eps * ns,
+            jnp.where(is_diffuse[:, None], hp + eps * new_dir, hp + eps * ns),
+        )
+
+        # reverse pdf of the *previous* vertex: density of re-generating it
+        # from here (diffuse |cos|/pi; delta -> 0, remapped to 1 in MIS)
+        to_prev = prev_pos - hp
+        dprev = jnp.sqrt(jnp.maximum(lm.dot(to_prev, to_prev), 1e-20))
+        w_prev = to_prev / dprev[:, None]
+        rev_solid = jnp.where(
+            is_diffuse, jnp.abs(lm.dot(ns, w_prev)) * INV_PI, 0.0
+        )
+        rev_area = rev_solid * jnp.abs(lm.dot(prev_ns, w_prev)) / (dprev * dprev)
+        if step > 0:
+            fields["pdf_rev"] = fields["pdf_rev"].at[:, step - 1].set(
+                jnp.where(ok & have_prev, rev_area, 0.0)
+            )
+
+        cos_o = jnp.abs(lm.dot(new_dir, ns))
+        pdf_ok = d_pdf > 0.0
+        scale = jnp.where(
+            is_diffuse[:, None],
+            mats.diffuse[mat_id] * INV_PI
+            * (cos_o / jnp.where(pdf_ok, d_pdf, 1.0))[:, None],
+            1.0,  # delta: f/pdf == 1 for mirror; Fresnel split below
+        )
+        beta = beta * jnp.where(ok[:, None], scale, 1.0)
+        alive = ok & (is_diffuse & pdf_ok | is_delta)
+
+        prev_pos, prev_ns, have_prev = hp, ns, ok
+        o, d = new_o, new_dir
+        pdf_dir = jnp.where(is_diffuse, d_pdf, 0.0)  # delta pdf -> 0/remap
+
+    return Vertices(**fields)
+
+
+def generate_camera_subpaths(scene, cfg, origins, directions, uniforms,
+                             ray_chunk=None):
+    """Camera-side walk (src/bdpt.py:182-213).  Camera vertex itself is
+    implicit (t=1 strategies are out of scope); pdf_fwd of the first surface
+    vertex uses a unit importance density — it only enters MIS through
+    ratios that cancel for the strategies we sample."""
+    n = origins.shape[0]
+    beta0 = jnp.ones((n, 3))
+    pdf0 = jnp.ones((n,))
+    return random_walk(scene, origins, directions, beta0, pdf0, uniforms,
+                       cfg.max_depth, ray_chunk)
+
+
+def generate_light_subpaths(scene, cfg, key, n, uniforms, ray_chunk=None):
+    """Light-side walk (src/bdpt.py:257-268 + broken ``sample_light``,
+    src/light_samples.py:89-116, done right): area-weighted light point,
+    cosine-weighted emission direction."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    u_pick = jax.random.uniform(k1, (n,))
+    u_a = jax.random.uniform(k2, (n, 2))
+    u_d = jax.random.uniform(k3, (n, 2))
+    lp, ln, lrad, pdf_pos = sample_light_points(
+        scene.lights, u_pick, u_a[:, 0], u_a[:, 1]
+    )
+    d0, pdf_dir = sampling.cosine_weighted_hemisphere(ln, u_d[:, 0], u_d[:, 1])
+    cos0 = jnp.abs(lm.dot(d0, ln))
+    safe = jnp.maximum(pdf_pos * pdf_dir, 1e-12)
+    beta0 = lrad * (cos0 / safe)[:, None]
+    o0 = lp + lm.EPSILON * d0
+    verts = random_walk(scene, o0, d0, beta0, pdf_dir, uniforms,
+                        cfg.max_depth, ray_chunk)
+    light0 = dict(pos=lp, ns=ln, emit=lrad, pdf_pos=pdf_pos)
+    return verts, light0
+
+
+def _remap(p):
+    return jnp.where(p == 0.0, 1.0, p)
+
+
+def _diffuse_pdf_area(v_ns, v_diffuse_unused, from_pos, to_pos, to_ns):
+    """Area density of a cosine-sampled diffuse bounce from ``from`` scatter
+    at vertex (pos implied by from) toward ``to``."""
+    w = to_pos - from_pos
+    d2 = jnp.maximum(lm.dot(w, w), 1e-20)
+    wn = w / jnp.sqrt(d2)[..., None]
+    pdf_solid = jnp.abs(lm.dot(v_ns, wn)) * INV_PI
+    return pdf_solid * jnp.abs(lm.dot(to_ns, wn)) / d2
+
+
+def render_bdpt(
+    scene: Scene,
+    cfg: RenderConfig,
+    key: jax.Array,
+    ray_chunk: Optional[int] = None,
+):
+    """Full BDPT render (reference ``render_scene``, src/bdpt.py:442-479)."""
+    from light_transport_tpu.integrators.path_tracer import camera_rays
+
+    n = cfg.height * cfg.width * cfg.spp
+    k_aa, k_cu, k_lu, k_ls, k_nee = jax.random.split(key, 5)
+    u_aa = jax.random.uniform(k_aa, (n, 2), dtype=scene.camera.dtype)
+    cam_u = jax.random.uniform(k_cu, (n, cfg.max_depth, 2))
+    light_u = jax.random.uniform(k_lu, (n, cfg.max_depth, 2))
+    origins, directions = camera_rays(scene, cfg, u_aa)
+
+    cam = generate_camera_subpaths(scene, cfg, origins, directions, cam_u,
+                                   ray_chunk)
+    lv, l0 = generate_light_subpaths(scene, cfg, k_ls, n, light_u, ray_chunk)
+
+    radiance = jnp.zeros((n, 3))
+    max_d = cfg.max_depth
+    total_area = jnp.maximum(scene.lights.total_area, 1e-12)
+    pdf_area_light = 1.0 / total_area
+
+    def cam_side_mis(j, pt_rev, ptm_rev):
+        """Sum of ri over camera-side alternative strategies (t' from j+1
+        surface vertices down to 1, i.e. PBRT t'>=2).  ``pt_rev``/``ptm_rev``
+        override pdf_rev at cam[j], cam[j-1]."""
+        ri = jnp.ones((n,))
+        total = jnp.zeros((n,))
+        for i in range(j, 0, -1):
+            rev = pt_rev if i == j else (ptm_rev if i == j - 1 else cam.pdf_rev[:, i])
+            ri = ri * _remap(rev) / _remap(cam.pdf_fwd[:, i])
+            not_delta = ~cam.is_delta[:, i] & ~cam.is_delta[:, i - 1]
+            total = total + jnp.where(not_delta & cam.valid[:, i], ri, 0.0)
+        return total
+
+    def light_side_mis(end, qs_rev, qsm_rev):
+        """Sum of ri over light-side alternative strategies.
+
+        ``end`` is the PBRT light index of the junction vertex (index 0 =
+        the origin point on the light, index k>=1 = walk vertex k-1); the
+        sampled strategy has s = end+1 light vertices, and the loop
+        enumerates s' = end .. 0.  ``qs_rev``/``qsm_rev`` override pdf_rev at
+        indices ``end`` and ``end-1``.
+        """
+        ri = jnp.ones((n,))
+        total = jnp.zeros((n,))
+        for k in range(end, -1, -1):
+            if k == end:
+                rev = qs_rev
+            elif k == end - 1:
+                rev = qsm_rev
+            elif k == 0:
+                # rev density of the light origin: walk vertex 0 scattering
+                # back toward it (diffuse |cos|/pi; delta -> 0/remap)
+                diff0 = ~lv.is_delta[:, 0]
+                rev = jnp.where(
+                    diff0,
+                    _diffuse_pdf_area(lv.ns[:, 0], None, lv.pos[:, 0],
+                                      l0["pos"], l0["ns"]),
+                    0.0,
+                )
+            else:
+                rev = lv.pdf_rev[:, k - 1]
+            fwd = (
+                jnp.full((n,), pdf_area_light)
+                if k == 0 else lv.pdf_fwd[:, k - 1]
+            )
+            ri = ri * _remap(rev) / _remap(fwd)
+            d_k = jnp.zeros((n,), bool) if k == 0 else lv.is_delta[:, k - 1]
+            d_km = jnp.zeros((n,), bool) if k <= 1 else lv.is_delta[:, k - 2]
+            total = total + jnp.where(~d_k & ~d_km, ri, 0.0)
+        return total
+
+    # ---- s = 0: camera path hits the light ---------------------------------
+    for j in range(max_d):
+        hit_light = cam.valid[:, j] & cam.is_light[:, j]
+        contrib = cam.beta[:, j] * cam.emit[:, j]
+        # MIS: alternatives are s'>=1 strategies for the same path.
+        # pt (= cam[j]) rev density: light origin pdf (area) = 1/A
+        # ptMinus rev density: light emission pdf toward cam[j-1]
+        if j == 0:
+            w = jnp.ones((n,))  # only strategy for a directly seen light
+        else:
+            ptm_rev = _diffuse_pdf_area(
+                cam.ns[:, j], None, cam.pos[:, j], cam.pos[:, j - 1],
+                cam.ns[:, j - 1],
+            )  # cosine emission: same |cos|/pi shape
+            denom_cam = cam_side_mis(j, pdf_area_light, ptm_rev)
+            w = 1.0 / (1.0 + denom_cam)
+        radiance = radiance + jnp.where(
+            hit_light[:, None], contrib * w[:, None], 0.0
+        )
+
+    # ---- s = 1: connect camera vertex to a fresh light sample --------------
+    ul = jax.random.uniform(k_nee, (n, max_d, 3))
+    for j in range(max_d):
+        if 1 + (j + 1) > max_d + 1:
+            break
+        ok = cam.valid[:, j] & ~cam.is_delta[:, j]
+        lp, ln, lrad, pdf_pos = sample_light_points(
+            scene.lights, ul[:, j, 0], ul[:, j, 1], ul[:, j, 2]
+        )
+        cp = cam.pos[:, j]
+        cns = cam.ns[:, j]
+        to_l = lp - cp
+        d2 = jnp.maximum(lm.dot(to_l, to_l), 1e-20)
+        dist = jnp.sqrt(d2)
+        wi = to_l / dist[:, None]
+        cos_c = lm.dot(cns, wi)
+        cos_l = lm.dot(ln, -wi)
+        g = jnp.abs(cos_c * cos_l) / d2
+        f_cam = cam.diffuse[:, j] * INV_PI
+        contrib = cam.beta[:, j] * f_cam * lrad * (g / pdf_pos)[:, None]
+        blocked = _occluded(scene, cp + lm.EPSILON * cns, wi,
+                            dist * (1 - 1e-3), ray_chunk)
+        ok = ok & ~blocked & (jnp.abs(cos_l) > 1e-7)
+
+        # MIS
+        # qs (sampled light vertex) rev: density of cam[j] scattering toward
+        # the light point, area measure at the light
+        qs_rev = _diffuse_pdf_area(cns, None, cp, lp, ln)
+        # pt (= cam[j]) rev: light emitting toward it
+        pt_rev = _diffuse_pdf_area(ln, None, lp, cp, cns)
+        # ptMinus rev: cam[j] scattering backward given incoming from light
+        if j > 0:
+            ptm_rev = _diffuse_pdf_area(cns, None, cp, cam.pos[:, j - 1],
+                                        cam.ns[:, j - 1])
+        else:
+            ptm_rev = jnp.zeros((n,))
+        denom_cam = cam_side_mis(j, pt_rev, ptm_rev)
+        # light side: single vertex (s'=0 alternative): ri = remap(qs_rev)/
+        # remap(pdf_pos); term counted (light not delta)
+        ri_l = _remap(qs_rev) / _remap(pdf_pos)
+        denom_light = ri_l
+        w = 1.0 / (1.0 + denom_cam + denom_light)
+        radiance = radiance + jnp.where(
+            ok[:, None], contrib * w[:, None], 0.0
+        )
+
+    # ---- s >= 2: connect camera vertex j with light vertex i ---------------
+    for i in range(max_d):  # light walk vertex index (s = i + 2 incl. origin)
+        for j in range(max_d):
+            # total surface-vertex count (i+1 light walk + j+1 camera walk)
+            # capped at max_depth, matching the path tracer's deepest
+            # NEE-covered transport path
+            if (i + 1) + (j + 1) > max_d:
+                continue
+            ok = (
+                cam.valid[:, j] & ~cam.is_delta[:, j]
+                & lv.valid[:, i] & ~lv.is_delta[:, i]
+            )
+            cp, cns = cam.pos[:, j], cam.ns[:, j]
+            lp_, lns = lv.pos[:, i], lv.ns[:, i]
+            to_l = lp_ - cp
+            d2 = jnp.maximum(lm.dot(to_l, to_l), 1e-20)
+            dist = jnp.sqrt(d2)
+            wi = to_l / dist[:, None]
+            g = jnp.abs(lm.dot(cns, wi) * lm.dot(lns, -wi)) / d2
+            f_cam = cam.diffuse[:, j] * INV_PI
+            f_light = lv.diffuse[:, i] * INV_PI
+            contrib = (
+                cam.beta[:, j] * f_cam * f_light * lv.beta[:, i]
+                * g[:, None]
+            )
+            blocked = _occluded(scene, cp + lm.EPSILON * cns, wi,
+                                dist * (1 - 1e-3), ray_chunk)
+            ok = ok & ~blocked
+
+            # junction rev densities
+            pt_rev = _diffuse_pdf_area(lns, None, lp_, cp, cns)
+            qs_rev = _diffuse_pdf_area(cns, None, cp, lp_, lns)
+            if j > 0:
+                ptm_rev = _diffuse_pdf_area(cns, None, cp, cam.pos[:, j - 1],
+                                            cam.ns[:, j - 1])
+            else:
+                ptm_rev = jnp.zeros((n,))
+            if i > 0:
+                qsm_pos, qsm_ns = lv.pos[:, i - 1], lv.ns[:, i - 1]
+            else:
+                qsm_pos, qsm_ns = l0["pos"], l0["ns"]
+            qsm_rev = _diffuse_pdf_area(lns, None, lp_, qsm_pos, qsm_ns)
+
+            denom_cam = cam_side_mis(j, pt_rev, ptm_rev)
+            denom_light = light_side_mis(i + 1, qs_rev, qsm_rev)
+            w = 1.0 / (1.0 + denom_cam + denom_light)
+            radiance = radiance + jnp.where(
+                ok[:, None], contrib * w[:, None], 0.0
+            )
+
+    samples = jnp.moveaxis(
+        radiance.reshape(cfg.spp, cfg.height, cfg.width, 3), 0, 2
+    )
+    return jnp.clip(jnp.mean(samples, axis=2), 0.0, 1.0)

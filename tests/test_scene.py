@@ -16,12 +16,14 @@ from light_transport_tpu.scene.material import MaterialTable, presets, Material
 def test_cornell_box_geometry():
     dim = 7.5
     verts, kind = cornell_box_triangles(dim)
-    assert verts.shape == (20, 3, 3)
+    # 8 quads (right, left, back, bottom + 4 top panels; front face open —
+    # the camera looks in through it, src/cornell_box.py has no front wall)
+    assert verts.shape == (16, 3, 3)
     # all vertices within the box
     assert np.abs(verts).max() <= dim + 1e-9
-    # wall areas: 4 full walls of (2 dim)^2 plus top panels covering
-    # (2 dim)^2 - 2x2 cutout
-    mesh = TriangleMesh.build(verts, np.zeros(20, np.int32))
+    # areas: right+left+back+bottom = 4 walls of (2 dim)^2, plus top panels
+    # covering (2 dim)^2 minus the 2x2 light cutout
+    mesh = TriangleMesh.build(verts, np.zeros(16, np.int32))
     total = mesh.area().sum()
     expected = 4 * (2 * dim) ** 2 + ((2 * dim) ** 2 - 4.0)
     np.testing.assert_allclose(total, expected, rtol=1e-6)
