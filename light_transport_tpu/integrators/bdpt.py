@@ -265,6 +265,10 @@ def _diffuse_pdf_area(v_ns, v_diffuse_unused, from_pos, to_pos, to_ns):
     return pdf_solid * jnp.abs(lm.dot(to_ns, wn)) / d2
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(1, 3))
 def render_bdpt(
     scene: Scene,
     cfg: RenderConfig,

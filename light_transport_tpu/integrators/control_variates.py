@@ -148,6 +148,10 @@ def cv_correct(samples: jnp.ndarray, control: jnp.ndarray,
     return jax.vmap(per_pixel)(samples, control)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(1, 3))
 def render_cv(
     scene: Scene,
     cfg: RenderConfig,

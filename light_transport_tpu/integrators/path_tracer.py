@@ -290,6 +290,10 @@ def camera_rays(scene: Scene, cfg: RenderConfig, u_aa: jnp.ndarray):
     return origin, direction
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(1, 3, 4))
 def render_image(
     scene: Scene,
     cfg: RenderConfig,
@@ -299,7 +303,10 @@ def render_image(
 ):
     """Render the scene: returns ``image (H, W, 3)`` clipped to [0, 1]
     (reference: np.clip at src/path_tracing.py:305), and optionally the raw
-    per-sample radiances ``(H, W, spp, 3)``."""
+    per-sample radiances ``(H, W, spp, 3)``.
+
+    jitted end-to-end (cfg static) — one device dispatch per render.
+    """
     n = cfg.height * cfg.width * cfg.spp
     k_aa, k_u = jax.random.split(key)
     u_aa = jax.random.uniform(k_aa, (n, 2), dtype=scene.camera.dtype)

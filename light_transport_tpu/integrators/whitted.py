@@ -145,6 +145,10 @@ def trace_whitted(
     return color
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(1, 3, 4))
 def render_whitted(
     scene: Scene,
     cfg: RenderConfig,

@@ -1,0 +1,61 @@
+"""Pallas photon-engine parity tests.
+
+These run only on a real TPU: the CPU interpreter stubs the hardware PRNG
+(pltpu.prng_random_bits yields constants), so the kernel can't produce
+meaningful physics off-chip.  The CI suite runs on the virtual CPU mesh and
+skips them; the driver's TPU bench exercises the kernel every round, and
+this file can be run manually with JAX_PLATFORMS unset.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from light_transport_tpu.core.config import MediumConfig, PhotonRunConfig
+from light_transport_tpu.scene.medium import LayeredMedium
+from light_transport_tpu.tally.stats import binomial_stderr, mc_parity_3sigma
+
+tpu_only = pytest.mark.skipif(
+    jax.devices()[0].platform not in ("tpu", "axon"),
+    reason="hardware PRNG requires a real TPU",
+)
+
+
+@tpu_only
+def test_pallas_van_de_hulst():
+    from light_transport_tpu.ops.pallas.photon_kernel import (
+        LANES, ROWS, simulate_pallas,
+    )
+
+    m = LayeredMedium.build([MediumConfig(mu_a=1.0, mu_s=9.0, g=0.0, n=1.0)])
+    n = 200_000
+    cfg = PhotonRunConfig(n_photons=n, nr=64, nz=64, dr=0.05, dz=0.05)
+    tl = simulate_pallas(m, cfg, seed=3, lanes=ROWS * LANES * 4)
+    assert float(tl.launched) == n
+    se = binomial_stderr(0.41550, n)
+    assert mc_parity_3sigma(tl.total_reflectance(), 0.41550, se,
+                            abs_floor=1e-3)
+    assert abs(tl.energy_total() - 1.0) < 5e-3
+
+
+@tpu_only
+def test_pallas_matches_xla_engine():
+    from light_transport_tpu.api import simulate
+    from light_transport_tpu.ops.pallas.photon_kernel import (
+        LANES, ROWS, simulate_pallas,
+    )
+
+    m = LayeredMedium.build(
+        [MediumConfig(mu_a=10.0, mu_s=90.0, g=0.75, n=1.5, thickness=0.02)],
+        n_above=1.0,
+    )
+    n = 100_000
+    cfg = PhotonRunConfig(n_photons=n, nr=32, nz=32, dr=0.004, dz=0.001)
+    t_pallas = simulate_pallas(m, cfg, seed=1, lanes=ROWS * LANES * 2)
+    t_xla = simulate(m, cfg, seed=2)
+    for name in ("total_reflectance", "total_transmittance",
+                 "total_absorption"):
+        a = getattr(t_pallas, name)()
+        b = getattr(t_xla, name)()
+        se = binomial_stderr(max(a, b), n) * np.sqrt(2)
+        assert mc_parity_3sigma(a, b, se, abs_floor=2e-3), (name, a, b)
