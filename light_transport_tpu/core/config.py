@@ -79,6 +79,10 @@ class PhotonRunConfig:
     nz: int = 64
     dr: float = 0.01
     dz: float = 0.01
+    # optional cartesian exit-detector image above the surface (BASELINE
+    # config 5's "512x512 detector image"); 0 disables it
+    detector_nx: int = 0
+    detector_extent: float = 1.0  # half-extent in cm
     seed: int = 0
 
 

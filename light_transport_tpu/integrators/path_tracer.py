@@ -70,6 +70,26 @@ class TraceRecord(NamedTuple):
     log_pdf: jnp.ndarray  # (N, depth) log of BSDF pdf at diffuse bounces
     alive: jnp.ndarray  # (N, depth) lane alive at bounce b
     direct: jnp.ndarray  # (N, depth, 3) NEE contribution at bounce b
+    tri: jnp.ndarray  # (N, depth) int32 triangle hit at bounce b (-1 miss)
+    incident: jnp.ndarray  # (N, depth) luminance of throughput at arrival
+
+
+def surface_detector_tally(record: TraceRecord, num_triangles: int):
+    """Per-surface detectors (BASELINE config 4): accumulate incident path
+    power (throughput luminance at arrival) per triangle.
+
+    Returns ``(energy (T,), hits (T,))`` — scatter-add over the whole
+    trace record.
+    """
+    tri = record.tri.reshape(-1)
+    ok = tri >= 0
+    idx = jnp.maximum(tri, 0)
+    w = jnp.where(ok, record.incident.reshape(-1), 0.0)
+    energy = jnp.zeros((num_triangles,), w.dtype).at[idx].add(w)
+    hits = jnp.zeros((num_triangles,), jnp.int32).at[idx].add(
+        ok.astype(jnp.int32)
+    )
+    return energy, hits
 
 
 def _bounce(
@@ -220,7 +240,13 @@ def _bounce(
         radiance=radiance,
         alive=alive,
     )
-    per_bounce = (log_pdf, hit_ok & state.alive, direct_contrib)
+    per_bounce = (
+        log_pdf,
+        hit_ok & state.alive,
+        direct_contrib,
+        jnp.where(hit_ok, hit.tri, -1),
+        jnp.where(hit_ok, lm.luminance(state.throughput), 0.0),
+    )
     return new_state, per_bounce
 
 
@@ -258,6 +284,8 @@ def trace_paths(
         log_pdf=jnp.moveaxis(recs[0], 0, 1),
         alive=jnp.moveaxis(recs[1], 0, 1),
         direct=jnp.moveaxis(recs[2], 0, 1),
+        tri=jnp.moveaxis(recs[3], 0, 1),
+        incident=jnp.moveaxis(recs[4], 0, 1),
     )
     return final.radiance, record
 
@@ -321,3 +349,51 @@ def render_image(
     if return_samples:
         return image, samples
     return image
+
+
+@partial(jax.jit, static_argnums=(1, 3))
+def render_with_detectors(
+    scene: Scene,
+    cfg: RenderConfig,
+    key: jax.Array,
+    ray_chunk: Optional[int] = None,
+):
+    """Render + per-surface detectors (BASELINE config 4): returns
+    ``(image, energy (T,), hits (T,))`` where energy/hits accumulate the
+    incident path power / hit count on every triangle."""
+    n = cfg.height * cfg.width * cfg.spp
+    k_aa, k_u = jax.random.split(key)
+    u_aa = jax.random.uniform(k_aa, (n, 2), dtype=scene.camera.dtype)
+    uniforms = rng.path_uniforms(k_u, n, cfg.max_depth, dtype=scene.camera.dtype)
+    origins, directions = camera_rays(scene, cfg, u_aa)
+    radiance, record = trace_paths(
+        scene, cfg, origins, directions, uniforms, ray_chunk=ray_chunk
+    )
+    energy, hits = surface_detector_tally(record, scene.mesh.num_triangles)
+    samples = jnp.moveaxis(
+        radiance.reshape(cfg.spp, cfg.height, cfg.width, 3), 0, 2
+    )
+    image = jnp.clip(jnp.mean(samples, axis=2), 0.0, 1.0)
+    return image, energy, hits
+
+
+def render_progressive(
+    scene: Scene,
+    cfg: RenderConfig,
+    key: jax.Array,
+    n_passes: int = 4,
+    ray_chunk: Optional[int] = None,
+):
+    """Progressive refinement: average ``n_passes`` independent renders.
+
+    The TPU-native form of the reference's cross-invocation accumulation
+    ``image += 0.25 * clip(color)`` (src/path_tracing_fix1.py:166) — each
+    pass uses a folded key, so re-running with more passes only adds
+    samples.  Returns the running average image.
+    """
+    acc = None
+    for p in range(n_passes):
+        img = render_image(scene, cfg, jax.random.fold_in(key, p),
+                           ray_chunk=ray_chunk)
+        acc = img if acc is None else acc + img
+    return acc / n_passes

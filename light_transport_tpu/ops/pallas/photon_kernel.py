@@ -98,6 +98,7 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
         launched = jnp.zeros((), jnp.float32)
         spec = jnp.zeros((), jnp.float32)
         steps = jnp.zeros((), jnp.float32)
+        absorbed = jnp.zeros((), jnp.float32)
         quota = quota_ref[pid, 0]  # per-tile launch budget (f32)
 
         x, y, z = px[:], py[:], pz[:]
@@ -180,6 +181,7 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             scat = alive & ~hits_b
             dw = jnp.where(scat, w * mu_a_l / jnp.maximum(mu_t_l, 1e-12), 0.0)
             w = w - dw
+            absorbed += jnp.sum(dw)
 
             g_safe = jnp.where(jnp.abs(g_l) < 1e-3, 1.0, g_l)
             frac = (1.0 - g_l * g_l) / (1.0 - g_l + 2.0 * g_l * u_hg)
@@ -273,6 +275,7 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
         counters_ref[pid, 1] = spec
         counters_ref[pid, 2] = steps
         counters_ref[pid, 3] = quota
+        counters_ref[pid, 4] = absorbed
 
     return kernel
 
@@ -284,6 +287,11 @@ class PallasPhotonEngine:
                  lanes: int, bench_mode: bool = True,
                  k_steps: int = K_STEPS):
         assert lanes % (ROWS * LANES) == 0, (lanes, ROWS * LANES)
+        # the cartesian exit detector is only implemented in the XLA engine
+        # (transport/photon.py); use simulate_photons for detector images
+        assert cfg.detector_nx == 0, (
+            "detector_xy is not supported by the Pallas engine"
+        )
         self.cfg = cfg
         self.lanes = lanes
         self.n_tiles = lanes // (ROWS * LANES)
@@ -330,7 +338,7 @@ class PallasPhotonEngine:
             + [
                 jax.ShapeDtypeStruct((self.k_steps, n_rows, LANES), jnp.int32),
                 jax.ShapeDtypeStruct((self.k_steps, n_rows, LANES), f32),
-                jax.ShapeDtypeStruct((self.n_tiles, 4), f32),
+                jax.ShapeDtypeStruct((self.n_tiles, 5), f32),
             ]
         )
         in_specs = (
@@ -373,6 +381,7 @@ class PallasPhotonEngine:
             launched=tallies.launched + counters[:, 0].sum(),
             specular=tallies.specular + counters[:, 1].sum(),
             steps=tallies.steps + counters[:, 2].sum(),
+            absorbed=tallies.absorbed + counters[:, 4].sum(),
         )
 
 

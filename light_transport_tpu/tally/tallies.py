@@ -30,9 +30,17 @@ class PhotonTallies:
     specular: jnp.ndarray  # () specular reflectance weight at launch
     launched: jnp.ndarray  # () photons launched
     steps: jnp.ndarray  # () photon scatter/boundary events processed
+    # cartesian exit-detector image over the top surface (BASELINE config 5);
+    # (nx, nx), or (1, 1) when disabled
+    detector_xy: jnp.ndarray
+    # exact scalar absorbed-weight accumulator: the (r,z) grid loses tiny
+    # dw increments to f32 swamping in hot cells (adding ~1e-6 to ~1e3),
+    # so energy accounting uses this batched-sum scalar instead
+    absorbed: jnp.ndarray  # ()
 
     @staticmethod
     def zeros(cfg: PhotonRunConfig, dtype=jnp.float32) -> "PhotonTallies":
+        nx = max(cfg.detector_nx, 1)
         return PhotonTallies(
             refl_r=jnp.zeros((cfg.nr,), dtype),
             trans_r=jnp.zeros((cfg.nr,), dtype),
@@ -40,6 +48,8 @@ class PhotonTallies:
             specular=jnp.zeros((), dtype),
             launched=jnp.zeros((), dtype),
             steps=jnp.zeros((), dtype),
+            detector_xy=jnp.zeros((nx, nx), dtype),
+            absorbed=jnp.zeros((), dtype),
         )
 
     # --- normalized views (host-side convenience) ---------------------------
@@ -52,6 +62,11 @@ class PhotonTallies:
         return float(self.trans_r.sum() / jnp.maximum(self.launched, 1.0))
 
     def total_absorption(self) -> float:
+        return float(self.absorbed / jnp.maximum(self.launched, 1.0))
+
+    def total_absorption_grid(self) -> float:
+        """Grid-summed absorption (subject to f32 swamping in hot cells;
+        kept for cross-checking the spatial tally)."""
         return float(self.absorb_rz.sum() / jnp.maximum(self.launched, 1.0))
 
     def specular_reflectance(self) -> float:

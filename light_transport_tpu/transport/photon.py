@@ -131,7 +131,8 @@ def superstep(
     albedo_comp = mu_a / jnp.maximum(mu_t, 1e-12)
     dw = jnp.where(scatters, w * albedo_comp, 0.0)
     tallies = tallies.replace(
-        absorb_rz=tallies.absorb_rz.at[ir, iz].add(dw)
+        absorb_rz=tallies.absorb_rz.at[ir, iz].add(dw),
+        absorbed=tallies.absorbed + jnp.sum(dw),
     )
     w = w - dw
 
@@ -182,6 +183,16 @@ def superstep(
         refl_r=tallies.refl_r.at[ir].add(w_top),
         trans_r=tallies.trans_r.at[ir].add(w_bot),
     )
+    if cfg.detector_nx > 0:
+        # cartesian exit-detector image over the top surface (config 5)
+        nx = cfg.detector_nx
+        half = cfg.detector_extent
+        scale = nx / (2.0 * half)
+        ix = jnp.clip(((pos[:, 0] + half) * scale).astype(jnp.int32), 0, nx - 1)
+        iy = jnp.clip(((pos[:, 1] + half) * scale).astype(jnp.int32), 0, nx - 1)
+        tallies = tallies.replace(
+            detector_xy=tallies.detector_xy.at[ix, iy].add(w_top)
+        )
 
     transmit_inside = hits_boundary & ~do_reflect & ~exits
 
