@@ -23,14 +23,14 @@ replacement for the host build on large meshes.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from light_transport_tpu.ops.intersect import Hit, _mt_tile, T_EPS
+from light_transport_tpu.ops.intersect import Hit, T_EPS
 from light_transport_tpu.scene.geometry import TriangleMesh
 
 N_BUCKETS = 12

@@ -35,7 +35,6 @@ import jax
 import jax.numpy as jnp
 
 from light_transport_tpu.core import math as lm
-from light_transport_tpu.core import rng
 from light_transport_tpu.core.config import RenderConfig
 from light_transport_tpu.ops import intersect, sampling
 from light_transport_tpu.scene.lights import sample_light_points

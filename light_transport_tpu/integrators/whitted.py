@@ -164,7 +164,6 @@ def render_whitted(
     """
     from light_transport_tpu.integrators.path_tracer import camera_rays
 
-    pix_cfg = cfg
     n = cfg.height * cfg.width
     # one ray per pixel: reuse camera_rays with spp folded to 1, no jitter
     import dataclasses

@@ -5,7 +5,6 @@ a real config system)."""
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, Dict
 
 import numpy as np

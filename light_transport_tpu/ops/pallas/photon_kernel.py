@@ -22,7 +22,6 @@ Used by the benchmark and by ``simulate_pallas`` (per-tile launch quotas).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax >= 0.7 exposes shard_map at top level
     from jax import shard_map
@@ -36,6 +36,27 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = BATCH) -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
+
+
+def init_multihost(coordinator: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> Mesh:
+    """Initialize multi-host execution and return the global mesh.
+
+    On managed TPU pods ``jax.distributed.initialize()`` discovers the
+    topology from the environment; the explicit arguments cover manual
+    clusters.  The returned mesh spans all hosts — the same ``batch``-axis
+    sharding code then scales over DCN with no further changes.
+    """
+    if coordinator is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    else:
+        jax.distributed.initialize()
+    return make_mesh()
 
 
 def simulate_sharded(

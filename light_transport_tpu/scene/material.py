@@ -11,7 +11,7 @@ branchless select on an integer BSDF code.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 from light_transport_tpu.scene.geometry import TriangleMesh
-from light_transport_tpu.scene.material import Material, presets
+from light_transport_tpu.scene.material import Material
 
 
 def parse_obj(path: str) -> np.ndarray:
