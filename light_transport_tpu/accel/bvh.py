@@ -57,6 +57,12 @@ class BVH:
     axis: jnp.ndarray  # (M,) int32 split axis (interior)
     skip: jnp.ndarray  # (M,) int32 rope: next DFS node outside this subtree
     # (M = sentinel "done"); enables the stackless lockstep traversal
+    # packed per-node records so the traversal loop gathers one row per
+    # table instead of 6-8 scattered columns (TPU gathers are the hot cost):
+    packed_f: jnp.ndarray  # (M, 8) f32 [min xyz, max xyz, pad, pad]
+    packed_i: jnp.ndarray  # (M, 4) i32 [first, count, skip, pad]
+    tri_packed: jnp.ndarray  # (T, 16) f32 [v0, e1, e2, pad...] of the
+    # reordered mesh — single-row gather per leaf-prim test
     max_leaf: int = struct.field(pytree_node=False, default=4)
 
     @property
@@ -168,8 +174,10 @@ def _build_host(verts: np.ndarray, centroid: np.ndarray, max_leaf: int):
 def build(mesh: TriangleMesh, max_leaf: int = 4,
           use_native: bool = True) -> Tuple[BVH, TriangleMesh]:
     """Build a BVH for ``mesh``; returns (bvh, reordered mesh)."""
+    from light_transport_tpu.core.hostio import host_get
+
     verts = mesh.vertices()
-    centroid = np.asarray(mesh.centroid, np.float64)
+    centroid = host_get(mesh.centroid).astype(np.float64)
     built = None
     if use_native:
         try:
@@ -183,16 +191,30 @@ def build(mesh: TriangleMesh, max_leaf: int = 4,
     nmin, nmax, nright, nfirst, ncount, naxis, order = built
 
     reordered = TriangleMesh(
-        v0=jnp.asarray(np.asarray(mesh.v0)[order]),
-        e1=jnp.asarray(np.asarray(mesh.e1)[order]),
-        e2=jnp.asarray(np.asarray(mesh.e2)[order]),
-        normal=jnp.asarray(np.asarray(mesh.normal)[order]),
-        centroid=jnp.asarray(np.asarray(mesh.centroid)[order]),
-        mat_id=jnp.asarray(np.asarray(mesh.mat_id)[order]),
-        is_light=jnp.asarray(np.asarray(mesh.is_light)[order]),
+        v0=jnp.asarray(host_get(mesh.v0)[order]),
+        e1=jnp.asarray(host_get(mesh.e1)[order]),
+        e2=jnp.asarray(host_get(mesh.e2)[order]),
+        normal=jnp.asarray(host_get(mesh.normal)[order]),
+        centroid=jnp.asarray(host_get(mesh.centroid)[order]),
+        mat_id=jnp.asarray(host_get(mesh.mat_id)[order]),
+        is_light=jnp.asarray(host_get(mesh.is_light)[order]),
     )
     # inflate bounds a hair for f32 slab-test robustness
     eps = 1e-5 * np.maximum(1.0, np.abs(nmax - nmin).max())
+    skip = _compute_skip(nright, ncount)
+    m = len(ncount)
+    packed_f = np.zeros((m, 8), np.float32)
+    packed_f[:, 0:3] = nmin - eps
+    packed_f[:, 3:6] = nmax + eps
+    packed_i = np.zeros((m, 4), np.int32)
+    packed_i[:, 0] = nfirst
+    packed_i[:, 1] = ncount
+    packed_i[:, 2] = skip
+    t_count = reordered.v0.shape[0]
+    tri_packed = np.zeros((t_count, 16), np.float32)
+    tri_packed[:, 0:3] = host_get(reordered.v0)
+    tri_packed[:, 3:6] = host_get(reordered.e1)
+    tri_packed[:, 6:9] = host_get(reordered.e2)
     bvh = BVH(
         bounds_min=jnp.asarray((nmin - eps).astype(np.float32)),
         bounds_max=jnp.asarray((nmax + eps).astype(np.float32)),
@@ -200,7 +222,10 @@ def build(mesh: TriangleMesh, max_leaf: int = 4,
         first=jnp.asarray(nfirst),
         count=jnp.asarray(ncount),
         axis=jnp.asarray(naxis),
-        skip=jnp.asarray(_compute_skip(nright, ncount)),
+        skip=jnp.asarray(skip),
+        packed_f=jnp.asarray(packed_f),
+        packed_i=jnp.asarray(packed_i),
+        tri_packed=jnp.asarray(tri_packed),
         max_leaf=max_leaf,
     )
     return bvh, reordered
@@ -240,14 +265,19 @@ def _slab(o, inv_d, bmin, bmax, t_min, t_max):
 
 
 def _leaf_test(o, d, mesh, first, count, max_leaf, t_min, t_max,
-               best_t, best_tri):
+               best_t, best_tri, tri_packed=None):
     """Test up to max_leaf prims per lane (masked), update best hit."""
+    n_tris = mesh.v0.shape[0]
     for k in range(max_leaf):
-        pi = jnp.clip(first + k, 0, mesh.v0.shape[0] - 1)
+        pi = jnp.clip(first + k, 0, n_tris - 1)
         active = k < count
-        v0 = mesh.v0[pi]
-        e1 = mesh.e1[pi]
-        e2 = mesh.e2[pi]
+        if tri_packed is not None:
+            rec = tri_packed[pi]  # one 16-wide row gather
+            v0, e1, e2 = rec[:, 0:3], rec[:, 3:6], rec[:, 6:9]
+        else:
+            v0 = mesh.v0[pi]
+            e1 = mesh.e1[pi]
+            e2 = mesh.e2[pi]
         t, valid = _mt_single(o, d, v0, e1, e2, t_min, jnp.minimum(t_max, best_t))
         take = active & valid & (t < best_t)
         best_t = jnp.where(take, t, best_t)
@@ -316,23 +346,28 @@ def intersect_bvh(
         active = cursor < m
         node = jnp.where(active, cursor, 0)
 
+        # one row gather per table (8 f32 + 4 i32 per node) — far cheaper on
+        # TPU than six separate scattered column gathers
+        rec_f = bvh.packed_f[node]  # (n, 8)
+        rec_i = bvh.packed_i[node]  # (n, 4)
         hit_box = _slab(
-            origins, inv_d, bvh.bounds_min[node], bvh.bounds_max[node],
-            t_min, best_t,
+            origins, inv_d, rec_f[:, 0:3], rec_f[:, 3:6], t_min, best_t
         ) & active
-        count = bvh.count[node]
+        first = rec_i[:, 0]
+        count = rec_i[:, 1]
+        skip = rec_i[:, 2]
         is_leaf = (count > 0) & hit_box
-        first = bvh.first[node]
         lt, ltri = _leaf_test(
             origins, directions, mesh,
             jnp.where(is_leaf, first, 0), jnp.where(is_leaf, count, 0),
             max_leaf, t_min, best_t, best_t, best_tri,
+            tri_packed=bvh.tri_packed,
         )
         best_t = jnp.where(is_leaf, lt, best_t)
         best_tri = jnp.where(is_leaf, ltri, best_tri)
 
         descend = hit_box & (count == 0)
-        nxt = jnp.where(descend, node + 1, bvh.skip[node])
+        nxt = jnp.where(descend, node + 1, skip)
         if any_hit:
             nxt = jnp.where(best_tri >= 0, m, nxt)
         cursor = jnp.where(active, nxt, cursor)

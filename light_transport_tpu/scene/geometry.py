@@ -71,15 +71,19 @@ class TriangleMesh:
 
     def vertices(self) -> np.ndarray:
         """Recover the (T, 3, 3) vertex array (host-side use: BVH build, IO)."""
-        v0 = np.asarray(self.v0, dtype=np.float64)
-        return np.stack(
-            [v0, v0 + np.asarray(self.e1, np.float64), v0 + np.asarray(self.e2, np.float64)],
-            axis=1,
-        )
+        from light_transport_tpu.core.hostio import host_get
+
+        v0 = host_get(self.v0).astype(np.float64)
+        e1 = host_get(self.e1).astype(np.float64)
+        e2 = host_get(self.e2).astype(np.float64)
+        return np.stack([v0, v0 + e1, v0 + e2], axis=1)
 
     def area(self) -> np.ndarray:
         """Per-triangle area = |e1 x e2| / 2."""
-        n = np.cross(np.asarray(self.e1, np.float64), np.asarray(self.e2, np.float64))
+        from light_transport_tpu.core.hostio import host_get
+
+        n = np.cross(host_get(self.e1).astype(np.float64),
+                     host_get(self.e2).astype(np.float64))
         return 0.5 * np.linalg.norm(n, axis=-1)
 
 

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from light_transport_tpu.core import math as lm
+from light_transport_tpu.core.hostio import host_get
 from light_transport_tpu.scene.geometry import TriangleMesh
 from light_transport_tpu.scene.material import MaterialTable
 
@@ -41,7 +42,7 @@ class LightTable:
 
     @staticmethod
     def build(mesh: TriangleMesh, materials: MaterialTable, dtype=np.float32) -> "LightTable":
-        is_light = np.asarray(mesh.is_light)
+        is_light = host_get(mesh.is_light)
         idx = np.nonzero(is_light)[0]
         if idx.size == 0:
             # Degenerate 1-row table with zero radiance so shapes stay static.
@@ -55,19 +56,19 @@ class LightTable:
                 total_area=jnp.asarray(0.0, dtype=dtype),
                 mat_id=jnp.zeros((1,), jnp.int32),
             )
-        e1 = np.asarray(mesh.e1, np.float64)[idx]
-        e2 = np.asarray(mesh.e2, np.float64)[idx]
+        e1 = host_get(mesh.e1).astype(np.float64)[idx]
+        e2 = host_get(mesh.e2).astype(np.float64)[idx]
         area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
-        mat = np.asarray(mesh.mat_id)[idx]
-        emission = np.asarray(materials.emission, np.float64)[mat]
-        diffuse = np.asarray(materials.diffuse, np.float64)[mat]
+        mat = host_get(mesh.mat_id)[idx]
+        emission = host_get(materials.emission).astype(np.float64)[mat]
+        diffuse = host_get(materials.diffuse).astype(np.float64)[mat]
         radiance = emission[:, None] * diffuse
         cdf = np.cumsum(area) / area.sum()
         return LightTable(
-            v0=jnp.asarray(np.asarray(mesh.v0)[idx].astype(dtype)),
+            v0=jnp.asarray(host_get(mesh.v0)[idx].astype(dtype)),
             e1=jnp.asarray(e1.astype(dtype)),
             e2=jnp.asarray(e2.astype(dtype)),
-            normal=jnp.asarray(np.asarray(mesh.normal)[idx].astype(dtype)),
+            normal=jnp.asarray(host_get(mesh.normal)[idx].astype(dtype)),
             area=jnp.asarray(area.astype(dtype)),
             radiance=jnp.asarray(radiance.astype(dtype)),
             cdf=jnp.asarray(cdf.astype(dtype)),
