@@ -73,7 +73,8 @@ def full_scale():
         [MediumConfig(mu_a=0.5, mu_s=50.0, g=0.9, n=1.37)]
     )
     cfg = PhotonRunConfig(n_photons=100_000_000, nr=512, nz=512,
-                          dr=0.005, dz=0.005)
+                          dr=0.005, dz=0.005,
+                          detector_nx=512, detector_extent=1.28)
     return medium, cfg
 
 

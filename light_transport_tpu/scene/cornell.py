@@ -93,6 +93,35 @@ def cone_triangles(radius=2.0, height=5.0, center=(0.0, 0.0, 0.0),
     return np.asarray(tris, dtype=np.float64)
 
 
+def sphere_triangles(center=(0.0, 0.0, 0.0), radius=1.0, n_theta=16,
+                     n_phi=32):
+    """UV-sphere triangulation.
+
+    Scene-level counterpart of the reference's ``Sphere`` primitive
+    (src/primitives.py:41-52) — the analytic ray-sphere test lives in
+    ops/intersect.sphere_intersect; meshes keep the render path uniform.
+    """
+    center = np.asarray(center, np.float64)
+    th = np.linspace(0.0, np.pi, n_theta + 1)
+    ph = np.linspace(0.0, 2 * np.pi, n_phi, endpoint=False)
+    pts = np.zeros((n_theta + 1, n_phi, 3))
+    pts[..., 0] = np.sin(th)[:, None] * np.cos(ph)[None, :]
+    pts[..., 1] = np.cos(th)[:, None] * np.ones_like(ph)[None, :]
+    pts[..., 2] = np.sin(th)[:, None] * np.sin(ph)[None, :]
+    pts = center + radius * pts
+    tris = []
+    for i in range(n_theta):
+        for j in range(n_phi):
+            j2 = (j + 1) % n_phi
+            a, b = pts[i, j], pts[i, j2]
+            c, d = pts[i + 1, j2], pts[i + 1, j]
+            if i > 0:  # skip degenerate pole quads' zero-area half
+                tris.append([a, b, c])
+            if i < n_theta - 1:
+                tris.append([a, c, d])
+    return np.asarray(tris, dtype=np.float64)
+
+
 def floor_triangles(x_dim, y_dim, z_dim):
     """Reference ``get_floor`` (src/cornell_box.py:195-222)."""
     a = (-x_dim, -y_dim, -z_dim)
