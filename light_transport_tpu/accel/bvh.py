@@ -63,6 +63,11 @@ class BVH:
     packed_i: jnp.ndarray  # (M, 4) i32 [first, count, skip, pad]
     tri_packed: jnp.ndarray  # (T, 16) f32 [v0, e1, e2, pad...] of the
     # reordered mesh — single-row gather per leaf-prim test
+    # fully fused per-iteration records (2 gathers per traversal step):
+    node_rec: jnp.ndarray  # (M, 16) f32 [min3, max3, first:i32, count:i32,
+    # skip:i32 (bitcast), pad...]
+    leaf_rec: jnp.ndarray  # (M, 8 + 9*max_leaf) f32: per-node copy of its
+    # leaf triangles [v0,e1,e2]*max_leaf (zeros for interior nodes)
     max_leaf: int = struct.field(pytree_node=False, default=4)
 
     @property
@@ -105,8 +110,19 @@ def _build_host(verts: np.ndarray, centroid: np.ndarray, max_leaf: int):
         c_lo, c_hi = c.min(axis=0), c.max(axis=0)
         extent = c_hi - c_lo
         ax = int(np.argmax(extent))
-        if n <= max_leaf or extent[ax] <= 1e-12:
+        if n <= max_leaf:
             nfirst[node], ncount[node] = start, n
+            return node
+        if extent[ax] <= 1e-12:
+            # degenerate centroid cluster: median-split by position so no
+            # leaf ever exceeds max_leaf (oversized leaves would overflow
+            # the traversal's unrolled leaf tests)
+            order[start:end] = idx[np.argsort(c[:, ax], kind="stable")]
+            mid = start + n // 2
+            naxis[node] = ax
+            build(start, mid)
+            nright[node] = build(mid, end)
+            ncount[node] = 0
             return node
 
         rel = (c[:, ax] - c_lo[ax]) / extent[ax]
@@ -215,6 +231,22 @@ def build(mesh: TriangleMesh, max_leaf: int = 4,
     tri_packed[:, 0:3] = host_get(reordered.v0)
     tri_packed[:, 3:6] = host_get(reordered.e1)
     tri_packed[:, 6:9] = host_get(reordered.e2)
+
+    # fused records: one 16-wide node row (ints bitcast into f32 lanes) and
+    # one leaf row holding all of a leaf's triangles
+    node_rec = np.zeros((m, 16), np.float32)
+    node_rec[:, 0:3] = packed_f[:, 0:3]
+    node_rec[:, 3:6] = packed_f[:, 3:6]
+    node_rec[:, 6:9] = packed_i[:, 0:3].view(np.float32)
+    width = 9 * max_leaf
+    pad_w = int(np.ceil((width) / 8.0) * 8)
+    leaf_rec = np.zeros((m, pad_w), np.float32)
+    is_leaf_node = ncount > 0
+    for k in range(max_leaf):
+        pi = np.clip(nfirst + k, 0, t_count - 1)
+        valid = is_leaf_node & (k < ncount)
+        block = tri_packed[pi, 0:9]
+        leaf_rec[:, 9 * k: 9 * k + 9] = np.where(valid[:, None], block, 0.0)
     bvh = BVH(
         bounds_min=jnp.asarray((nmin - eps).astype(np.float32)),
         bounds_max=jnp.asarray((nmax + eps).astype(np.float32)),
@@ -226,6 +258,8 @@ def build(mesh: TriangleMesh, max_leaf: int = 4,
         packed_f=jnp.asarray(packed_f),
         packed_i=jnp.asarray(packed_i),
         tri_packed=jnp.asarray(tri_packed),
+        node_rec=jnp.asarray(node_rec),
+        leaf_rec=jnp.asarray(leaf_rec),
         max_leaf=max_leaf,
     )
     return bvh, reordered
@@ -333,49 +367,89 @@ def intersect_bvh(
                             jnp.where(directions < 0, -1e-20, 1e-20),
                             directions)
 
+    def make_walk(o, d, inv, tmin):
+        """Roped-walk while_loop body over this lane set (closure)."""
+
+        def body(carry):
+            cursor, best_t, best_tri = carry
+            active = cursor < m
+            node = jnp.where(active, cursor, 0)
+
+            # exactly two row gathers per iteration: the fused 16-wide node
+            # record (bounds + bitcast int fields) and the leaf record
+            # holding all of the node's triangles
+            rec = bvh.node_rec[node]
+            hit_box = _slab(
+                o, inv, rec[:, 0:3], rec[:, 3:6], tmin, best_t
+            ) & active
+            ints = jax.lax.bitcast_convert_type(rec[:, 6:9], jnp.int32)
+            first, count, skip = ints[:, 0], ints[:, 1], ints[:, 2]
+            is_leaf = (count > 0) & hit_box
+
+            def leaf_pass(args):
+                best_t, best_tri = args
+                leaf = bvh.leaf_rec[jnp.where(is_leaf, node, 0)]
+                for k in range(max_leaf):
+                    blk = leaf[:, 9 * k: 9 * k + 9]
+                    t, valid = _mt_single(
+                        o, d, blk[:, 0:3], blk[:, 3:6], blk[:, 6:9],
+                        tmin, best_t,
+                    )
+                    take = is_leaf & (k < count) & valid & (t < best_t)
+                    best_t = jnp.where(take, t, best_t)
+                    best_tri = jnp.where(take, first + k, best_tri)
+                return best_t, best_tri
+
+            # many tail iterations touch no leaf at all — skip the wide
+            # leaf-record gather entirely on those iterations
+            best_t, best_tri = jax.lax.cond(
+                jnp.any(is_leaf), leaf_pass, lambda a: a, (best_t, best_tri)
+            )
+
+            nxt = jnp.where(hit_box & (count == 0), node + 1, skip)
+            if any_hit:
+                nxt = jnp.where(best_tri >= 0, m, nxt)
+            cursor = jnp.where(active, nxt, cursor)
+            return cursor, best_t, best_tri
+
+        return body
+
+    # Multi-phase lockstep walk with tail compaction: the visit distribution
+    # is heavy-tailed (median lanes finish in a few steps, the worst lane
+    # takes hundreds) and every lockstep iteration pays full-width gathers —
+    # so once the live fraction drops below 1/8, gather the survivors into
+    # an 8x narrower problem and continue (and again at 1/64).
     cursor = jnp.zeros((n,), jnp.int32)
     best_t = t_max
     best_tri = jnp.full((n,), -1, jnp.int32)
 
-    def cond(carry):
-        cursor, _, _ = carry
-        return jnp.any(cursor < m)
-
-    def body(carry):
-        cursor, best_t, best_tri = carry
-        active = cursor < m
-        node = jnp.where(active, cursor, 0)
-
-        # one row gather per table (8 f32 + 4 i32 per node) — far cheaper on
-        # TPU than six separate scattered column gathers
-        rec_f = bvh.packed_f[node]  # (n, 8)
-        rec_i = bvh.packed_i[node]  # (n, 4)
-        hit_box = _slab(
-            origins, inv_d, rec_f[:, 0:3], rec_f[:, 3:6], t_min, best_t
-        ) & active
-        first = rec_i[:, 0]
-        count = rec_i[:, 1]
-        skip = rec_i[:, 2]
-        is_leaf = (count > 0) & hit_box
-        lt, ltri = _leaf_test(
-            origins, directions, mesh,
-            jnp.where(is_leaf, first, 0), jnp.where(is_leaf, count, 0),
-            max_leaf, t_min, best_t, best_t, best_tri,
-            tri_packed=bvh.tri_packed,
+    state = (cursor, best_t, best_tri)
+    o_c, d_c, inv_c, tmin_c = origins, directions, inv_d, t_min
+    body_c = make_walk(o_c, d_c, inv_c, tmin_c)
+    frames = []  # (sub indices, parent-width state) for scatter-back
+    for w in (n // 2, n // 8, n // 32):
+        if w < 128:
+            break
+        state = jax.lax.while_loop(
+            lambda c, w=w: jnp.sum((c[0] < m).astype(jnp.int32)) > w,
+            body_c, state,
         )
-        best_t = jnp.where(is_leaf, lt, best_t)
-        best_tri = jnp.where(is_leaf, ltri, best_tri)
+        sub = jnp.argsort(state[0] >= m)[:w]  # live lanes first
+        frames.append((sub, state))
+        o_c, d_c = o_c[sub], d_c[sub]
+        inv_c, tmin_c = inv_c[sub], tmin_c[sub]
+        state = (state[0][sub], state[1][sub], state[2][sub])
+        body_c = make_walk(o_c, d_c, inv_c, tmin_c)
+    # drain the narrowest phase, then scatter results back out
+    state = jax.lax.while_loop(lambda c: jnp.any(c[0] < m), body_c, state)
+    for sub, parent in reversed(frames):
+        state = (
+            parent[0],
+            parent[1].at[sub].set(state[1]),
+            parent[2].at[sub].set(state[2]),
+        )
+    _, best_t, best_tri = state
 
-        descend = hit_box & (count == 0)
-        nxt = jnp.where(descend, node + 1, skip)
-        if any_hit:
-            nxt = jnp.where(best_tri >= 0, m, nxt)
-        cursor = jnp.where(active, nxt, cursor)
-        return cursor, best_t, best_tri
-
-    _, best_t, best_tri = jax.lax.while_loop(
-        cond, body, (cursor, best_t, best_tri)
-    )
     valid = best_tri >= 0
     return Hit(
         t=jnp.where(valid, best_t, jnp.inf),

@@ -85,9 +85,23 @@ struct Builder {
     if (extent.y > extent[ax]) ax = 1;
     if (extent.z > extent[ax]) ax = 2;
 
-    if (n <= max_leaf || extent[ax] <= 1e-12) {
+    if (n <= max_leaf) {
       nfirst[node] = static_cast<int32_t>(start);
       ncount[node] = static_cast<int32_t>(n);
+      return node;
+    }
+    if (extent[ax] <= 1e-12) {
+      // degenerate centroid cluster: median-split so no leaf exceeds
+      // max_leaf (the traversal unrolls exactly max_leaf prim tests)
+      std::nth_element(order + start, order + start + n / 2, order + end,
+                       [&](int64_t a, int64_t b2) {
+                         return centroid[a][ax] < centroid[b2][ax];
+                       });
+      const int64_t mid = start + n / 2;
+      naxis[node] = ax;
+      build(start, mid);
+      nright[node] = build(mid, end);
+      ncount[node] = 0;
       return node;
     }
 
