@@ -88,9 +88,13 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             out = jnp.where(layer == l, vals[l], out)
         return out
 
+    nx_det = cfg.detector_nx
+    det_half = cfg.detector_extent
+    det_scale = (nx_det / (2.0 * det_half)) if nx_det > 0 else 0.0
+
     def kernel(seed_ref, quota_ref, px, py, pz, dx, dy, dz, w_ref, tau_ref,
                layer_ref, opx, opy, opz, odx, ody, odz, ow, otau, olayer,
-               bins_ref, vals_ref, counters_ref):
+               bins_ref, vals_ref, det_bins_ref, det_vals_ref, counters_ref):
         pid = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + pid * 7919)
 
@@ -256,6 +260,16 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             val = jnp.where(scat, dw, jnp.where(exits, w, 0.0))
             bins_ref[step] = jnp.where(val > 0, flat, 0)
             vals_ref[step] = val
+            if nx_det > 0:
+                ix = jnp.clip(((x + det_half) * det_scale).astype(jnp.int32),
+                              0, nx_det - 1)
+                iy = jnp.clip(((y + det_half) * det_scale).astype(jnp.int32),
+                              0, nx_det - 1)
+                det_bins_ref[step] = jnp.where(exit_top, ix * nx_det + iy, 0)
+                det_vals_ref[step] = jnp.where(exit_top, w, 0.0)
+            else:
+                det_bins_ref[step] = jnp.zeros_like(flat)
+                det_vals_ref[step] = jnp.zeros_like(val)
             w = jnp.where(exits, 0.0, w)  # lane dies on exit
 
             # nudge off the interface
@@ -286,11 +300,6 @@ class PallasPhotonEngine:
                  lanes: int, bench_mode: bool = True,
                  k_steps: int = K_STEPS):
         assert lanes % (ROWS * LANES) == 0, (lanes, ROWS * LANES)
-        # the cartesian exit detector is only implemented in the XLA engine
-        # (transport/photon.py); use simulate_photons for detector images
-        assert cfg.detector_nx == 0, (
-            "detector_xy is not supported by the Pallas engine"
-        )
         self.cfg = cfg
         self.lanes = lanes
         self.n_tiles = lanes // (ROWS * LANES)
@@ -313,7 +322,8 @@ class PallasPhotonEngine:
 
     @functools.partial(jax.jit, static_argnums=0)
     def run_block(self, state, seed, quota_per_tile):
-        """K_STEPS supersteps. Returns (state, bins, vals, counters)."""
+        """k_steps supersteps. Returns (state, events, counters) where
+        events = (bins, vals, det_bins, det_vals) streams."""
         n_rows = self.n_tiles * ROWS
         px, py, pz, dx, dy, dz, w, tau, layer = state
         row_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
@@ -327,6 +337,10 @@ class PallasPhotonEngine:
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((self.k_steps, ROWS, LANES), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((self.k_steps, ROWS, LANES), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((self.k_steps, ROWS, LANES), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ]
         )
@@ -335,6 +349,8 @@ class PallasPhotonEngine:
             [jax.ShapeDtypeStruct((n_rows, LANES), f32)] * 8
             + [jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32)]
             + [
+                jax.ShapeDtypeStruct((self.k_steps, n_rows, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((self.k_steps, n_rows, LANES), f32),
                 jax.ShapeDtypeStruct((self.k_steps, n_rows, LANES), jnp.int32),
                 jax.ShapeDtypeStruct((self.k_steps, n_rows, LANES), f32),
                 jax.ShapeDtypeStruct((self.n_tiles, 5), f32),
@@ -365,12 +381,22 @@ class PallasPhotonEngine:
             px, py, pz, dx, dy, dz, w, tau, layer,
         )
         new_state = outs[:9]
-        bins, vals, counters = outs[9], outs[10], outs[11]
-        return new_state, bins, vals, counters
+        bins, vals = outs[9], outs[10]
+        det_bins, det_vals = outs[11], outs[12]
+        counters = outs[13]
+        return new_state, (bins, vals, det_bins, det_vals), counters
 
-    def accumulate(self, tallies: PhotonTallies, bins, vals, counters):
+    def accumulate(self, tallies: PhotonTallies, events, counters):
+        bins, vals, det_bins, det_vals = events
         flat = jnp.zeros((self.total_bins,), jnp.float32)
         flat = flat.at[bins.reshape(-1)].add(vals.reshape(-1))
+        if self.cfg.detector_nx > 0:
+            nx = self.cfg.detector_nx
+            det = jnp.zeros((nx * nx,), jnp.float32)
+            det = det.at[det_bins.reshape(-1)].add(det_vals.reshape(-1))
+            tallies = tallies.replace(
+                detector_xy=tallies.detector_xy + det.reshape(nx, nx)
+            )
         nrnz = self.cfg.nr * self.cfg.nz
         return tallies.replace(
             absorb_rz=tallies.absorb_rz + flat[:nrnz].reshape(
@@ -397,10 +423,10 @@ def bench_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
 
         def body(carry, b):
             state, tallies = carry
-            state, bins, vals, counters = eng.run_block(
+            state, events, counters = eng.run_block(
                 state, seed0 + b * 65537, jnp.inf
             )
-            tallies = eng.accumulate(tallies, bins, vals, counters)
+            tallies = eng.accumulate(tallies, events, counters)
             return (state, tallies), None
 
         (state, tallies), _ = jax.lax.scan(
@@ -434,8 +460,8 @@ def simulate_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
 
     @jax.jit
     def block(state, tallies, quota, seed0):
-        state, bins, vals, counters = eng.run_block(state, seed0, quota)
-        tallies = eng.accumulate(tallies, bins, vals, counters)
+        state, events, counters = eng.run_block(state, seed0, quota)
+        tallies = eng.accumulate(tallies, events, counters)
         quota = counters[:, 3:4]
         alive = jnp.any(state[6] > 0.0)
         more = jnp.any(quota > 0) | alive
