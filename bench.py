@@ -87,7 +87,11 @@ def bench_xla_engine():
 def main():
     try:
         best = bench_pallas_engine()
-    except Exception:
+    except Exception as e:
+        import sys
+
+        print(f"pallas bench failed ({type(e).__name__}); falling back "
+              f"to the XLA engine", file=sys.stderr)
         best = bench_xla_engine()
 
     print(

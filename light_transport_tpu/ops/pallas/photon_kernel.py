@@ -267,9 +267,10 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
                               0, nx_det - 1)
                 det_bins_ref[step] = jnp.where(exit_top, ix * nx_det + iy, 0)
                 det_vals_ref[step] = jnp.where(exit_top, w, 0.0)
-            else:
-                det_bins_ref[step] = jnp.zeros_like(flat)
-                det_vals_ref[step] = jnp.zeros_like(val)
+            elif step == 0:
+                # detector disabled: the streams are 1-step placeholders
+                det_bins_ref[0] = jnp.zeros_like(flat)
+                det_vals_ref[0] = jnp.zeros_like(val)
             w = jnp.where(exits, 0.0, w)  # lane dies on exit
 
             # nudge off the interface
@@ -328,6 +329,7 @@ class PallasPhotonEngine:
         px, py, pz, dx, dy, dz, w, tau, layer = state
         row_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
+        det_steps = self.k_steps if self.cfg.detector_nx > 0 else 1
         out_specs = (
             [row_spec] * 8
             + [pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
@@ -337,9 +339,9 @@ class PallasPhotonEngine:
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((self.k_steps, ROWS, LANES), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((self.k_steps, ROWS, LANES), lambda i: (0, i, 0),
+                pl.BlockSpec((det_steps, ROWS, LANES), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((self.k_steps, ROWS, LANES), lambda i: (0, i, 0),
+                pl.BlockSpec((det_steps, ROWS, LANES), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ]
@@ -351,8 +353,8 @@ class PallasPhotonEngine:
             + [
                 jax.ShapeDtypeStruct((self.k_steps, n_rows, LANES), jnp.int32),
                 jax.ShapeDtypeStruct((self.k_steps, n_rows, LANES), f32),
-                jax.ShapeDtypeStruct((self.k_steps, n_rows, LANES), jnp.int32),
-                jax.ShapeDtypeStruct((self.k_steps, n_rows, LANES), f32),
+                jax.ShapeDtypeStruct((det_steps, n_rows, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((det_steps, n_rows, LANES), f32),
                 jax.ShapeDtypeStruct((self.n_tiles, 5), f32),
             ]
         )
