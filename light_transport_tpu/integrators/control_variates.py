@@ -148,6 +148,71 @@ def cv_correct(samples: jnp.ndarray, control: jnp.ndarray,
     return jax.vmap(per_pixel)(samples, control)
 
 
+class PixelDive(NamedTuple):
+    """Deep-dive telemetry for hand-picked pixels (the reference's extra
+    500-sample pass at 4 chosen pixels, src/path_tracing.py:310-364)."""
+
+    samples: jnp.ndarray  # (P, S, 3) radiance samples
+    log_pdf: jnp.ndarray  # (P, S, max_depth)
+    grad_log_pdf: jnp.ndarray  # (P, S, 2*max_depth)
+    corrected: jnp.ndarray  # (P, S, 3) CV-corrected samples
+    pixel_plain: jnp.ndarray  # (P, 3) plain means
+    pixel_cv: jnp.ndarray  # (P, 3) CV-corrected means
+
+
+def cv_pixel_dive(
+    scene: Scene,
+    cfg: RenderConfig,
+    key: jax.Array,
+    pixels,  # sequence of (row, col) pixel coordinates
+    n_samples: int = 500,
+    mode: str = "exact",
+) -> PixelDive:
+    """Draw ``n_samples`` fresh paths through each selected pixel with full
+    CV telemetry — the reference's "choose some pixels and draw more
+    samples" pass, vectorized over (pixels x samples) lanes."""
+    import numpy as np
+
+    pix = np.asarray(pixels, np.int32).reshape(-1, 2)
+    p = pix.shape[0]
+    n = p * n_samples
+    left, right, top, bottom = cfg.screen_bounds
+    xs = np.linspace(left, right, cfg.width)
+    ys = np.linspace(top, bottom, cfg.height)
+    px = jnp.asarray(np.repeat(xs[pix[:, 1]], n_samples),
+                     scene.camera.dtype)
+    py = jnp.asarray(np.repeat(ys[pix[:, 0]], n_samples),
+                     scene.camera.dtype)
+
+    k_aa, k_u = jax.random.split(key)
+    u_aa = jax.random.uniform(k_aa, (n, 2), dtype=scene.camera.dtype)
+    pixel = jnp.stack(
+        [px + u_aa[:, 0] / cfg.width, py + u_aa[:, 1] / cfg.height,
+         jnp.full((n,), cfg.f_distance, scene.camera.dtype)],
+        axis=-1,
+    )
+    origins = jnp.broadcast_to(scene.camera, pixel.shape)
+    from light_transport_tpu.core import math as lm
+
+    directions = lm.normalize(pixel - origins)
+    uniforms = rng.path_uniforms(k_u, n, cfg.max_depth,
+                                 dtype=scene.camera.dtype)
+    grad_fn = grad_log_pdf_exact if mode == "exact" else grad_log_pdf_fd
+    radiance, log_pdf, g = grad_fn(scene, cfg, origins, directions, uniforms)
+
+    samples = radiance.reshape(p, n_samples, 3)
+    control = -0.5 * g.reshape(p, n_samples, -1)
+    corrected, _ = cv_correct(samples, control)
+    return PixelDive(
+        samples=samples,
+        log_pdf=log_pdf.reshape(p, n_samples, -1),
+        grad_log_pdf=g.reshape(p, n_samples, -1),
+        corrected=corrected,
+        pixel_plain=samples.mean(axis=1),
+        pixel_cv=corrected.mean(axis=1),
+    )
+
+
 from functools import partial
 
 

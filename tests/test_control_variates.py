@@ -104,3 +104,20 @@ def test_render_cv_end_to_end():
 
     assert image_mae(out.image_plain, out.image_cv) < 0.15
     assert out.grad_log_pdf.shape == (10, 10, 16, 6)
+
+
+def test_cv_pixel_dive():
+    from light_transport_tpu.integrators.control_variates import cv_pixel_dive
+
+    scene, cfg = cornell_box_scene(width=20, height=20, spp=4, max_depth=3)
+    # the reference's idiom: hand-picked pixels, many more samples
+    dive = cv_pixel_dive(scene, cfg, jax.random.key(4),
+                         pixels=[(5, 10), (15, 3)], n_samples=64)
+    assert dive.samples.shape == (2, 64, 3)
+    assert dive.grad_log_pdf.shape == (2, 64, 6)
+    assert np.all(np.isfinite(np.asarray(dive.pixel_cv)))
+    # CV-corrected per-pixel variance should not exceed the plain variance
+    # (by much) on average
+    v_plain = np.asarray(dive.samples).var(axis=1).mean()
+    v_cv = np.asarray(dive.corrected).var(axis=1).mean()
+    assert v_cv <= v_plain * 1.2, (v_plain, v_cv)
