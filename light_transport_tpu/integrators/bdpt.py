@@ -61,21 +61,15 @@ class Vertices(NamedTuple):
 
 
 def _hit(scene, o, d, ray_chunk):
-    if scene.bvh is not None:
-        from light_transport_tpu.accel import bvh as bvh_mod
+    from light_transport_tpu.ops.dispatch import scene_intersect
 
-        h = bvh_mod.intersect_bvh(o, d, scene.mesh, scene.bvh)
-    else:
-        h = intersect.intersect_rays(o, d, scene.mesh, ray_chunk=ray_chunk)
-    return jax.tree.map(jax.lax.stop_gradient, h)
+    return scene_intersect(scene, o, d, ray_chunk=ray_chunk)
 
 
 def _occluded(scene, o, d, dist, ray_chunk):
-    if scene.bvh is not None:
-        from light_transport_tpu.accel import bvh as bvh_mod
+    from light_transport_tpu.ops.dispatch import scene_occluded
 
-        return bvh_mod.occluded_bvh(o, d, scene.mesh, scene.bvh, dist)
-    return intersect.occluded(o, d, scene.mesh, dist, ray_chunk=ray_chunk)
+    return scene_occluded(scene, o, d, dist, ray_chunk=ray_chunk)
 
 
 def _to_area(pdf_solid, from_pos, to_pos, to_ns):

@@ -105,22 +105,15 @@ def _bounce(
     n_lanes = state.origin.shape[0]
     eps = lm.EPSILON
 
-    if scene.bvh is not None:
-        from light_transport_tpu.accel import bvh as bvh_mod
+    # Backend chosen per scene size/platform (ops/dispatch.py); gradients
+    # are stopped at the hit — intersection is a discrete event whose
+    # derivative w.r.t. the path uniforms is zero almost everywhere, and
+    # stopping it keeps jax.grad of the log-pdf records (the CV pipeline)
+    # from reverse-differentiating traversal while_loops.
+    from light_transport_tpu.ops.dispatch import scene_intersect
 
-        hit = bvh_mod.intersect_bvh(
-            state.origin, state.direction, mesh, scene.bvh
-        )
-    else:
-        hit = intersect.intersect_rays(
-            state.origin, state.direction, mesh, ray_chunk=ray_chunk
-        )
-    # Intersection is a discrete event (argmin over triangles / BVH walk):
-    # its derivative w.r.t. the path uniforms is zero almost everywhere, and
-    # stopping it here keeps jax.grad of the log-pdf records (the CV
-    # pipeline, integrators/control_variates.py) from trying to
-    # reverse-differentiate the traversal while_loop.
-    hit = jax.tree.map(jax.lax.stop_gradient, hit)
+    hit = scene_intersect(scene, state.origin, state.direction,
+                          ray_chunk=ray_chunk)
     hit_ok = hit.valid & state.alive
     tri = jnp.maximum(hit.tri, 0)
     hit_p = state.origin + state.direction * hit.t[:, None]
@@ -155,16 +148,10 @@ def _bounce(
     )
     shadow_o = hit_p + eps * n_s
     g_term, wi, dist = geometry_term(shadow_o, n_s, lp, ln)
-    if scene.bvh is not None:
-        from light_transport_tpu.accel import bvh as bvh_mod
+    from light_transport_tpu.ops.dispatch import scene_occluded
 
-        blocked = bvh_mod.occluded_bvh(
-            shadow_o, wi, mesh, scene.bvh, dist * (1.0 - 1e-3)
-        )
-    else:
-        blocked = intersect.occluded(
-            shadow_o, wi, mesh, dist * (1.0 - 1e-3), ray_chunk=ray_chunk
-        )
+    blocked = scene_occluded(scene, shadow_o, wi, dist * (1.0 - 1e-3),
+                             ray_chunk=ray_chunk)
     f_diffuse = diffuse_rgb * lm.INV_PI
     # contract: src/light_samples.py:55-59 — L * f * G / pdf_area
     direct = lrad * f_diffuse * (g_term / jnp.maximum(pdf_area, 1e-30))[:, None]

@@ -38,19 +38,15 @@ from light_transport_tpu.scene.scene import Scene
 
 
 def _hit(scene: Scene, o, d, ray_chunk):
-    if scene.bvh is not None:
-        from light_transport_tpu.accel import bvh as bvh_mod
+    from light_transport_tpu.ops.dispatch import scene_intersect
 
-        return bvh_mod.intersect_bvh(o, d, scene.mesh, scene.bvh)
-    return intersect.intersect_rays(o, d, scene.mesh, ray_chunk=ray_chunk)
+    return scene_intersect(scene, o, d, ray_chunk=ray_chunk)
 
 
 def _occluded(scene: Scene, o, d, dist, ray_chunk):
-    if scene.bvh is not None:
-        from light_transport_tpu.accel import bvh as bvh_mod
+    from light_transport_tpu.ops.dispatch import scene_occluded
 
-        return bvh_mod.occluded_bvh(o, d, scene.mesh, scene.bvh, dist)
-    return intersect.occluded(o, d, scene.mesh, dist, ray_chunk=ray_chunk)
+    return scene_occluded(scene, o, d, dist, ray_chunk=ray_chunk)
 
 
 def _light_points(scene: Scene):

@@ -59,3 +59,35 @@ def test_pallas_matches_xla_engine():
         b = getattr(t_xla, name)()
         se = binomial_stderr(max(a, b), n) * np.sqrt(2)
         assert mc_parity_3sigma(a, b, se, abs_floor=2e-3), (name, a, b)
+
+
+@tpu_only
+def test_pallas_intersector_matches_brute():
+    import jax.numpy as jnp
+    from light_transport_tpu.ops import intersect
+    from light_transport_tpu.ops.pallas.intersect_kernel import (
+        intersect_rays_pallas,
+    )
+    from light_transport_tpu.scene.geometry import TriangleMesh
+
+    rng = np.random.default_rng(3)
+    verts = rng.normal(scale=2.0, size=(700, 3, 3))
+    mesh = TriangleMesh.build(verts, np.zeros(700, np.int32))
+    # camera-style rays (single origin, grazing directions) — the case that
+    # exposed the bf16-matmul precision bug
+    cam = np.array([0, 0, 9.0], np.float32)
+    pix = rng.uniform(-1, 1, (2048, 3)).astype(np.float32)
+    pix[:, 2] = 5.0
+    o = jnp.asarray(np.tile(cam, (2048, 1)))
+    d = jnp.asarray((pix - cam) / np.linalg.norm(pix - cam, axis=1,
+                                                 keepdims=True))
+    hb = intersect.intersect_rays(o, d, mesh, ray_chunk=2048)
+    hp = intersect_rays_pallas(o, d, mesh)
+    vb, vp = np.asarray(hb.valid), np.asarray(hp.valid)
+    assert (vb != vp).sum() <= 2  # t-ties at shared edges only
+    m = vb & vp
+    np.testing.assert_allclose(
+        np.asarray(hb.t)[m], np.asarray(hp.t)[m], rtol=1e-4
+    )
+    tie = np.asarray(hb.tri)[m] != np.asarray(hp.tri)[m]
+    assert tie.mean() < 0.01
