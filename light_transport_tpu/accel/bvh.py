@@ -190,10 +190,10 @@ def _build_host(verts: np.ndarray, centroid: np.ndarray, max_leaf: int):
 def build(mesh: TriangleMesh, max_leaf: int = 4,
           use_native: bool = True) -> Tuple[BVH, TriangleMesh]:
     """Build a BVH for ``mesh``; returns (bvh, reordered mesh)."""
-    from light_transport_tpu.core.hostio import host_get
-
+    (h_v0, h_e1, h_e2, h_centroid, h_normal, h_mat,
+     h_is_light) = mesh.host_arrays()
     verts = mesh.vertices()
-    centroid = host_get(mesh.centroid).astype(np.float64)
+    centroid = h_centroid.astype(np.float64)
     built = None
     if use_native:
         try:
@@ -206,14 +206,21 @@ def build(mesh: TriangleMesh, max_leaf: int = 4,
         built = _build_host(verts, centroid, max_leaf)
     nmin, nmax, nright, nfirst, ncount, naxis, order = built
 
+    from light_transport_tpu.scene.geometry import _host_cache_put
+
     reordered = TriangleMesh(
-        v0=jnp.asarray(host_get(mesh.v0)[order]),
-        e1=jnp.asarray(host_get(mesh.e1)[order]),
-        e2=jnp.asarray(host_get(mesh.e2)[order]),
-        normal=jnp.asarray(host_get(mesh.normal)[order]),
-        centroid=jnp.asarray(host_get(mesh.centroid)[order]),
-        mat_id=jnp.asarray(host_get(mesh.mat_id)[order]),
-        is_light=jnp.asarray(host_get(mesh.is_light)[order]),
+        v0=jnp.asarray(h_v0[order]),
+        e1=jnp.asarray(h_e1[order]),
+        e2=jnp.asarray(h_e2[order]),
+        normal=jnp.asarray(h_normal[order]),
+        centroid=jnp.asarray(h_centroid[order]),
+        mat_id=jnp.asarray(h_mat[order]),
+        is_light=jnp.asarray(h_is_light[order]),
+    )
+    _host_cache_put(
+        reordered,
+        (h_v0[order], h_e1[order], h_e2[order], h_centroid[order],
+         h_normal[order], h_mat[order], h_is_light[order]),
     )
     # inflate bounds a hair for f32 slab-test robustness
     eps = 1e-5 * np.maximum(1.0, np.abs(nmax - nmin).max())
@@ -228,9 +235,9 @@ def build(mesh: TriangleMesh, max_leaf: int = 4,
     packed_i[:, 2] = skip
     t_count = reordered.v0.shape[0]
     tri_packed = np.zeros((t_count, 16), np.float32)
-    tri_packed[:, 0:3] = host_get(reordered.v0)
-    tri_packed[:, 3:6] = host_get(reordered.e1)
-    tri_packed[:, 6:9] = host_get(reordered.e2)
+    tri_packed[:, 0:3] = h_v0[order]
+    tri_packed[:, 3:6] = h_e1[order]
+    tri_packed[:, 6:9] = h_e2[order]
 
     # fused records: one 16-wide node row (ints bitcast into f32 lanes) and
     # one leaf row holding all of a leaf's triangles

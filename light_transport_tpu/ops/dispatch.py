@@ -50,12 +50,38 @@ def scene_intersect(scene: Scene, origins, directions,
     elif scene.bvh is not None:
         from light_transport_tpu.accel import bvh as bvh_mod
 
-        hit = bvh_mod.intersect_bvh(origins, directions, scene.mesh,
-                                    scene.bvh)
+        hit = _chunked_bvh(
+            lambda o, d: bvh_mod.intersect_bvh(o, d, scene.mesh, scene.bvh),
+            origins, directions,
+        )
     else:
         hit = intersect.intersect_rays(origins, directions, scene.mesh,
                                        ray_chunk=ray_chunk)
     return jax.tree.map(jax.lax.stop_gradient, hit)
+
+
+# Above this lane count the BVH walk's (N, 1)-shaped leaf slices pad 128x
+# in XLA temp space and OOM HBM; chunk the batch instead.
+BVH_LANE_CHUNK = 1 << 18
+
+
+def _chunked_bvh(fn, origins, directions):
+    n = origins.shape[0]
+    if n <= BVH_LANE_CHUNK:
+        return fn(origins, directions)
+    pad = (-n) % BVH_LANE_CHUNK
+    if pad:
+        origins = jnp.concatenate(
+            [origins, jnp.zeros((pad, 3), origins.dtype)])
+        dz = jnp.zeros((pad, 3), directions.dtype).at[:, 2].set(1.0)
+        directions = jnp.concatenate([directions, dz])
+    total = origins.shape[0]
+    out = jax.lax.map(
+        lambda args: fn(*args),
+        (origins.reshape(-1, BVH_LANE_CHUNK, 3),
+         directions.reshape(-1, BVH_LANE_CHUNK, 3)),
+    )
+    return jax.tree.map(lambda x: x.reshape(total, *x.shape[2:])[:n], out)
 
 
 def scene_occluded(scene: Scene, origins, directions, max_dist,
@@ -71,8 +97,26 @@ def scene_occluded(scene: Scene, origins, directions, max_dist,
     elif scene.bvh is not None:
         from light_transport_tpu.accel import bvh as bvh_mod
 
-        occ = bvh_mod.occluded_bvh(origins, directions, scene.mesh,
-                                   scene.bvh, max_dist)
+        n = origins.shape[0]
+        md = jnp.broadcast_to(jnp.asarray(max_dist, origins.dtype), (n,))
+        if n <= BVH_LANE_CHUNK:
+            occ = bvh_mod.occluded_bvh(origins, directions, scene.mesh,
+                                       scene.bvh, md)
+        else:
+            pad = (-n) % BVH_LANE_CHUNK
+            o_p = jnp.concatenate(
+                [origins, jnp.zeros((pad, 3), origins.dtype)])
+            dz = jnp.zeros((pad, 3), directions.dtype).at[:, 2].set(1.0)
+            d_p = jnp.concatenate([directions, dz])
+            md_p = jnp.concatenate([md, jnp.zeros((pad,), md.dtype)])
+            total = o_p.shape[0]
+            occ = jax.lax.map(
+                lambda args: bvh_mod.occluded_bvh(
+                    args[0], args[1], scene.mesh, scene.bvh, args[2]),
+                (o_p.reshape(-1, BVH_LANE_CHUNK, 3),
+                 d_p.reshape(-1, BVH_LANE_CHUNK, 3),
+                 md_p.reshape(-1, BVH_LANE_CHUNK)),
+            ).reshape(total)[:n]
     else:
         occ = intersect.occluded(origins, directions, scene.mesh, max_dist,
                                  ray_chunk=ray_chunk)

@@ -16,6 +16,36 @@ from typing import Optional, Sequence
 import numpy as np
 from flax import struct
 
+# host-side copies of mesh arrays keyed by the device buffer of v0; bounded
+# FIFO so long sessions don't accumulate (scenes are few and small)
+_HOST_CACHE = {}
+_HOST_CACHE_MAX = 16
+
+
+def _host_cache_key(mesh):
+    try:
+        return id(mesh.v0)
+    except Exception:  # pragma: no cover
+        return None
+
+
+def _host_cache_get(mesh):
+    entry = _HOST_CACHE.get(_host_cache_key(mesh))
+    if entry is None:
+        return None
+    ref, arrs = entry
+    return arrs if ref is mesh.v0 else None
+
+
+def _host_cache_put(mesh, arrs):
+    key = _host_cache_key(mesh)
+    if key is None:
+        return
+    if len(_HOST_CACHE) >= _HOST_CACHE_MAX:
+        _HOST_CACHE.pop(next(iter(_HOST_CACHE)))
+    # hold the device array itself so the id stays valid
+    _HOST_CACHE[key] = (mesh.v0, tuple(np.asarray(a) for a in arrs))
+
 
 @struct.dataclass
 class TriangleMesh:
@@ -55,7 +85,7 @@ class TriangleMesh:
             is_light = np.zeros((t,), dtype=bool)
         import jax.numpy as jnp
 
-        return TriangleMesh(
+        mesh = TriangleMesh(
             v0=jnp.asarray(v0.astype(dtype)),
             e1=jnp.asarray(e1.astype(dtype)),
             e2=jnp.asarray(e2.astype(dtype)),
@@ -64,26 +94,48 @@ class TriangleMesh:
             mat_id=jnp.asarray(np.asarray(mat_id, dtype=np.int32)),
             is_light=jnp.asarray(np.asarray(is_light, dtype=bool)),
         )
+        _host_cache_put(
+            mesh,
+            (v0.astype(dtype), e1.astype(dtype), e2.astype(dtype),
+             centroid.astype(dtype), n.astype(dtype),
+             np.asarray(mat_id, np.int32), np.asarray(is_light, bool)),
+        )
+        return mesh
 
     @property
     def num_triangles(self) -> int:
         return self.v0.shape[0]
 
-    def vertices(self) -> np.ndarray:
-        """Recover the (T, 3, 3) vertex array (host-side use: BVH build, IO)."""
+    def host_arrays(self):
+        """Host numpy copies of (v0, e1, e2, centroid, normal, mat_id,
+        is_light) — served from the build-time cache when available so
+        host-side consumers (BVH build, light-table extraction) never
+        round-trip through the device (the tunneled TPU makes device->host
+        fetches slow and flaky)."""
+        cached = _host_cache_get(self)
+        if cached is not None:
+            return cached
         from light_transport_tpu.core.hostio import host_get
 
-        v0 = host_get(self.v0).astype(np.float64)
-        e1 = host_get(self.e1).astype(np.float64)
-        e2 = host_get(self.e2).astype(np.float64)
-        return np.stack([v0, v0 + e1, v0 + e2], axis=1)
+        arrs = tuple(
+            host_get(getattr(self, f))
+            for f in ("v0", "e1", "e2", "centroid", "normal", "mat_id",
+                      "is_light")
+        )
+        _host_cache_put(self, arrs)
+        return arrs
+
+    def vertices(self) -> np.ndarray:
+        """Recover the (T, 3, 3) vertex array (host-side use: BVH build, IO)."""
+        v0, e1, e2 = self.host_arrays()[:3]
+        v0 = v0.astype(np.float64)
+        return np.stack([v0, v0 + e1.astype(np.float64),
+                         v0 + e2.astype(np.float64)], axis=1)
 
     def area(self) -> np.ndarray:
         """Per-triangle area = |e1 x e2| / 2."""
-        from light_transport_tpu.core.hostio import host_get
-
-        n = np.cross(host_get(self.e1).astype(np.float64),
-                     host_get(self.e2).astype(np.float64))
+        e1, e2 = self.host_arrays()[1:3]
+        n = np.cross(e1.astype(np.float64), e2.astype(np.float64))
         return 0.5 * np.linalg.norm(n, axis=-1)
 
 
@@ -100,7 +152,7 @@ def quad_triangles(a, b, c, d) -> np.ndarray:
 def concat_meshes(meshes: Sequence[TriangleMesh]) -> TriangleMesh:
     import jax.numpy as jnp
 
-    return TriangleMesh(
+    out = TriangleMesh(
         v0=jnp.concatenate([m.v0 for m in meshes]),
         e1=jnp.concatenate([m.e1 for m in meshes]),
         e2=jnp.concatenate([m.e2 for m in meshes]),
@@ -109,3 +161,9 @@ def concat_meshes(meshes: Sequence[TriangleMesh]) -> TriangleMesh:
         mat_id=jnp.concatenate([m.mat_id for m in meshes]),
         is_light=jnp.concatenate([m.is_light for m in meshes]),
     )
+    parts = [m.host_arrays() for m in meshes]
+    _host_cache_put(
+        out,
+        tuple(np.concatenate([p[k] for p in parts]) for k in range(7)),
+    )
+    return out

@@ -42,7 +42,9 @@ class LightTable:
 
     @staticmethod
     def build(mesh: TriangleMesh, materials: MaterialTable, dtype=np.float32) -> "LightTable":
-        is_light = host_get(mesh.is_light)
+        h = mesh.host_arrays()
+        h_v0, h_e1, h_e2 = h[0], h[1], h[2]
+        h_normal, h_mat, is_light = h[4], h[5], h[6]
         idx = np.nonzero(is_light)[0]
         if idx.size == 0:
             # Degenerate 1-row table with zero radiance so shapes stay static.
@@ -56,19 +58,19 @@ class LightTable:
                 total_area=jnp.asarray(0.0, dtype=dtype),
                 mat_id=jnp.zeros((1,), jnp.int32),
             )
-        e1 = host_get(mesh.e1).astype(np.float64)[idx]
-        e2 = host_get(mesh.e2).astype(np.float64)[idx]
+        e1 = h_e1.astype(np.float64)[idx]
+        e2 = h_e2.astype(np.float64)[idx]
         area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
-        mat = host_get(mesh.mat_id)[idx]
+        mat = h_mat[idx]
         emission = host_get(materials.emission).astype(np.float64)[mat]
         diffuse = host_get(materials.diffuse).astype(np.float64)[mat]
         radiance = emission[:, None] * diffuse
         cdf = np.cumsum(area) / area.sum()
         return LightTable(
-            v0=jnp.asarray(host_get(mesh.v0)[idx].astype(dtype)),
+            v0=jnp.asarray(h_v0[idx].astype(dtype)),
             e1=jnp.asarray(e1.astype(dtype)),
             e2=jnp.asarray(e2.astype(dtype)),
-            normal=jnp.asarray(host_get(mesh.normal)[idx].astype(dtype)),
+            normal=jnp.asarray(h_normal[idx].astype(dtype)),
             area=jnp.asarray(area.astype(dtype)),
             radiance=jnp.asarray(radiance.astype(dtype)),
             cdf=jnp.asarray(cdf.astype(dtype)),
