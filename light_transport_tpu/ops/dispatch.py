@@ -46,7 +46,14 @@ def scene_intersect(scene: Scene, origins, directions,
             intersect_rays_pallas,
         )
 
-        hit = intersect_rays_pallas(origins, directions, scene.mesh)
+        # intersection is treated as non-differentiable everywhere (see
+        # path_tracer._bounce); stop the tangents BEFORE the pallas call —
+        # its jvp rule rejects tangent-carrying inputs even when the
+        # outputs are stop-gradiented downstream
+        hit = intersect_rays_pallas(
+            jax.lax.stop_gradient(origins),
+            jax.lax.stop_gradient(directions), scene.mesh,
+        )
     elif scene.bvh is not None:
         from light_transport_tpu.accel import bvh as bvh_mod
 
@@ -92,8 +99,11 @@ def scene_occluded(scene: Scene, origins, directions, max_dist,
             intersect_rays_pallas,
         )
 
-        occ = intersect_rays_pallas(origins, directions, scene.mesh,
-                                    any_hit=True, max_dist=max_dist)
+        occ = intersect_rays_pallas(
+            jax.lax.stop_gradient(origins),
+            jax.lax.stop_gradient(directions), scene.mesh,
+            any_hit=True, max_dist=jax.lax.stop_gradient(max_dist),
+        )
     elif scene.bvh is not None:
         from light_transport_tpu.accel import bvh as bvh_mod
 
