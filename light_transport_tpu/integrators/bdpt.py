@@ -211,13 +211,12 @@ def random_walk(
 
 def generate_camera_subpaths(scene, cfg, origins, directions, uniforms,
                              ray_chunk=None):
-    """Camera-side walk (src/bdpt.py:182-213).  Camera vertex itself is
-    implicit (t=1 strategies are out of scope); pdf_fwd of the first surface
-    vertex uses a unit importance density — it only enters MIS through
-    ratios that cancel for the strategies we sample."""
+    """Camera-side walk (src/bdpt.py:182-213).  The first surface vertex's
+    forward density is the true camera importance-sampling density (needed
+    by the t'=1 terms in the MIS weights)."""
     n = origins.shape[0]
     beta0 = jnp.ones((n, 3))
-    pdf0 = jnp.ones((n,))
+    pdf0 = _camera_pdf_dir(scene, cfg, directions)
     return random_walk(scene, origins, directions, beta0, pdf0, uniforms,
                        cfg.max_depth, ray_chunk)
 
@@ -248,6 +247,21 @@ def _remap(p):
     return jnp.where(p == 0.0, 1.0, p)
 
 
+def _camera_pdf_dir(scene, cfg, directions):
+    """Solid-angle density of the per-pixel primary-ray sampler.
+
+    The camera samples a screen point uniformly over the pixel's jitter
+    footprint (area a_samp = 1/(W*H) in screen units, matching the
+    reference's rand/W, rand/H jitter) and shoots through it:
+    p(w) = r_s^2 / (a_samp * cos(theta)) with r_s the camera->screen-plane
+    distance along w.  Needed once t=1 (light tracing) strategies enter the
+    MIS weights."""
+    a_samp = (1.0 / cfg.width) * (1.0 / cfg.height)
+    cos_c = jnp.maximum(jnp.abs(directions[..., 2]), 1e-6)
+    r_s = jnp.abs(scene.camera[2] - cfg.f_distance) / cos_c
+    return r_s * r_s / (a_samp * cos_c)
+
+
 def _diffuse_pdf_area(v_ns, v_diffuse_unused, from_pos, to_pos, to_ns):
     """Area density of a cosine-sampled diffuse bounce from ``from`` scatter
     at vertex (pos implied by from) toward ``to``."""
@@ -261,14 +275,21 @@ def _diffuse_pdf_area(v_ns, v_diffuse_unused, from_pos, to_pos, to_ns):
 from functools import partial
 
 
-@partial(jax.jit, static_argnums=(1, 3))
+@partial(jax.jit, static_argnums=(1, 3, 4))
 def render_bdpt(
     scene: Scene,
     cfg: RenderConfig,
     key: jax.Array,
     ray_chunk: Optional[int] = None,
+    light_tracing: bool = True,
 ):
-    """Full BDPT render (reference ``render_scene``, src/bdpt.py:442-479)."""
+    """Full BDPT render (reference ``render_scene``, src/bdpt.py:442-479).
+
+    ``light_tracing`` enables the t=1 strategies: light-subpath vertices
+    connect straight to the camera and splat onto the film through the
+    pixel-footprint importance function; the MIS weights of every other
+    strategy then include the t'=1 alternative (the camera-side recursion
+    extends to the first surface vertex)."""
     from light_transport_tpu.integrators.path_tracer import camera_rays
 
     n = cfg.height * cfg.width * cfg.spp
@@ -288,15 +309,20 @@ def render_bdpt(
     pdf_area_light = 1.0 / total_area
 
     def cam_side_mis(j, pt_rev, ptm_rev):
-        """Sum of ri over camera-side alternative strategies (t' from j+1
-        surface vertices down to 1, i.e. PBRT t'>=2).  ``pt_rev``/``ptm_rev``
-        override pdf_rev at cam[j], cam[j-1]."""
+        """Sum of ri over camera-side alternative strategies: t' from j+1
+        surface vertices down to 1 (PBRT t'>=2), plus the t'=1 (light
+        tracing) alternative when it is among the sampled strategies."""
         ri = jnp.ones((n,))
         total = jnp.zeros((n,))
-        for i in range(j, 0, -1):
+        stop = -1 if light_tracing else 0
+        for i in range(j, stop, -1):
             rev = pt_rev if i == j else (ptm_rev if i == j - 1 else cam.pdf_rev[:, i])
             ri = ri * _remap(rev) / _remap(cam.pdf_fwd[:, i])
-            not_delta = ~cam.is_delta[:, i] & ~cam.is_delta[:, i - 1]
+            if i == 0:
+                # t'=1: the camera vertex is non-delta (film sampling)
+                not_delta = ~cam.is_delta[:, 0]
+            else:
+                not_delta = ~cam.is_delta[:, i] & ~cam.is_delta[:, i - 1]
             total = total + jnp.where(not_delta & cam.valid[:, i], ri, 0.0)
         return total
 
@@ -454,7 +480,74 @@ def render_bdpt(
                 ok[:, None], contrib * w[:, None], 0.0
             )
 
+    # ---- t = 1: light tracing — splat light vertices onto the film --------
+    splat = jnp.zeros((cfg.height * cfg.width, 3))
+    if light_tracing:
+        left, right, top, bottom = cfg.screen_bounds
+        step_x = (right - left) / (cfg.width - 1)
+        step_y = (top - bottom) / (cfg.height - 1)
+        a_samp = (1.0 / cfg.width) * (1.0 / cfg.height)
+        cam_pos = scene.camera
+        for i in range(max_d):
+            if (i + 1) + 1 > max_d + 1:
+                break
+            ok = lv.valid[:, i] & ~lv.is_delta[:, i]
+            p_pos = lv.pos[:, i]
+            p_ns = lv.ns[:, i]
+            to_c = cam_pos - p_pos
+            r2 = jnp.maximum(lm.dot(to_c, to_c), 1e-20)
+            dist = jnp.sqrt(r2)
+            w_dir = to_c / dist[:, None]  # P -> camera
+            dir_cp = -w_dir  # camera -> P
+            # screen-plane mapping: S = cam + a * dir_cp with S_z = f
+            dz = dir_cp[:, 2]
+            ok = ok & (dz < -1e-6)  # P must be on the viewing side
+            a = (cfg.f_distance - cam_pos[2]) / jnp.where(dz == 0, 1.0, dz)
+            sx = cam_pos[0] + a * dir_cp[:, 0]
+            sy = cam_pos[1] + a * dir_cp[:, 1]
+            # pixel footprint [x_j, x_j + 1/W] x [y_i, y_i + 1/H]
+            jx = jnp.floor((sx - left) / step_x).astype(jnp.int32)
+            in_x = (sx >= left + jx * step_x) & (
+                sx <= left + jx * step_x + 1.0 / cfg.width
+            )
+            iy = jnp.ceil((top - sy) / step_y).astype(jnp.int32)
+            y_i = top - iy * step_y
+            in_y = (sy >= y_i) & (sy <= y_i + 1.0 / cfg.height)
+            ok = ok & in_x & in_y & (jx >= 0) & (jx < cfg.width) \
+                & (iy >= 0) & (iy < cfg.height)
+            pix = jnp.clip(iy, 0, cfg.height - 1) * cfg.width + jnp.clip(
+                jx, 0, cfg.width - 1
+            )
+
+            cos_c = jnp.maximum(jnp.abs(dz), 1e-6)
+            r_s = jnp.abs(cam_pos[2] - cfg.f_distance) / cos_c
+            we = r_s * r_s / (a_samp * cos_c)  # importance, solid-angle
+            cos_p = jnp.abs(lm.dot(p_ns, w_dir))
+            f_p = lv.diffuse[:, i] * INV_PI
+            contrib = lv.beta[:, i] * f_p * ((cos_p / r2) * we)[:, None]
+
+            blocked = _occluded(scene, p_pos + lm.EPSILON * w_dir, w_dir,
+                                dist * (1 - 1e-3), ray_chunk)
+            ok = ok & ~blocked
+
+            # MIS: junction rev densities — the camera generating P, and P
+            # scattering backward along the light chain
+            qs_rev = we * cos_p / r2  # camera area density at P
+            if i > 0:
+                qsm_pos, qsm_ns = lv.pos[:, i - 1], lv.ns[:, i - 1]
+            else:
+                qsm_pos, qsm_ns = l0["pos"], l0["ns"]
+            qsm_rev = _diffuse_pdf_area(p_ns, None, p_pos, qsm_pos, qsm_ns)
+            denom = light_side_mis(i + 1, qs_rev, qsm_rev)
+            w_mis = 1.0 / (1.0 + denom)
+
+            add = jnp.where(ok[:, None], contrib * w_mis[:, None], 0.0)
+            splat = splat.at[pix].add(add)
+
     samples = jnp.moveaxis(
         radiance.reshape(cfg.spp, cfg.height, cfg.width, 3), 0, 2
     )
-    return jnp.clip(jnp.mean(samples, axis=2), 0.0, 1.0)
+    image = jnp.mean(samples, axis=2)
+    # light-tracing estimator: (1/N_light_paths) * sum of splats, N = n
+    image = image + splat.reshape(cfg.height, cfg.width, 3) / n
+    return jnp.clip(image, 0.0, 1.0)

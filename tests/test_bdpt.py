@@ -76,3 +76,29 @@ def test_bdpt_deterministic():
     a = np.asarray(render_bdpt(scene, cfg, jax.random.key(5)))
     b = np.asarray(render_bdpt(scene, cfg, jax.random.key(5)))
     np.testing.assert_array_equal(a, b)
+
+
+def test_bdpt_light_tracing_matches_path_tracer():
+    """With t=1 strategies enabled, the MIS weights repartition across the
+    full strategy space — any error in the splat geometry, the camera
+    importance density, or the weight partition shifts the image mean."""
+    scene, cfg = cornell_box_scene(width=16, height=16, spp=32, max_depth=4,
+                                   include_cone=False)
+    img_pt = np.asarray(render_image(scene, cfg, jax.random.key(0)))
+    img_lt = np.asarray(
+        render_bdpt(scene, cfg, jax.random.key(2), light_tracing=True)
+    )
+    assert abs(img_pt.mean() - img_lt.mean()) < 0.012, (
+        img_pt.mean(), img_lt.mean()
+    )
+    assert image_mae(img_pt, img_lt) < 0.06
+
+
+def test_bdpt_light_tracing_specular_scene():
+    # light tracing adds energy PT structurally misses (light seen through
+    # specular chains); the image must stay finite and sane
+    scene, cfg = cornell_box_scene(width=12, height=12, spp=8, max_depth=4)
+    img = np.asarray(
+        render_bdpt(scene, cfg, jax.random.key(3), light_tracing=True)
+    )
+    assert np.isfinite(img).all() and 0 <= img.min() and img.max() <= 1
