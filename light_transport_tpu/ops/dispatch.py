@@ -20,8 +20,9 @@ import jax.numpy as jnp
 from light_transport_tpu.ops import intersect
 from light_transport_tpu.scene.scene import Scene
 
-# above this triangle count the O(N*T) MXU brute force loses to the BVH
-MXU_MAX_TRIS = 16384
+# above this triangle count even the cluster-culled MXU kernel loses to
+# the BVH walk (culling efficiency falls off for incoherent bounce rays)
+MXU_MAX_TRIS = 262144
 
 
 def _platform() -> str:

@@ -64,8 +64,9 @@ def pack_tri_weights(mesh: TriangleMesh):
     return w
 
 
-def _kernel(feat_ref, w_ref, tminmax_ref, best_t_ref, best_col_ref,
-            *, tri_tile, any_hit):
+def _kernel(mask_ref, feat_ref, w_ref, tminmax_ref, best_t_ref,
+            best_col_ref, *, tri_tile, any_hit):
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -73,43 +74,86 @@ def _kernel(feat_ref, w_ref, tminmax_ref, best_t_ref, best_col_ref,
         best_t_ref[:] = jnp.full_like(best_t_ref, BIG)
         best_col_ref[:] = jnp.full_like(best_col_ref, -1)
 
-    feats = feat_ref[:]  # (R, 16)
-    w = w_ref[0]  # (16, 4*tri_tile)
-    # HIGHEST precision: the default f32 matmul runs bf16 passes on the
-    # MXU, whose 8-bit mantissa flips hit/miss decisions near triangle
-    # edges (9% wrong-triangle rate on silhouette rays before this)
-    q = jnp.dot(feats, w, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-    det = q[:, 0:tri_tile]
-    u_num = q[:, tri_tile:2 * tri_tile]
-    v_num = q[:, 2 * tri_tile:3 * tri_tile]
-    t_num = q[:, 3 * tri_tile:4 * tri_tile]
+    # cluster culling: skip the whole tile when no ray in this ray-tile
+    # enters this triangle-cluster's AABB (mask precomputed outside)
+    @pl.when(mask_ref[i, j] != 0)
+    def _():
+        feats = feat_ref[:]  # (R, 16)
+        w = w_ref[0]  # (16, 4*tri_tile)
+        # HIGHEST precision: the default f32 matmul runs bf16 passes on the
+        # MXU, whose 8-bit mantissa flips hit/miss decisions near triangle
+        # edges (9% wrong-triangle rate on silhouette rays before this)
+        q = jnp.dot(feats, w, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        det = q[:, 0:tri_tile]
+        u_num = q[:, tri_tile:2 * tri_tile]
+        v_num = q[:, 2 * tri_tile:3 * tri_tile]
+        t_num = q[:, 3 * tri_tile:4 * tri_tile]
 
-    ok = jnp.abs(det) > DET_EPS
-    inv = jnp.where(ok, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
-    u = u_num * inv
-    v = v_num * inv
-    t = t_num * inv
-    tmin = tminmax_ref[:, 0:1]
-    tmax = tminmax_ref[:, 1:2]
-    valid = (
-        ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-        & (t > tmin) & (t < tmax)
-    )
-    t_masked = jnp.where(valid, t, BIG)
+        ok = jnp.abs(det) > DET_EPS
+        inv = jnp.where(ok, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
+        u = u_num * inv
+        v = v_num * inv
+        t = t_num * inv
+        tmin = tminmax_ref[:, 0:1]
+        tmax = tminmax_ref[:, 1:2]
+        valid = (
+            ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > tmin) & (t < tmax)
+        )
+        t_masked = jnp.where(valid, t, BIG)
 
-    # fold sub-blocks of 128 lanes into the per-column running min
-    best_t = best_t_ref[:]
-    best_col = best_col_ref[:]
-    for k in range(tri_tile // 128):
-        sub_t = t_masked[:, k * 128:(k + 1) * 128]
-        # global tri index = j*tri_tile + k*128 + column
-        sub_idx = j * tri_tile + k * 128
-        take = sub_t < best_t
-        best_t = jnp.where(take, sub_t, best_t)
-        best_col = jnp.where(take, sub_idx, best_col)
-    best_t_ref[:] = best_t
-    best_col_ref[:] = best_col
+        # fold sub-blocks of 128 lanes into the per-column running min
+        best_t = best_t_ref[:]
+        best_col = best_col_ref[:]
+        for k in range(tri_tile // 128):
+            sub_t = t_masked[:, k * 128:(k + 1) * 128]
+            # global tri index = j*tri_tile + k*128 + column
+            sub_idx = j * tri_tile + k * 128
+            take = sub_t < best_t
+            best_t = jnp.where(take, sub_t, best_t)
+            best_col = jnp.where(take, sub_idx, best_col)
+        best_t_ref[:] = best_t
+        best_col_ref[:] = best_col
+
+
+def cluster_bounds(mesh: TriangleMesh):
+    """(C, 6) AABBs of consecutive TRI_TILE-sized triangle clusters (the
+    BVH-reordered mesh gives them spatial locality).  Padding replicates
+    the last triangle (harmless for bounds)."""
+    v0 = jnp.asarray(mesh.v0)
+    v1 = v0 + jnp.asarray(mesh.e1)
+    v2 = v0 + jnp.asarray(mesh.e2)
+    lo = jnp.minimum(jnp.minimum(v0, v1), v2)
+    hi = jnp.maximum(jnp.maximum(v0, v1), v2)
+    t = v0.shape[0]
+    t_pad = ((t + TRI_TILE - 1) // TRI_TILE) * TRI_TILE
+    if t_pad != t:
+        lo = jnp.concatenate([lo, jnp.tile(lo[-1:], (t_pad - t, 1))])
+        hi = jnp.concatenate([hi, jnp.tile(hi[-1:], (t_pad - t, 1))])
+    c_lo = lo.reshape(-1, TRI_TILE, 3).min(axis=1) - 1e-5
+    c_hi = hi.reshape(-1, TRI_TILE, 3).max(axis=1) + 1e-5
+    return c_lo, c_hi
+
+
+def _tile_cluster_mask(origins, directions, tminmax, c_lo, c_hi):
+    """(n_ray_tiles, C) int32: does any ray of the tile enter the cluster
+    AABB?  Conservative slab test (ignores per-ray running-t pruning)."""
+    inv_d = 1.0 / jnp.where(jnp.abs(directions) < 1e-20,
+                            jnp.where(directions < 0, -1e-20, 1e-20),
+                            directions)
+    t1 = (c_lo[None, :, :] - origins[:, None, :]) * inv_d[:, None, :]
+    t2 = (c_hi[None, :, :] - origins[:, None, :]) * inv_d[:, None, :]
+    tn = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    hit = (tn <= tf) & (tf >= tminmax[:, 0:1]) & (tn <= tminmax[:, 1:2])
+    tiles = hit.reshape(-1, RAY_TILE, hit.shape[-1])
+    return jnp.any(tiles, axis=1).astype(jnp.int32)
+
+
+# SMEM budget for the (n_ray_tiles, C) culling mask — chunk rays so the
+# mask stays comfortably inside scalar memory
+_MASK_MAX_ENTRIES = 32768
 
 
 def intersect_rays_pallas(
@@ -121,13 +165,50 @@ def intersect_rays_pallas(
     t_max=jnp.inf,
     any_hit: bool = False,
     max_dist=None,
+    clusters=None,
 ):
-    """Fused MXU brute-force intersection. Returns :class:`Hit` (or a bool
-    occlusion mask when ``any_hit``)."""
+    """Fused MXU brute-force intersection with AABB cluster culling.
+    Returns :class:`Hit` (or a bool occlusion mask when ``any_hit``).
+
+    ``clusters``: optional precomputed :func:`cluster_bounds`; computed on
+    the fly otherwise (XLA hoists it out of bounce loops)."""
     if tri_weights is None:
         tri_weights = pack_tri_weights(mesh)
+    if clusters is None:
+        clusters = cluster_bounds(mesh)
     n = origins.shape[0]
     t_pad = tri_weights.shape[2]
+    n_clusters = t_pad // TRI_TILE
+
+    # chunk rays so the SMEM mask fits
+    max_tiles = max(1, _MASK_MAX_ENTRIES // n_clusters)
+    chunk = max_tiles * RAY_TILE
+    if n > chunk:
+        tmax_eff = max_dist if (any_hit and max_dist is not None) else t_max
+        tmax_b = jnp.broadcast_to(jnp.asarray(tmax_eff, origins.dtype), (n,))
+        pad = (-n) % chunk
+        o_p = jnp.concatenate([origins, jnp.zeros((pad, 3), origins.dtype)])
+        dz = jnp.zeros((pad, 3), directions.dtype).at[:, 2].set(1.0)
+        d_p = jnp.concatenate([directions, dz])
+        tx_p = jnp.concatenate([tmax_b, jnp.zeros((pad,), tmax_b.dtype)])
+        total = o_p.shape[0]
+        out = jax.lax.map(
+            lambda args: intersect_rays_pallas(
+                args[0], args[1], mesh, tri_weights=tri_weights,
+                t_min=t_min, t_max=jnp.inf, any_hit=any_hit,
+                max_dist=args[2] if any_hit else None, clusters=clusters,
+            ) if any_hit else intersect_rays_pallas(
+                args[0], args[1], mesh, tri_weights=tri_weights,
+                t_min=t_min, t_max=args[2], any_hit=False,
+                clusters=clusters,
+            ),
+            (o_p.reshape(-1, chunk, 3), d_p.reshape(-1, chunk, 3),
+             tx_p.reshape(-1, chunk)),
+        )
+        return jax.tree.map(
+            lambda x: x.reshape(total, *x.shape[2:])[:n], out
+        )
+
     n_pad = ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
 
     oxd = lm.cross(origins, directions)
@@ -153,12 +234,19 @@ def intersect_rays_pallas(
     w = tri_weights.reshape(16, 4, -1, TRI_TILE)
     w = jnp.moveaxis(w, 2, 0).reshape(-1, 16, 4 * TRI_TILE)
 
+    # per-(ray tile, cluster) culling mask for the in-kernel skip
+    c_lo, c_hi = clusters
+    mask = _tile_cluster_mask(
+        feats[:, 6:9], feats[:, 0:3], tminmax, c_lo, c_hi
+    )
+
     grid = (n_pad // RAY_TILE, t_pad // TRI_TILE)
     kern = functools.partial(_kernel, tri_tile=TRI_TILE, any_hit=any_hit)
     best_t, best_col = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (tiles, C) mask
             pl.BlockSpec((RAY_TILE, 16), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 16, 4 * TRI_TILE), lambda i, j: (j, 0, 0),
@@ -176,7 +264,7 @@ def intersect_rays_pallas(
             jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, 128), jnp.int32),
         ),
-    )(feats, w, tminmax)
+    )(mask, feats, w, tminmax)
 
     best_t = best_t[:n]
     best_col = best_col[:n]

@@ -6,7 +6,13 @@ pytest imports this conftest before any test module.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# LT_TEST_TPU=1 runs the suite against the real chip instead (the
+# tpu_only-marked tests un-skip; CPU-mesh sharding tests still pass on
+# the single chip's trivial mesh where applicable).
+_USE_TPU = os.environ.get("LT_TEST_TPU", "") == "1"
+
+if not _USE_TPU:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,7 +23,8 @@ import jax  # noqa: E402
 
 # The axon TPU harness pre-pends its platform to jax_platforms regardless of
 # the env var; force pure-CPU so tests run on the virtual 8-device mesh.
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

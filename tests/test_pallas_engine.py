@@ -91,3 +91,44 @@ def test_pallas_intersector_matches_brute():
     )
     tie = np.asarray(hb.tri)[m] != np.asarray(hp.tri)[m]
     assert tie.mean() < 0.01
+
+
+@tpu_only
+def test_pallas_cluster_culling_matches_unculled():
+    """Cluster culling is a pure skip optimisation: a mesh large enough to
+    span many TRI_TILE clusters must produce exactly the same hits whether
+    tiles are skipped or not (mask errors would drop silhouette hits)."""
+    import jax.numpy as jnp
+    from light_transport_tpu.ops.pallas import intersect_kernel as ik
+    from light_transport_tpu.scene.cornell import sphere_triangles
+    from light_transport_tpu.scene.geometry import TriangleMesh
+
+    tris = sphere_triangles(center=(0, 0, 0), radius=1.5, n_theta=48,
+                            n_phi=96)  # ~9k tris -> ~18 clusters
+    mesh = TriangleMesh.build(tris, np.zeros(len(tris), np.int32))
+    rng = np.random.default_rng(7)
+    cam = np.array([0, 0, 6.0], np.float32)
+    pix = rng.uniform(-2, 2, (4096, 3)).astype(np.float32)
+    pix[:, 2] = 2.0
+    o = jnp.asarray(np.tile(cam, (4096, 1)))
+    d = jnp.asarray((pix - cam) / np.linalg.norm(pix - cam, axis=1,
+                                                 keepdims=True))
+    culled = ik.intersect_rays_pallas(o, d, mesh)
+    # all-ones mask == no culling
+    c_lo, c_hi = ik.cluster_bounds(mesh)
+    open_lo = jnp.full_like(c_lo, -1e30)
+    open_hi = jnp.full_like(c_hi, 1e30)
+    unculled = ik.intersect_rays_pallas(o, d, mesh,
+                                        clusters=(open_lo, open_hi))
+    np.testing.assert_array_equal(np.asarray(culled.valid),
+                                  np.asarray(unculled.valid))
+    np.testing.assert_array_equal(np.asarray(culled.tri),
+                                  np.asarray(unculled.tri))
+    np.testing.assert_allclose(np.asarray(culled.t)[np.asarray(culled.valid)],
+                               np.asarray(unculled.t)[np.asarray(unculled.valid)],
+                               rtol=1e-6)
+    # sanity: the mask actually culls something on this scene
+    feats_o = o
+    tmm = jnp.stack([jnp.full((4096,), 1e-5), jnp.full((4096,), np.inf)], -1)
+    mask = ik._tile_cluster_mask(feats_o, d, tmm, c_lo, c_hi)
+    assert float(np.asarray(mask).mean()) < 1.0
