@@ -334,3 +334,142 @@ def aabb_intersect(origins, directions, box_min, box_max, t_max=jnp.inf):
     t_near = jnp.maximum(t_near, 0.0)
     t_far = jnp.minimum(t_far, t_max)
     return t_near <= t_far, t_near, t_far
+
+
+# ---------------------------------------------------------------------------
+# Watertight triangle intersection (contract: pc_triangle_intersect,
+# src/intersects.py:267-445 — PBRT 3.9.x "Watertight Ray-Triangle
+# Intersection").  The reference runs it scalar-per-candidate in float64; here
+# the translate/permute/shear transform is batched over an (N, T) tile with
+# the per-ray permutation applied via take_along_axis, so the whole test is
+# branchless VPU code.  Deviation: the reference re-evaluates exactly-zero
+# edge functions in float64 (src/intersects.py:316-329); TPUs have no f64, so
+# zero edge functions are accepted as on-edge hits — watertightness (shared
+# edges/vertices never fall through) still holds because adjacent triangles
+# evaluate the shared edge with the same rounded products, just negated.
+# ---------------------------------------------------------------------------
+
+_F32_EPS_HALF = float(jnp.finfo(jnp.float32).eps) / 2.0
+
+
+def _gamma(n: int) -> float:
+    """PBRT's conservative float-error bound (src/intersects.py:228-235)."""
+    return n * _F32_EPS_HALF / (1.0 - n * _F32_EPS_HALF)
+
+
+def _wt_tile(o, d, v0, v1, v2, t_min, t_max):
+    """Watertight test on an (N, T) tile -> (t, b0, b1, b2, valid)."""
+    # per-ray axis permutation: kz = argmax |d|, (kx, ky) cyclic
+    kz = jnp.argmax(jnp.abs(d), axis=-1)  # (N,)
+    kx = (kz + 1) % 3
+    ky = (kx + 1) % 3
+
+    def pick(vec, k):
+        # vec (N, 3) or (N, T, 3); k (N,) -> component along per-ray axis
+        if vec.ndim == 2:
+            return jnp.take_along_axis(vec, k[:, None], axis=-1)[:, 0]
+        return jnp.take_along_axis(
+            vec, k[:, None, None].repeat(vec.shape[1], 1), axis=-1
+        )[..., 0]
+
+    dx, dy, dz = pick(d, kx), pick(d, ky), pick(d, kz)  # (N,)
+    # shear so the ray maps to +z (src/intersects.py:301-311)
+    sx = -dx / dz
+    sy = -dy / dz
+    sz = 1.0 / dz
+
+    # translate to ray origin, permute, shear x/y (z sheared after the tests)
+    def xyz(p):
+        q = p[None, :, :] - o[:, None, :]  # (N, T, 3)
+        px, py, pz = pick(q, kx), pick(q, ky), pick(q, kz)
+        return (px + sx[:, None] * pz, py + sy[:, None] * pz, pz)
+
+    x0, y0, z0 = xyz(v0)
+    x1, y1, z1 = xyz(v1)
+    x2, y2, z2 = xyz(v2)
+
+    # 2D edge functions (src/intersects.py:316-329)
+    e0 = x1 * y2 - y1 * x2
+    e1 = x2 * y0 - y2 * x0
+    e2 = x0 * y1 - y0 * x1
+
+    same_sign = ~(((e0 < 0) | (e1 < 0) | (e2 < 0))
+                  & ((e0 > 0) | (e1 > 0) | (e2 > 0)))
+    det = e0 + e1 + e2
+    ok = same_sign & (det != 0.0)
+
+    z0s, z1s, z2s = sz[:, None] * z0, sz[:, None] * z1, sz[:, None] * z2
+    t_scaled = e0 * z0s + e1 * z1s + e2 * z2s
+    # sign-consistent distance-window test on the scaled t
+    # (src/intersects.py:334-345)
+    neg = det < 0
+    ok &= jnp.where(
+        neg,
+        (t_scaled <= t_min[:, None] * det) & (t_scaled > t_max[:, None] * det),
+        (t_scaled >= t_min[:, None] * det) & (t_scaled < t_max[:, None] * det),
+    )
+
+    inv_det = jnp.where(det != 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
+    t = t_scaled * inv_det
+    b0, b1, b2 = e0 * inv_det, e1 * inv_det, e2 * inv_det
+
+    # conservative scaled-t error bound: reject hits closer than the
+    # accumulated rounding error (src/intersects.py:349-382)
+    max_zt = jnp.maximum(jnp.maximum(jnp.abs(z0s), jnp.abs(z1s)),
+                         jnp.abs(z2s))
+    max_xt = jnp.maximum(jnp.maximum(jnp.abs(x0), jnp.abs(x1)), jnp.abs(x2))
+    max_yt = jnp.maximum(jnp.maximum(jnp.abs(y0), jnp.abs(y1)), jnp.abs(y2))
+    delta_z = _gamma(3) * max_zt
+    delta_x = _gamma(5) * (max_xt + max_zt)
+    delta_y = _gamma(5) * (max_yt + max_zt)
+    delta_e = 2.0 * (_gamma(2) * max_xt * max_yt
+                     + delta_y * max_xt + delta_x * max_yt)
+    max_e = jnp.maximum(jnp.maximum(jnp.abs(e0), jnp.abs(e1)), jnp.abs(e2))
+    delta_t = 3.0 * (_gamma(3) * max_e * max_zt + delta_e * max_zt
+                     + delta_z * max_e) * jnp.abs(inv_det)
+    ok &= t > delta_t
+    return t, b0, b1, b2, ok
+
+
+def intersect_rays_watertight(
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    mesh: TriangleMesh,
+    t_min=T_EPS,
+    t_max=jnp.inf,
+    ray_chunk: Optional[int] = None,
+) -> Hit:
+    """Nearest-hit via the watertight transform: rays crossing a shared
+    edge/vertex of adjacent triangles are guaranteed to hit at least one of
+    them (classic Möller–Trumbore can round them into a crack).  Slower than
+    :func:`intersect_rays` (the permutation gathers don't fuse as tightly),
+    so it is an opt-in for crack-sensitive geometry."""
+    n = origins.shape[0]
+    dtype = origins.dtype
+    t_min = _broadcast_t(t_min, n, dtype)
+    t_max = _broadcast_t(t_max, n, dtype)
+    v0 = jnp.asarray(mesh.v0)
+    v1 = v0 + jnp.asarray(mesh.e1)
+    v2 = v0 + jnp.asarray(mesh.e2)
+
+    def run(o, d, tmin, tmax):
+        t, _, _, _, valid = _wt_tile(o, d, v0, v1, v2, tmin, tmax)
+        t_masked = jnp.where(valid, t, jnp.inf)
+        tri = jnp.argmin(t_masked, axis=-1).astype(jnp.int32)
+        t_best = jnp.take_along_axis(t_masked, tri[:, None], axis=-1)[:, 0]
+        ok = jnp.isfinite(t_best)
+        return Hit(t=t_best, tri=jnp.where(ok, tri, -1), valid=ok)
+
+    if ray_chunk is None or n <= ray_chunk:
+        return run(origins, directions, t_min, t_max)
+    o_p, d_p, tn_p, tx_p, total = _pad_rays(
+        origins, directions, t_min, t_max, ray_chunk
+    )
+    hits = jax.lax.map(
+        lambda args: run(*args),
+        (o_p.reshape(-1, ray_chunk, 3), d_p.reshape(-1, ray_chunk, 3),
+         tn_p.reshape(-1, ray_chunk), tx_p.reshape(-1, ray_chunk)),
+    )
+    return Hit(t=hits.t.reshape(total)[:n],
+               tri=hits.tri.reshape(total)[:n],
+               valid=hits.valid.reshape(total)[:n])

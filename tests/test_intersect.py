@@ -99,3 +99,94 @@ def test_aabb_intersect():
     assert bool(hit[0]) and not bool(hit[1])
     np.testing.assert_allclose(float(tn[0]), 4.0, atol=1e-5)
     np.testing.assert_allclose(float(tf[0]), 6.0, atol=1e-5)
+
+
+def _fan_mesh(n_spokes=12):
+    """Triangle fan around the origin in the z=0 plane."""
+    from light_transport_tpu.scene.geometry import TriangleMesh
+
+    ang = np.linspace(0, 2 * np.pi, n_spokes + 1)
+    rim = np.stack([np.cos(ang), np.sin(ang), np.zeros_like(ang)], -1)
+    tris = np.stack(
+        [np.zeros((n_spokes, 3)), rim[:-1], rim[1:]], axis=1
+    ).astype(np.float32)
+    return TriangleMesh.build(tris, np.zeros(n_spokes, np.int32))
+
+
+def test_watertight_matches_mt_on_interior_hits():
+    from light_transport_tpu.scene.geometry import TriangleMesh
+
+    rng = np.random.default_rng(11)
+    verts = rng.normal(scale=2.0, size=(300, 3, 3)).astype(np.float32)
+    mesh = TriangleMesh.build(verts, np.zeros(300, np.int32))
+    o = jnp.asarray(rng.normal(scale=4.0, size=(512, 3)).astype(np.float32))
+    d_raw = rng.normal(size=(512, 3)).astype(np.float32)
+    d = jnp.asarray(d_raw / np.linalg.norm(d_raw, axis=1, keepdims=True))
+    hm = intersect.intersect_rays(o, d, mesh)
+    hw = intersect.intersect_rays_watertight(o, d, mesh)
+    vm, vw = np.asarray(hm.valid), np.asarray(hw.valid)
+    # the two formulations agree except at f32-rounding edge cases
+    assert (vm != vw).mean() < 0.01
+    both = vm & vw
+    agree = np.asarray(hm.tri)[both] == np.asarray(hw.tri)[both]
+    # grazing hits in a random soup may resolve to a different (overlapping)
+    # nearest triangle under the two rounding schemes
+    assert agree.mean() > 0.99
+    np.testing.assert_allclose(np.asarray(hm.t)[both][agree],
+                               np.asarray(hw.t)[both][agree],
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_watertight_shared_edges_never_crack():
+    """Rays aimed exactly at shared fan edges and at the shared center
+    vertex must always hit at least one triangle — the property the
+    watertight transform guarantees (reference src/intersects.py:267-445)."""
+    mesh = _fan_mesh(24)
+    ang = np.linspace(0, 2 * np.pi, 25)[:-1]
+    # points exactly on each spoke (shared edge between two triangles), at
+    # several radii, plus the center vertex shared by all 24
+    radii = np.asarray([1e-4, 0.25, 0.5 + 1e-7, 0.999], np.float32)
+    pts = np.concatenate(
+        [np.stack([r * np.cos(ang), r * np.sin(ang), np.zeros_like(ang)], -1)
+         for r in radii]
+        + [np.zeros((1, 3), np.float32)]
+    ).astype(np.float32)
+    # oblique viewpoint so the permute/shear axes vary per-ray
+    cam = np.asarray([0.3, -0.2, 3.0], np.float32)
+    o = jnp.asarray(np.tile(cam, (len(pts), 1)))
+    dd = pts - cam
+    d = jnp.asarray(dd / np.linalg.norm(dd, axis=1, keepdims=True))
+    hw = intersect.intersect_rays_watertight(o, d, mesh)
+    assert bool(np.asarray(hw.valid).all()), (
+        "watertight test dropped an edge/vertex ray"
+    )
+    np.testing.assert_allclose(
+        np.asarray(hw.t), np.linalg.norm(dd, axis=1), rtol=1e-4
+    )
+
+
+def test_watertight_respects_t_window():
+    mesh = _fan_mesh(6)
+    o = jnp.asarray([[0.1, 0.05, 2.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+    assert bool(intersect.intersect_rays_watertight(o, d, mesh).valid[0])
+    h = intersect.intersect_rays_watertight(o, d, mesh, t_max=1.5)
+    assert not bool(h.valid[0])
+    h = intersect.intersect_rays_watertight(o, d, mesh, t_min=2.5)
+    assert not bool(h.valid[0])
+
+
+def test_watertight_ray_chunking():
+    mesh = _fan_mesh(8)
+    rng = np.random.default_rng(5)
+    o = jnp.asarray(np.tile([0.0, 0.0, 3.0], (300, 1)).astype(np.float32))
+    pts = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+    pts[:, 2] = 0.0
+    dd = pts - np.asarray([0, 0, 3.0])
+    d = jnp.asarray(dd / np.linalg.norm(dd, axis=1, keepdims=True))
+    full = intersect.intersect_rays_watertight(o, d, mesh)
+    chunked = intersect.intersect_rays_watertight(o, d, mesh, ray_chunk=128)
+    np.testing.assert_array_equal(np.asarray(full.valid),
+                                  np.asarray(chunked.valid))
+    np.testing.assert_array_equal(np.asarray(full.tri),
+                                  np.asarray(chunked.tri))
