@@ -84,38 +84,40 @@ def lts_scene(**kw):
 
 
 def glass_scene(width=100, height=100, spp=4, max_depth=3):
-    """The refraction demo: whisky glass on a floor under an area light
-    (examples/refraction.ipynb + examples/obj/glass.py)."""
-    from light_transport_tpu.scene.geometry import (
-        TriangleMesh,
-        concat_meshes,
-        quad_triangles,
-    )
+    """The refraction demo: whisky glass (glass body + liquid + ice)
+    standing in the Cornell box so the colored walls show through the
+    transmissive chains (examples/refraction.ipynb +
+    examples/obj/glass.py)."""
+    from light_transport_tpu.scene.geometry import concat_meshes
     from light_transport_tpu.scene.glass import design_glass, glass_materials
-    from light_transport_tpu.scene.material import (
-        Material,
-        MaterialTable,
-        presets,
-    )
+    from light_transport_tpu.scene.material import MaterialTable
     from light_transport_tpu.scene.scene import Scene
 
-    floor_mat = Material(color=presets.WHITE_2)
+    base, cfg = cornell_box_scene(width=width, height=height, spp=spp,
+                                  max_depth=max_depth, include_cone=False)
+    dim = 7.5
+    # tumbler is 12.5 tall with radius 7: scale into the box and stand it
+    # on the floor (y = -dim), centered
+    glass = (design_glass(mat_offset=5)
+             .scaled(0.85)
+             .translated((0.0, -dim + 0.01, 0.0)))
+    # rebuild the material table: the 5 Cornell rows (ids 0-4 in base.mesh)
+    # followed by the 3 glass rows (mat_offset=5 above)
+    from light_transport_tpu.scene.material import Material, presets
+
+    surface = Material(color=presets.WHITE_2, shininess=30, reflection=0.1,
+                       ior=1.5210, transmission=1)
+    left = Material(color=presets.RED, shininess=30, reflection=0.1,
+                    ior=1.5210, transmission=1)
+    right = Material(color=presets.GREEN, shininess=30, reflection=0.1,
+                     ior=1.5210, transmission=1)
+    glass_cone = presets.GLASS_MAT
     source = Material(color=presets.WHITE, shininess=1, reflection=0.9,
-                      ior=1.5, emission=100.0)
-    mats = MaterialTable.build([floor_mat, source] + glass_materials())
-    glass = design_glass(mat_offset=2)
-    floor = TriangleMesh.build(
-        quad_triangles((-30, -0.5, -30), (-30, -0.5, 30), (30, -0.5, 30),
-                       (30, -0.5, -30)),
-        np.asarray([0, 0], np.int32),
-    )
-    lq = quad_triangles((-5, 30, -5), (5, 30, -5), (5, 30, 5), (-5, 30, 5))
-    lights = TriangleMesh.build(lq, np.asarray([1, 1], np.int32),
-                                np.asarray([True, True]))
-    mesh = concat_meshes([floor, lights, glass])
-    scene = Scene.build(mesh, mats, camera=[0.0, 8.0, 40.0]).with_bvh()
-    cfg = RenderConfig(width=width, height=height, spp=spp,
-                       max_depth=max_depth, f_distance=20.0)
+                      ior=1.5, emission=200.0)
+    mats = MaterialTable.build(
+        [surface, left, right, glass_cone, source] + glass_materials())
+    mesh = concat_meshes([base.mesh, glass])
+    scene = Scene.build(mesh, mats, camera=[0.0, 0.0, dim + 0.5]).with_bvh()
     return scene, cfg
 
 

@@ -65,7 +65,7 @@ def pack_tri_weights(mesh: TriangleMesh):
 
 
 def _kernel(mask_ref, feat_ref, w_ref, tminmax_ref, best_t_ref,
-            best_col_ref, *, tri_tile, any_hit):
+            best_col_ref, *, tri_tile, n_clusters, any_hit):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -75,8 +75,11 @@ def _kernel(mask_ref, feat_ref, w_ref, tminmax_ref, best_t_ref,
         best_col_ref[:] = jnp.full_like(best_col_ref, -1)
 
     # cluster culling: skip the whole tile when no ray in this ray-tile
-    # enters this triangle-cluster's AABB (mask precomputed outside)
-    @pl.when(mask_ref[i, j] != 0)
+    # enters this triangle-cluster's AABB (mask precomputed outside).
+    # The mask is flattened to 1D: a 2D (tiles, C) SMEM array pads every
+    # row to 128 lanes (512 B), which blows the 1 MB SMEM budget for
+    # many-ray-tile few-cluster scenes.
+    @pl.when(mask_ref[i * n_clusters + j] != 0)
     def _():
         feats = feat_ref[:]  # (R, 16)
         w = w_ref[0]  # (16, 4*tri_tile)
@@ -148,7 +151,8 @@ def _tile_cluster_mask(origins, directions, tminmax, c_lo, c_hi):
     tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
     hit = (tn <= tf) & (tf >= tminmax[:, 0:1]) & (tn <= tminmax[:, 1:2])
     tiles = hit.reshape(-1, RAY_TILE, hit.shape[-1])
-    return jnp.any(tiles, axis=1).astype(jnp.int32)
+    # flattened (tiles * C,) — see the SMEM padding note in _kernel
+    return jnp.any(tiles, axis=1).astype(jnp.int32).reshape(-1)
 
 
 # SMEM budget for the (n_ray_tiles, C) culling mask — chunk rays so the
@@ -241,7 +245,8 @@ def intersect_rays_pallas(
     )
 
     grid = (n_pad // RAY_TILE, t_pad // TRI_TILE)
-    kern = functools.partial(_kernel, tri_tile=TRI_TILE, any_hit=any_hit)
+    kern = functools.partial(_kernel, tri_tile=TRI_TILE,
+                             n_clusters=n_clusters, any_hit=any_hit)
     best_t, best_col = pl.pallas_call(
         kern,
         grid=grid,

@@ -125,6 +125,24 @@ class TriangleMesh:
         _host_cache_put(self, arrs)
         return arrs
 
+    def translated(self, offset) -> "TriangleMesh":
+        """New mesh shifted by ``offset`` (host-side scene composition —
+        the reference moves objects via pyvista transforms before
+        triangulating, e.g. LTS.ipynb cell 11)."""
+        v0, e1, e2, centroid, normal, mat_id, is_light = self.host_arrays()
+        off = np.asarray(offset, v0.dtype)
+        tris = np.stack([v0 + off, v0 + off + e1, v0 + off + e2], axis=1)
+        return TriangleMesh.build(tris, mat_id, is_light, dtype=v0.dtype)
+
+    def scaled(self, factor, origin=(0.0, 0.0, 0.0)) -> "TriangleMesh":
+        """New mesh scaled about ``origin`` (uniform or per-axis)."""
+        v0, e1, e2, centroid, normal, mat_id, is_light = self.host_arrays()
+        f = np.broadcast_to(np.asarray(factor, v0.dtype), (3,))
+        org = np.asarray(origin, v0.dtype)
+        a = (v0 - org) * f + org
+        tris = np.stack([a, a + e1 * f, a + e2 * f], axis=1)
+        return TriangleMesh.build(tris, mat_id, is_light, dtype=v0.dtype)
+
     def vertices(self) -> np.ndarray:
         """Recover the (T, 3, 3) vertex array (host-side use: BVH build, IO)."""
         v0, e1, e2 = self.host_arrays()[:3]
