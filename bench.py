@@ -45,6 +45,8 @@ def bench_pallas_engine():
     tiles, k_steps, blocks = 8, 64, 32
     lanes = ROWS * LANES * tiles
 
+    from light_transport_tpu.tally.tallies import counter_value
+
     @jax.jit
     def step(seed):
         return bench_pallas(medium, cfg, seed, lanes, blocks,
@@ -57,13 +59,14 @@ def bench_pallas_engine():
         # pipeline several async dispatches to hide tunnel latency
         t0 = time.perf_counter()
         outs = [step(10 * trial + i + 1) for i in range(4)]
-        total = sum(float(o.block_until_ready()) for o in outs)
+        total = sum(counter_value(o.block_until_ready()) for o in outs)
         dt = time.perf_counter() - t0
         best = max(best, total / dt)
     return best
 
 
 def bench_xla_engine():
+    from light_transport_tpu.tally.tallies import counter_value
     from light_transport_tpu.transport.photon import run_fixed_steps
 
     medium = _medium()
@@ -79,7 +82,7 @@ def bench_xla_engine():
     best = 0.0
     for i in range(3):
         t0 = time.perf_counter()
-        s = float(bench_step(jax.random.key(i + 1)).block_until_ready())
+        s = counter_value(bench_step(jax.random.key(i + 1)).block_until_ready())
         best = max(best, s / (time.perf_counter() - t0))
     return best
 

@@ -122,14 +122,14 @@ def main(argv=None):
         print(
             json.dumps(
                 {
-                    "photons": float(res.launched),
+                    "photons": res.n_launched,
                     "seconds": dt,
                     "R_specular": res.specular_reflectance(),
                     "R_diffuse": res.total_reflectance(),
                     "A": res.total_absorption(),
                     "T": res.total_transmittance(),
                     "energy": res.energy_total(),
-                    "steps": float(res.steps),
+                    "steps": res.n_steps,
                 }
             )
         )

@@ -83,6 +83,24 @@ class PhotonRunConfig:
     # config 5's "512x512 detector image"); 0 disables it
     detector_nx: int = 0
     detector_extent: float = 1.0  # half-extent in cm
+    # optional 3-D cartesian absorption/fluence volume (BASELINE config 5's
+    # "3D fluence volume"); 0 disables it.  x/y centered on the beam axis,
+    # z from the surface down; out-of-volume deposits clip into edge cells
+    # (same convention as the (r, z) grid's overflow bins).
+    vol_nx: int = 0
+    vol_ny: int = 0
+    vol_nz: int = 0
+    vol_dx: float = 0.01
+    vol_dy: float = 0.01
+    vol_dz: float = 0.01
+    # Pallas-engine spatial-tally stride: the (r,z)/volume grids are only
+    # deposited into every Nth superstep, with the deposit scaled by N —
+    # statistically unbiased (stratified thinning), and it divides the
+    # event-stream scatter cost that dominates giant-grid runs.  Exit
+    # tallies, the absorbed scalar, and all counters stay exact every step.
+    # 1 = deposit every step (the MCML convention; always used by the XLA
+    # engine and by chi² parity runs).
+    tally_stride: int = 1
     seed: int = 0
 
 

@@ -2,21 +2,46 @@
 
 The XLA superstep (transport/photon.py) round-trips the full SoA state
 through HBM once per hop and pays threefry for its uniforms.  This kernel
-runs ``K_STEPS`` hop-drop-spin supersteps per invocation with the photon
+runs ``k_steps`` hop-drop-spin supersteps per invocation with the photon
 state resident in VMEM, draws uniforms from the TPU hardware PRNG
 (``pltpu.prng_random_bits``), and keeps every op branchless on the VPU.
-
-Tally scatter is *deferred*: each lane emits one ``(flat_bin, weight)``
-event per step into a dense output stream, and the host-side wrapper
-scatter-adds the stream into the tally grids with one XLA scatter (measured
-cheap).  Bin layout: ``[0, nr*nz)`` absorption, ``[nr*nz, nr*nz+nr)``
-reflectance by exit radius, ``[+nr, +2nr)`` transmittance.
 
 Physics is identical to transport/photon.superstep (same MCML hop/drop/
 spin/Fresnel/roulette rules, same carried optical depth); the RNG stream
 differs (hardware PRNG vs threefry), so results agree statistically, not
-bitwise — the equivalence test is chi-squared, like every MC parity check.
-Used by the benchmark and by ``simulate_pallas`` (per-tile launch quotas).
+bitwise — the equivalence test is chi-squared, like every MC parity check
+(tests/test_pallas_engine.py).
+
+Tally architecture (v2 — what closed the round-1 58x gap between bench-mode
+and unbiased throughput):
+
+* **Respawn at block start only** (quota mode).  Round 1 ranked dead lanes
+  against the launch quota every step via MXU prefix-sum matmuls; once per
+  ``k_steps`` amortizes that to noise.  Lanes that die mid-block idle until
+  the next block — a few percent occupancy for typical lifetimes of
+  hundreds of steps (and ``steps`` counts only live lanes, so the metric
+  stays honest).
+* **Exit records, not exit streams.**  With block-start respawn a lane can
+  exit at most once per block, so exits (diffuse reflectance/transmittance
+  by radius + the cartesian detector image) are one ``(bin, weight)``
+  record per lane per block instead of one stream slot per lane per STEP —
+  ~k_steps x fewer scattered events, and exits stay exact at every step.
+* **Strided absorption streams.**  The (r,z) grid and the 3-D fluence
+  volume are deposited every ``cfg.tally_stride``-th superstep with the
+  deposit scaled by the stride — statistically unbiased (stratified
+  thinning of the per-step deposit sequence), while the scalar ``absorbed``
+  accumulator and the photon weights remain exact every step.  Stride 1
+  reproduces the MCML convention bit-for-bit in expectation and is the
+  default for parity runs.
+* **Histogram accumulation on the MXU.**  XLA scatter-add sustains only
+  ~0.15 G events/s on v5e; a factorized one-hot matmul histogram
+  (``A += onehot(ir)^T @ (w * onehot(iz))``) is ~10x faster for grids up
+  to ~16k bins (measured), so the host-side fold picks matmul or scatter
+  by grid size.
+* **Exact counters.** Per-tile per-block event counts are < 2^24 (exact in
+  f32); the fold into the global tally uses the two-word counters from
+  tally/tallies.py, so ``launched``/``steps`` are exact at any scale (the
+  round-1 f32 counters recorded 99,999,952 of 1e8 launches).
 """
 
 from __future__ import annotations
@@ -31,13 +56,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from light_transport_tpu.core.config import PhotonRunConfig
 from light_transport_tpu.scene.medium import LayeredMedium
-from light_transport_tpu.tally.tallies import PhotonTallies
+from light_transport_tpu.tally.tallies import (
+    PhotonTallies,
+    counter_from_sum,
+    counter_merge,
+)
 
 ROWS = 64  # sublanes per tile -> 64*128 = 8192 lanes per program
 LANES = 128
-K_STEPS = 16  # supersteps fused per kernel invocation
+K_STEPS = 32  # supersteps fused per kernel invocation
 
 _TWO_NEG24 = float(2.0 ** -24)
+
+# matmul-histogram threshold: factorized one-hot beats XLA scatter-add up to
+# roughly this many bins (measured on v5e: 3 ms vs 28 ms at 4M events, 64x64)
+_HIST_MM_MAX_BINS = 16384
 
 
 def _u01(shape):
@@ -53,16 +86,8 @@ def _u01(shape):
     return hi24.astype(jnp.float32) * _TWO_NEG24
 
 
-def _gather_layer(table, layer, num_layers):
-    """Select-chain gather from a tiny per-layer table (static L)."""
-    out = jnp.full(layer.shape, table[0], jnp.float32)
-    for l in range(1, num_layers):
-        out = jnp.where(layer == l, table[l], out)
-    return out
-
-
 def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
-                 k_steps: int = K_STEPS):
+                 k_steps: int = K_STEPS, stride: int = 1):
     """Bake the (tiny, static) medium tables into the kernel as constants."""
     num_layers = len(medium_host["mu_t"])
     mu_t = tuple(float(x) for x in medium_host["mu_t"])
@@ -78,7 +103,6 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
     w0 = 1.0 - r_sp
     nr, nz = cfg.nr, cfg.nz
     inv_dr, inv_dz = 1.0 / cfg.dr, 1.0 / cfg.dz
-    absorb_bins = nr * nz
     wthresh = cfg.weight_threshold
     rr_surv = cfg.rr_survive
 
@@ -91,10 +115,15 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
     nx_det = cfg.detector_nx
     det_half = cfg.detector_extent
     det_scale = (nx_det / (2.0 * det_half)) if nx_det > 0 else 0.0
+    vol_on = cfg.vol_nx > 0
+    inv_vdx = 1.0 / cfg.vol_dx
+    inv_vdy = 1.0 / cfg.vol_dy
+    inv_vdz = 1.0 / cfg.vol_dz
 
     def kernel(seed_ref, quota_ref, px, py, pz, dx, dy, dz, w_ref, tau_ref,
                layer_ref, opx, opy, opz, odx, ody, odz, ow, otau, olayer,
-               bins_ref, vals_ref, det_bins_ref, det_vals_ref, counters_ref):
+               exit_bin_ref, exit_val_ref, det_bin_ref, det_val_ref,
+               rz_bins_ref, rz_vals_ref, vol_bins_ref, counters_ref):
         pid = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + pid * 7919)
 
@@ -102,15 +131,21 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
         spec = jnp.zeros((), jnp.float32)
         steps = jnp.zeros((), jnp.float32)
         absorbed = jnp.zeros((), jnp.float32)
-        quota = quota_ref[pid, 0]  # per-tile launch budget (f32)
+        quota = quota_ref[pid, 0]  # per-tile launch budget (f32, < 2^24)
 
         x, y, z = px[:], py[:], pz[:]
         ux, uy, uz = dx[:], dy[:], dz[:]
         w, tau = w_ref[:], tau_ref[:]
         layer = layer_ref[:]
 
-        for step in range(k_steps):
-            # ---- respawn dead lanes (w == 0 marks dead) --------------------
+        zero_f = jnp.zeros(x.shape, jnp.float32)
+        zero_i = jnp.zeros(x.shape, jnp.int32)
+        # per-lane once-per-block exit records (quota mode)
+        ex_bin, ex_val = zero_i, zero_f
+        de_bin, de_val = zero_i, zero_f
+
+        def respawn(x, y, z, ux, uy, uz, w, tau, layer, quota,
+                    launched, spec):
             dead = w <= 0.0
             if bench_mode:
                 can = dead
@@ -147,8 +182,28 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             w = jnp.where(can, w0, w)
             tau = jnp.where(can, 0.0, tau)
             layer = jnp.where(can, 0, layer)
-            launched += n_r
-            spec += n_r * r_sp
+            return (x, y, z, ux, uy, uz, w, tau, layer, quota,
+                    launched + n_r, spec + n_r * r_sp)
+
+        if not bench_mode:
+            (x, y, z, ux, uy, uz, w, tau, layer, quota, launched,
+             spec) = respawn(x, y, z, ux, uy, uz, w, tau, layer, quota,
+                             launched, spec)
+            # per-lane random phase for the strided spatial deposits: every
+            # step must be sampled with probability exactly 1/stride.  A
+            # fixed phase is badly biased — respawn aligns all photons to
+            # step 0, so their 0th/stride-th/... life-steps would always be
+            # the sampled ones (measured +4.8% on the absorb grids).
+            phase = jnp.minimum((_u01(x.shape) * float(stride))
+                                .astype(jnp.int32), stride - 1)
+
+        for step in range(k_steps):
+            if bench_mode:
+                # free respawn every step: occupancy stays at 100% so the
+                # throughput metric measures the superstep itself
+                (x, y, z, ux, uy, uz, w, tau, layer, quota, launched,
+                 spec) = respawn(x, y, z, ux, uy, uz, w, tau, layer, quota,
+                                 launched, spec)
             alive = w > 0.0
             steps += jnp.sum(alive.astype(jnp.float32))
 
@@ -252,25 +307,49 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             uz = jnp.where(scat, ndz, jnp.where(hits_b, new_uz_b, uz))
             layer = jnp.where(transmit_in, next_layer, layer)
 
-            # tally event stream: absorb OR exit per lane
-            flat = jnp.where(
-                scat, ir * nz + iz,
-                jnp.where(exit_top, absorb_bins + ir,
-                          absorb_bins + nr + ir))
-            val = jnp.where(scat, dw, jnp.where(exits, w, 0.0))
-            bins_ref[step] = jnp.where(val > 0, flat, 0)
-            vals_ref[step] = val
-            if nx_det > 0:
-                ix = jnp.clip(((x + det_half) * det_scale).astype(jnp.int32),
-                              0, nx_det - 1)
-                iy = jnp.clip(((y + det_half) * det_scale).astype(jnp.int32),
-                              0, nx_det - 1)
-                det_bins_ref[step] = jnp.where(exit_top, ix * nx_det + iy, 0)
-                det_vals_ref[step] = jnp.where(exit_top, w, 0.0)
-            elif step == 0:
-                # detector disabled: the streams are 1-step placeholders
-                det_bins_ref[0] = jnp.zeros_like(flat)
-                det_vals_ref[0] = jnp.zeros_like(val)
+            if not bench_mode:
+                # exit records: with block-start respawn a lane exits at most
+                # once per block, so one (bin, weight) slot per lane suffices
+                ex_bin = jnp.where(exits,
+                                   jnp.where(exit_top, ir, nr + ir), ex_bin)
+                ex_val = jnp.where(exits, w, ex_val)
+                if nx_det > 0:
+                    ix = jnp.clip(((x + det_half) * det_scale)
+                                  .astype(jnp.int32), 0, nx_det - 1)
+                    iy = jnp.clip(((y + det_half) * det_scale)
+                                  .astype(jnp.int32), 0, nx_det - 1)
+                    de_bin = jnp.where(exit_top, ix * nx_det + iy, de_bin)
+                    de_val = jnp.where(exit_top, w, de_val)
+                # strided spatial deposit: within each window of ``stride``
+                # steps, a lane deposits on the one step matching its random
+                # phase, scaled by the stride — every step is sampled with
+                # probability exactly 1/stride, so the estimate is unbiased
+                # (the absorbed scalar above stays exact regardless)
+                sidx = step // stride
+                sel = scat if stride == 1 else (
+                    scat & (phase == (step % stride)))
+                first = step % stride == 0
+                base_b = zero_i if first else rz_bins_ref[sidx]
+                base_v = zero_f if first else rz_vals_ref[sidx]
+                rz_bins_ref[sidx] = jnp.where(sel, ir * nz + iz, base_b)
+                rz_vals_ref[sidx] = jnp.where(sel, dw * float(stride),
+                                              base_v)
+                if vol_on:
+                    vx = jnp.clip(
+                        (x * inv_vdx + 0.5 * cfg.vol_nx).astype(jnp.int32),
+                        0, cfg.vol_nx - 1)
+                    vy = jnp.clip(
+                        (y * inv_vdy + 0.5 * cfg.vol_ny).astype(jnp.int32),
+                        0, cfg.vol_ny - 1)
+                    vz = jnp.clip((z * inv_vdz).astype(jnp.int32),
+                                  0, cfg.vol_nz - 1)
+                    base_vb = zero_i if first else vol_bins_ref[sidx]
+                    vol_bins_ref[sidx] = jnp.where(
+                        sel, (vx * cfg.vol_ny + vy) * cfg.vol_nz + vz,
+                        base_vb)
+                elif step == 0:
+                    vol_bins_ref[0] = zero_i
+
             w = jnp.where(exits, 0.0, w)  # lane dies on exit
 
             # nudge off the interface
@@ -285,6 +364,15 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
         ow[:] = w
         otau[:] = tau
         olayer[:] = layer
+        exit_bin_ref[:] = ex_bin
+        exit_val_ref[:] = ex_val
+        det_bin_ref[:] = de_bin
+        det_val_ref[:] = de_val
+        if bench_mode:
+            # streams unused: emit zeros into the 1-step placeholders
+            rz_bins_ref[0] = zero_i
+            rz_vals_ref[0] = zero_f
+            vol_bins_ref[0] = zero_i
         counters_ref[pid, 0] = launched
         counters_ref[pid, 1] = spec
         counters_ref[pid, 2] = steps
@@ -294,8 +382,32 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
     return kernel
 
 
+def _hist(bins, vals, n_bins: int):
+    """Scatter-add (bins, vals) -> (n_bins,), picking the fast path.
+
+    For small grids a factorized one-hot matmul runs on the MXU ~10x faster
+    than XLA's scatter-add (measured v5e: 3 ms vs 28 ms at 4M events into
+    64x64).  The one-hot entries are exact 0/1 and each event contributes
+    one product, so the result differs from scatter only in summation order.
+    """
+    bins = bins.reshape(-1)
+    vals = vals.reshape(-1)
+    if n_bins <= _HIST_MM_MAX_BINS:
+        n1 = 128 if n_bins % 128 == 0 else 1
+        n0 = n_bins // n1
+        i0 = bins // n1
+        oh0 = (i0[:, None] == jnp.arange(n0)[None, :]).astype(jnp.float32)
+        if n1 == 1:
+            return (oh0 * vals[:, None]).sum(axis=0)
+        i1 = bins - i0 * n1
+        oh1 = (i1[:, None] == jnp.arange(n1)[None, :]).astype(jnp.float32)
+        return jnp.dot(oh0.T, oh1 * vals[:, None],
+                       preferred_element_type=jnp.float32).reshape(-1)
+    return jnp.zeros((n_bins,), jnp.float32).at[bins].add(vals)
+
+
 class PallasPhotonEngine:
-    """Wraps the fused kernel: state management + deferred tally scatter."""
+    """Wraps the fused kernel: state management + deferred tally fold."""
 
     def __init__(self, medium: LayeredMedium, cfg: PhotonRunConfig,
                  lanes: int, bench_mode: bool = True,
@@ -306,6 +418,8 @@ class PallasPhotonEngine:
         self.n_tiles = lanes // (ROWS * LANES)
         self.bench_mode = bench_mode
         self.k_steps = k_steps
+        self.stride = max(1, int(cfg.tally_stride))
+        assert k_steps % self.stride == 0, (k_steps, self.stride)
         med = {
             "mu_t": np.asarray(medium.mu_t), "mu_a": np.asarray(medium.mu_a),
             "g": np.asarray(medium.g), "n": np.asarray(medium.n),
@@ -313,8 +427,8 @@ class PallasPhotonEngine:
             "n_above": np.asarray(medium.n_above),
             "n_below": np.asarray(medium.n_below),
         }
-        self.kernel = _make_kernel(med, cfg, bench_mode, k_steps)
-        self.total_bins = cfg.nr * cfg.nz + 2 * cfg.nr
+        self.kernel = _make_kernel(med, cfg, bench_mode, k_steps,
+                                   stride=self.stride)
 
     def zero_state(self):
         shape = (self.n_tiles * ROWS, LANES)
@@ -323,40 +437,43 @@ class PallasPhotonEngine:
 
     @functools.partial(jax.jit, static_argnums=0)
     def run_block(self, state, seed, quota_per_tile):
-        """k_steps supersteps. Returns (state, events, counters) where
-        events = (bins, vals, det_bins, det_vals) streams."""
+        """One block = block-start respawn + k_steps supersteps.
+
+        Returns (state, outs, counters) where outs = (exit_bin, exit_val,
+        det_bin, det_val, rz_bins, rz_vals, vol_bins).
+        """
         n_rows = self.n_tiles * ROWS
         px, py, pz, dx, dy, dz, w, tau, layer = state
         row_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
-        det_steps = self.k_steps if self.cfg.detector_nx > 0 else 1
+        n_stream = (self.k_steps // self.stride) if not self.bench_mode else 1
+        n_vol = n_stream if (self.cfg.vol_nx > 0
+                             and not self.bench_mode) else 1
+
+        def stream_spec(steps):
+            return pl.BlockSpec((steps, ROWS, LANES), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+
+        f32, i32 = jnp.float32, jnp.int32
         out_specs = (
             [row_spec] * 8
-            + [pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)]
-            + [
-                pl.BlockSpec((self.k_steps, ROWS, LANES), lambda i: (0, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((self.k_steps, ROWS, LANES), lambda i: (0, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((det_steps, ROWS, LANES), lambda i: (0, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((det_steps, ROWS, LANES), lambda i: (0, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ]
+            + [row_spec]  # layer
+            + [row_spec] * 4  # exit_bin/exit_val/det_bin/det_val
+            + [stream_spec(n_stream), stream_spec(n_stream),
+               stream_spec(n_vol)]
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)]
         )
-        f32 = jnp.float32
         out_shape = (
             [jax.ShapeDtypeStruct((n_rows, LANES), f32)] * 8
-            + [jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32)]
-            + [
-                jax.ShapeDtypeStruct((self.k_steps, n_rows, LANES), jnp.int32),
-                jax.ShapeDtypeStruct((self.k_steps, n_rows, LANES), f32),
-                jax.ShapeDtypeStruct((det_steps, n_rows, LANES), jnp.int32),
-                jax.ShapeDtypeStruct((det_steps, n_rows, LANES), f32),
-                jax.ShapeDtypeStruct((self.n_tiles, 5), f32),
-            ]
+            + [jax.ShapeDtypeStruct((n_rows, LANES), i32)]
+            + [jax.ShapeDtypeStruct((n_rows, LANES), i32),
+               jax.ShapeDtypeStruct((n_rows, LANES), f32),
+               jax.ShapeDtypeStruct((n_rows, LANES), i32),
+               jax.ShapeDtypeStruct((n_rows, LANES), f32)]
+            + [jax.ShapeDtypeStruct((n_stream, n_rows, LANES), i32),
+               jax.ShapeDtypeStruct((n_stream, n_rows, LANES), f32),
+               jax.ShapeDtypeStruct((n_vol, n_rows, LANES), i32)]
+            + [jax.ShapeDtypeStruct((self.n_tiles, 5), f32)]
         )
         in_specs = (
             [
@@ -364,8 +481,7 @@ class PallasPhotonEngine:
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ]
             + [row_spec] * 8
-            + [pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)]
+            + [row_spec]
         )
         quota_arr = jnp.broadcast_to(
             jnp.asarray(quota_per_tile, jnp.float32).reshape(-1, 1),
@@ -383,38 +499,49 @@ class PallasPhotonEngine:
             px, py, pz, dx, dy, dz, w, tau, layer,
         )
         new_state = outs[:9]
-        bins, vals = outs[9], outs[10]
-        det_bins, det_vals = outs[11], outs[12]
-        counters = outs[13]
-        return new_state, (bins, vals, det_bins, det_vals), counters
+        return new_state, outs[9:16], outs[16]
 
-    def accumulate(self, tallies: PhotonTallies, events, counters):
-        bins, vals, det_bins, det_vals = events
-        flat = jnp.zeros((self.total_bins,), jnp.float32)
-        flat = flat.at[bins.reshape(-1)].add(vals.reshape(-1))
-        if self.cfg.detector_nx > 0:
-            nx = self.cfg.detector_nx
-            det = jnp.zeros((nx * nx,), jnp.float32)
-            det = det.at[det_bins.reshape(-1)].add(det_vals.reshape(-1))
+    def accumulate(self, tallies: PhotonTallies, outs, counters):
+        (exit_bin, exit_val, det_bin, det_val,
+         rz_bins, rz_vals, vol_bins) = outs
+        cfg = self.cfg
+        if not self.bench_mode:
+            ex = _hist(exit_bin, exit_val, 2 * cfg.nr)
+            rz = _hist(rz_bins, rz_vals, cfg.nr * cfg.nz)
             tallies = tallies.replace(
-                detector_xy=tallies.detector_xy + det.reshape(nx, nx)
+                refl_r=tallies.refl_r + ex[:cfg.nr],
+                trans_r=tallies.trans_r + ex[cfg.nr:],
+                absorb_rz=tallies.absorb_rz + rz.reshape(cfg.nr, cfg.nz),
             )
-        nrnz = self.cfg.nr * self.cfg.nz
+            if cfg.detector_nx > 0:
+                nx = cfg.detector_nx
+                det = _hist(det_bin, det_val, nx * nx)
+                tallies = tallies.replace(
+                    detector_xy=tallies.detector_xy + det.reshape(nx, nx))
+            if cfg.vol_nx > 0:
+                nb = cfg.vol_nx * cfg.vol_ny * cfg.vol_nz
+                vol = _hist(vol_bins, rz_vals, nb)
+                tallies = tallies.replace(
+                    absorb_xyz=tallies.absorb_xyz
+                    + vol.reshape(cfg.vol_nx, cfg.vol_ny, cfg.vol_nz))
         return tallies.replace(
-            absorb_rz=tallies.absorb_rz + flat[:nrnz].reshape(
-                self.cfg.nr, self.cfg.nz),
-            refl_r=tallies.refl_r + flat[nrnz:nrnz + self.cfg.nr],
-            trans_r=tallies.trans_r + flat[nrnz + self.cfg.nr:],
-            launched=tallies.launched + counters[:, 0].sum(),
+            launched=counter_merge(tallies.launched,
+                                   counter_from_sum(counters[:, 0])),
             specular=tallies.specular + counters[:, 1].sum(),
-            steps=tallies.steps + counters[:, 2].sum(),
+            steps=counter_merge(tallies.steps,
+                                counter_from_sum(counters[:, 2])),
             absorbed=tallies.absorbed + counters[:, 4].sum(),
         )
 
 
 def bench_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
                  lanes: int, n_blocks: int, k_steps: int = K_STEPS):
-    """Throughput run: n_blocks * k_steps supersteps with free respawn."""
+    """Throughput run: n_blocks * k_steps supersteps with free respawn.
+
+    Bench mode respawns every step (100% occupancy) and keeps only the
+    exact scalar counters — it measures the superstep kernel itself.  The
+    unbiased quota engine below is the one that produces physics.
+    """
     eng = PallasPhotonEngine(medium, cfg, lanes, bench_mode=True,
                              k_steps=k_steps)
 
@@ -425,10 +552,10 @@ def bench_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
 
         def body(carry, b):
             state, tallies = carry
-            state, events, counters = eng.run_block(
+            state, outs, counters = eng.run_block(
                 state, seed0 + b * 65537, jnp.inf
             )
-            tallies = eng.accumulate(tallies, events, counters)
+            tallies = eng.accumulate(tallies, outs, counters)
             return (state, tallies), None
 
         (state, tallies), _ = jax.lax.scan(
@@ -441,15 +568,16 @@ def bench_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
 
 def simulate_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
                     lanes: int = ROWS * LANES * 16,
-                    max_blocks: int = 50_000,
-                    k_steps: int = K_STEPS):
+                    max_blocks: int = 200_000,
+                    k_steps: int = K_STEPS,
+                    chunk_blocks: int = 4):
     """Unbiased run of cfg.n_photons via per-tile launch quotas.
 
-    Host-driven block loop: each block is one jitted kernel call plus the
-    tally fold; the termination check (quota drained and all lanes dead)
-    reads two scalars back per block.  Wrapping the loop in a device-side
-    while_loop triggers pathologically slow XLA/Mosaic compiles, and the
-    ~10 ms/block dispatch overhead is irrelevant for an unbiased runner.
+    Host-driven loop over jitted *chunks* of ``chunk_blocks`` blocks (each
+    block = one kernel call + tally fold, composed with lax.scan): the
+    termination check reads one scalar back per chunk, so the ~27 ms tunnel
+    round-trip is amortized.  Wrapping the whole run in a device-side
+    while_loop triggers pathologically slow XLA/Mosaic compiles (PERF.md).
     """
     lanes = min(lanes, max(ROWS * LANES,
                            (cfg.n_photons // (ROWS * LANES)) * ROWS * LANES))
@@ -457,25 +585,32 @@ def simulate_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
                              k_steps=k_steps)
     base = cfg.n_photons // eng.n_tiles
     rem = cfg.n_photons - base * eng.n_tiles
+    assert base + 1 < 2 ** 24, "per-tile quota must stay exact in f32"
     quota = np.full((eng.n_tiles, 1), base, np.float32)
     quota[:rem, 0] += 1.0  # exact integer split of the launch budget
 
     @jax.jit
-    def block(state, tallies, quota, seed0):
-        state, events, counters = eng.run_block(state, seed0, quota)
-        tallies = eng.accumulate(tallies, events, counters)
-        quota = counters[:, 3:4]
-        alive = jnp.any(state[6] > 0.0)
-        more = jnp.any(quota > 0) | alive
+    def chunk(state, tallies, quota, seed0):
+        def body(carry, b):
+            state, tallies, quota = carry
+            state, outs, counters = eng.run_block(
+                state, seed0 + b * 65537, quota)
+            tallies = eng.accumulate(tallies, outs, counters)
+            quota = counters[:, 3:4]
+            return (state, tallies, quota), None
+
+        (state, tallies, quota), _ = jax.lax.scan(
+            body, (state, tallies, quota),
+            jnp.arange(chunk_blocks, dtype=jnp.int32))
+        more = jnp.any(quota > 0) | jnp.any(state[6] > 0.0)
         return state, tallies, quota, more
 
     state = eng.zero_state()
     tallies = PhotonTallies.zeros(cfg)
     quota = jnp.asarray(quota)
-    for b in range(max_blocks):
-        state, tallies, quota, more = block(
-            state, tallies, quota, seed + b * 65537
-        )
+    for c in range(0, max_blocks, chunk_blocks):
+        state, tallies, quota, more = chunk(
+            state, tallies, quota, seed + c * 65537)
         if not bool(more):
             break
     return tallies

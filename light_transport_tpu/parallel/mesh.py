@@ -115,7 +115,7 @@ def _simulate_dynamic_quota(medium, cfg, key, quota, lanes):
 
     state = PhotonState.dead(lanes)
     tallies = PhotonTallies.zeros(cfg)
-    quota = quota.astype(jnp.float32)
+    quota = quota.astype(jnp.int32)
 
     def cond(carry):
         state, _, quota, step = carry

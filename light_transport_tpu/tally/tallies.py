@@ -3,8 +3,18 @@
 The reference has no tally subsystem (its only detector is the camera image
 buffer, src/scene.py:66); this implements the MCML-style detectors the
 BASELINE configs require: radial diffuse reflectance/transmittance, an (r, z)
-absorption/fluence grid, and specular reflectance — all accumulated by
-masked scatter-adds from the whole lane population at once.
+absorption/fluence grid, a 3-D cartesian fluence volume, and specular
+reflectance — all accumulated by masked scatter-adds from the whole lane
+population at once.
+
+Event counters (photons launched, scatter steps) are EXACT at any scale via
+a two-word float32 representation: ``count = hi * COUNTER_BASE + lo`` with
+both words integer-valued f32.  A single f32 loses integer exactness above
+2^24 (~1.7e7) — a 1e8-photon run would drop launches at the ppm level (the
+round-1 full-scale artifact recorded 99,999,952 of 1e8).  TPUs have no i64,
+so the counter is carried as (2,) f32 with an explicit carry; capacity is
+2^24 * 2^16 = 2^40 (~1.1e12 events), and psum over up to ~256 devices keeps
+both words exact.
 """
 
 from __future__ import annotations
@@ -14,6 +24,47 @@ import numpy as np
 from flax import struct
 
 from light_transport_tpu.core.config import PhotonRunConfig
+
+# counter two-word base: lo in [0, COUNTER_BASE), hi counts COUNTER_BASE units
+COUNTER_BASE = float(2 ** 16)
+
+
+def counter_zero(dtype=jnp.float32) -> jnp.ndarray:
+    return jnp.zeros((2,), dtype)
+
+
+def counter_add(c: jnp.ndarray, inc) -> jnp.ndarray:
+    """Add an integer-valued f32 increment (< 2^23) exactly.
+
+    lo stays < COUNTER_BASE after normalization, so lo + inc < 2^24 is
+    exact; the carry into hi is exact while hi < 2^24.
+    """
+    lo = c[1] + inc
+    carry = jnp.floor(lo / COUNTER_BASE)
+    return jnp.stack([c[0] + carry, lo - carry * COUNTER_BASE])
+
+
+def counter_from_sum(vals: jnp.ndarray) -> jnp.ndarray:
+    """Exact counter from per-tile integer-valued f32 partials.
+
+    Each partial may be up to 2^24; a direct f32 sum of ~128 of them rounds.
+    Split each into (hi, lo) words first — the word sums stay below 2^24.
+    """
+    hi = jnp.floor(vals / COUNTER_BASE)
+    lo = vals - hi * COUNTER_BASE
+    return jnp.stack([jnp.sum(hi), jnp.sum(lo)])
+
+
+def counter_merge(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    lo = a[1] + b[1]
+    carry = jnp.floor(lo / COUNTER_BASE)
+    return jnp.stack([a[0] + b[0] + carry, lo - carry * COUNTER_BASE])
+
+
+def counter_value(c) -> float:
+    """Exact host-side value (float64 holds integers to 2^53)."""
+    c = np.asarray(c, np.float64)
+    return float(c[0] * COUNTER_BASE + c[1])
 
 
 @struct.dataclass
@@ -28,11 +79,14 @@ class PhotonTallies:
     trans_r: jnp.ndarray  # (nr,) transmittance weight by exit radius
     absorb_rz: jnp.ndarray  # (nr, nz) absorbed weight
     specular: jnp.ndarray  # () specular reflectance weight at launch
-    launched: jnp.ndarray  # () photons launched
-    steps: jnp.ndarray  # () photon scatter/boundary events processed
+    launched: jnp.ndarray  # (2,) exact hi/lo counter: photons launched
+    steps: jnp.ndarray  # (2,) exact hi/lo counter: lane events processed
     # cartesian exit-detector image over the top surface (BASELINE config 5);
     # (nx, nx), or (1, 1) when disabled
     detector_xy: jnp.ndarray
+    # 3-D cartesian absorbed-weight volume (BASELINE config 5's "3D fluence
+    # volume"); (vol_nx, vol_ny, vol_nz), or (1, 1, 1) when disabled
+    absorb_xyz: jnp.ndarray
     # exact scalar absorbed-weight accumulator: the (r,z) grid loses tiny
     # dw increments to f32 swamping in hot cells (adding ~1e-6 to ~1e3),
     # so energy accounting uses this batched-sum scalar instead
@@ -41,36 +95,48 @@ class PhotonTallies:
     @staticmethod
     def zeros(cfg: PhotonRunConfig, dtype=jnp.float32) -> "PhotonTallies":
         nx = max(cfg.detector_nx, 1)
+        vshape = (max(cfg.vol_nx, 1), max(cfg.vol_ny, 1), max(cfg.vol_nz, 1))
         return PhotonTallies(
             refl_r=jnp.zeros((cfg.nr,), dtype),
             trans_r=jnp.zeros((cfg.nr,), dtype),
             absorb_rz=jnp.zeros((cfg.nr, cfg.nz), dtype),
             specular=jnp.zeros((), dtype),
-            launched=jnp.zeros((), dtype),
-            steps=jnp.zeros((), dtype),
+            launched=counter_zero(dtype),
+            steps=counter_zero(dtype),
             detector_xy=jnp.zeros((nx, nx), dtype),
+            absorb_xyz=jnp.zeros(vshape, dtype),
             absorbed=jnp.zeros((), dtype),
         )
+
+    # --- exact counter views -------------------------------------------------
+
+    @property
+    def n_launched(self) -> float:
+        return counter_value(self.launched)
+
+    @property
+    def n_steps(self) -> float:
+        return counter_value(self.steps)
 
     # --- normalized views (host-side convenience) ---------------------------
 
     def total_reflectance(self) -> float:
         """Diffuse reflectance R_d per launched photon."""
-        return float(self.refl_r.sum() / jnp.maximum(self.launched, 1.0))
+        return float(self.refl_r.sum()) / max(self.n_launched, 1.0)
 
     def total_transmittance(self) -> float:
-        return float(self.trans_r.sum() / jnp.maximum(self.launched, 1.0))
+        return float(self.trans_r.sum()) / max(self.n_launched, 1.0)
 
     def total_absorption(self) -> float:
-        return float(self.absorbed / jnp.maximum(self.launched, 1.0))
+        return float(self.absorbed) / max(self.n_launched, 1.0)
 
     def total_absorption_grid(self) -> float:
         """Grid-summed absorption (subject to f32 swamping in hot cells;
         kept for cross-checking the spatial tally)."""
-        return float(self.absorb_rz.sum() / jnp.maximum(self.launched, 1.0))
+        return float(self.absorb_rz.sum()) / max(self.n_launched, 1.0)
 
     def specular_reflectance(self) -> float:
-        return float(self.specular / jnp.maximum(self.launched, 1.0))
+        return float(self.specular) / max(self.n_launched, 1.0)
 
     def energy_total(self) -> float:
         """R_sp + R_d + A + T — should be ~1 (exactly 1 in expectation)."""
@@ -91,15 +157,25 @@ class PhotonTallies:
         # annular cell volume: 2 pi (ir + 0.5) dr^2 dz
         dv = 2.0 * np.pi * (ir + 0.5) * cfg.dr**2 * cfg.dz
         a = np.asarray(self.absorb_rz, np.float64)
-        n = max(float(self.launched), 1.0)
+        n = max(self.n_launched, 1.0)
         dens = a / (dv[:, None] * n)
         if mu_a_grid is not None:
             dens = dens / np.maximum(np.asarray(mu_a_grid)[None, :], 1e-12)
+        return dens
+
+    def fluence_xyz(self, cfg: PhotonRunConfig, mu_a: float = None) -> np.ndarray:
+        """3-D fluence phi(x, y, z) = A_xyz / (dV * N * mu_a) [1/cm^2/photon]
+        (absorbed energy density when ``mu_a`` is None)."""
+        dv = cfg.vol_dx * cfg.vol_dy * cfg.vol_dz
+        n = max(self.n_launched, 1.0)
+        dens = np.asarray(self.absorb_xyz, np.float64) / (dv * n)
+        if mu_a is not None:
+            dens = dens / max(mu_a, 1e-12)
         return dens
 
     def reflectance_r(self, cfg: PhotonRunConfig) -> np.ndarray:
         """R_d(r) per unit area [1/cm^2]."""
         ir = np.arange(cfg.nr)
         da = 2.0 * np.pi * (ir + 0.5) * cfg.dr**2
-        n = max(float(self.launched), 1.0)
+        n = max(self.n_launched, 1.0)
         return np.asarray(self.refl_r, np.float64) / (da * n)

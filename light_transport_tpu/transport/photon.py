@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from light_transport_tpu.core.config import PhotonRunConfig
 from light_transport_tpu.ops import sampling
 from light_transport_tpu.scene.medium import LayeredMedium
-from light_transport_tpu.tally.tallies import PhotonTallies
+from light_transport_tpu.tally.tallies import PhotonTallies, counter_add
 
 # uniform slots per lane per superstep
 _U_TAU, _U_HG, _U_PHI, _U_FRESNEL, _U_RR = range(5)
@@ -76,18 +76,26 @@ def superstep(
     u: jnp.ndarray,  # (N, 5) uniforms for this superstep
     medium: LayeredMedium,
     cfg: PhotonRunConfig,
-    quota: jnp.ndarray,  # () float32: photons still allowed to launch
+    quota: jnp.ndarray,  # () int32: photons still allowed to launch
 ) -> Tuple[PhotonState, PhotonTallies, jnp.ndarray]:
     """One lockstep hop-drop-spin event per lane. Returns updated
-    (state, tallies, quota)."""
+    (state, tallies, quota).
+
+    The quota is int32 (exact to 2^31 photons); the round-1 f32 quota
+    rounded decrements above 2^24 and launched 99,999,952 of 1e8.
+    """
     n = state.w.shape[0]
     num_layers = medium.num_layers
 
     # ---- respawn dead lanes from the quota --------------------------------
     dead = ~state.alive
+    # lane rank among dead lanes; exact while lanes < 2^24.  Comparing
+    # against the f32-rounded quota is exact in effect: once quota exceeds
+    # 2^24 every rank (< lanes) passes regardless of rounding.
     order = jnp.cumsum(dead.astype(jnp.float32))
-    respawn = dead & (order <= quota)
-    n_respawn = jnp.sum(respawn.astype(jnp.float32))
+    respawn = dead & (order <= quota.astype(jnp.float32))
+    n_respawn_i = jnp.sum(respawn.astype(jnp.int32))
+    n_respawn = n_respawn_i.astype(jnp.float32)
     r_sp = _specular_r(medium)
     w0 = 1.0 - r_sp
     pos = jnp.where(respawn[:, None], 0.0, state.pos)
@@ -98,11 +106,11 @@ def superstep(
     layer = jnp.where(respawn, 0, state.layer)
     tau = jnp.where(respawn, 0.0, state.tau)
     alive = state.alive | respawn
-    quota = quota - n_respawn
+    quota = quota - n_respawn_i
     tallies = tallies.replace(
         specular=tallies.specular + n_respawn * r_sp,
-        launched=tallies.launched + n_respawn,
-        steps=tallies.steps + jnp.sum(alive.astype(jnp.float32)),
+        launched=counter_add(tallies.launched, n_respawn),
+        steps=counter_add(tallies.steps, jnp.sum(alive.astype(jnp.float32))),
     )
 
     # ---- hop ---------------------------------------------------------------
@@ -134,6 +142,21 @@ def superstep(
         absorb_rz=tallies.absorb_rz.at[ir, iz].add(dw),
         absorbed=tallies.absorbed + jnp.sum(dw),
     )
+    if cfg.vol_nx > 0:
+        # 3-D cartesian fluence volume: x/y centered on the beam axis,
+        # z downward from the surface; clips into edge cells like the
+        # (r, z) grid's overflow bins
+        vx = jnp.clip(
+            (pos[:, 0] / cfg.vol_dx + 0.5 * cfg.vol_nx).astype(jnp.int32),
+            0, cfg.vol_nx - 1)
+        vy = jnp.clip(
+            (pos[:, 1] / cfg.vol_dy + 0.5 * cfg.vol_ny).astype(jnp.int32),
+            0, cfg.vol_ny - 1)
+        vz = jnp.clip((pos[:, 2] / cfg.vol_dz).astype(jnp.int32),
+                      0, cfg.vol_nz - 1)
+        tallies = tallies.replace(
+            absorb_xyz=tallies.absorb_xyz.at[vx, vy, vz].add(dw)
+        )
     w = w - dw
 
     cos_hg = sampling.sample_henyey_greenstein(g, u[:, _U_HG])
@@ -243,7 +266,7 @@ def simulate_photons(
     def run(key):
         state = PhotonState.dead(lanes)
         tallies = PhotonTallies.zeros(cfg)
-        quota = jnp.asarray(float(cfg.n_photons), jnp.float32)
+        quota = jnp.asarray(cfg.n_photons, jnp.int32)
 
         def cond(carry):
             state, _, quota, step = carry
@@ -293,7 +316,8 @@ def run_fixed_steps(
             jax.random.fold_in(key, step), (lanes, _NUM_U), dtype=state.w.dtype
         )
         state, tallies, _ = superstep(
-            state, tallies, u, medium, cfg, jnp.asarray(jnp.inf, jnp.float32)
+            state, tallies, u, medium, cfg,
+            jnp.asarray(2**31 - 1, jnp.int32),  # unbounded respawn
         )
         return (state, tallies), None
 

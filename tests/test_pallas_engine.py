@@ -31,7 +31,7 @@ def test_pallas_van_de_hulst():
     n = 200_000
     cfg = PhotonRunConfig(n_photons=n, nr=64, nz=64, dr=0.05, dz=0.05)
     tl = simulate_pallas(m, cfg, seed=3, lanes=ROWS * LANES * 4)
-    assert float(tl.launched) == n
+    assert tl.n_launched == n
     se = binomial_stderr(0.41550, n)
     assert mc_parity_3sigma(tl.total_reflectance(), 0.41550, se,
                             abs_floor=1e-3)

@@ -30,7 +30,7 @@ def test_sharded_simulate_launches_exact_quota():
     cfg = PhotonRunConfig(n_photons=10_001, nr=16, nz=16)  # not divisible by 8
     res = simulate_sharded(medium(), cfg, jax.random.key(0),
                            lanes_per_device=512)
-    assert float(res.launched) == 10_001
+    assert res.n_launched == 10_001
     assert abs(res.energy_total() - 1.0) < 1e-2
 
 

@@ -51,7 +51,7 @@ def test_resumable_matches_uninterrupted(tmp_path):
     np.testing.assert_allclose(
         np.asarray(full.refl_r), np.asarray(resumed.refl_r), rtol=1e-6
     )
-    assert float(resumed.launched) == cfg.n_photons
+    assert resumed.n_launched == cfg.n_photons
 
 
 def test_accumulate():
@@ -59,7 +59,7 @@ def test_accumulate():
     a = simulate_photons(medium(), cfg, jax.random.key(1), lanes=512)
     b = simulate_photons(medium(), cfg, jax.random.key(2), lanes=512)
     tot = accumulate(a, b)
-    assert float(tot.launched) == 4_000
+    assert tot.n_launched == 4_000
     np.testing.assert_allclose(
         np.asarray(tot.absorb_rz),
         np.asarray(a.absorb_rz) + np.asarray(b.absorb_rz),
