@@ -32,9 +32,12 @@ U_LIGHT0 = 2  # light-surface barycentric u
 U_LIGHT1 = 3  # light-surface barycentric v
 U_PICK = 4  # light triangle pick
 U_RR = 5  # Russian roulette
+U_MED = 6  # interior-medium free-flight distance (U_BSDF0/1 are reused for
+# the HG scattering cosine / azimuth on in-scatter events — the surface
+# BSDF is not consumed on those lanes)
 U_AA0 = 0  # anti-alias jitter reuses bounce-0 BSDF slots pre-trace? no —
 # AA jitter gets its own draw at camera-ray generation time.
-NUM_U = 6
+NUM_U = 7
 
 
 def path_uniforms(key: jax.Array, lanes: int, max_depth: int,

@@ -272,6 +272,75 @@ def _diffuse_pdf_area(v_ns, v_diffuse_unused, from_pos, to_pos, to_ns):
     return pdf_solid * jnp.abs(lm.dot(to_ns, wn)) / d2
 
 
+def cam_side_mis(cam: Vertices, j: int, pt_rev, ptm_rev,
+                 light_tracing: bool):
+    """Balance-heuristic denominator terms from camera-side alternative
+    strategies: ``sum_i ri`` where ``ri = prod p_rev/p_fwd`` down the camera
+    subpath from the junction vertex ``j`` (PBRT's camera-side recursion;
+    reference attempt: ``get_mis_weight``, src/bdpt.py:298-359).
+
+    ``pt_rev``/``ptm_rev`` override the reverse densities at vertices ``j``
+    and ``j-1`` (they depend on the sampled junction).  With
+    ``light_tracing`` the recursion extends to the first surface vertex
+    (the t'=1 alternative)."""
+    n = cam.pos.shape[0]
+    ri = jnp.ones((n,))
+    total = jnp.zeros((n,))
+    stop = -1 if light_tracing else 0
+    for i in range(j, stop, -1):
+        rev = pt_rev if i == j else (
+            ptm_rev if i == j - 1 else cam.pdf_rev[:, i])
+        ri = ri * _remap(rev) / _remap(cam.pdf_fwd[:, i])
+        if i == 0:
+            # t'=1: the camera vertex is non-delta (film sampling)
+            not_delta = ~cam.is_delta[:, 0]
+        else:
+            not_delta = ~cam.is_delta[:, i] & ~cam.is_delta[:, i - 1]
+        total = total + jnp.where(not_delta & cam.valid[:, i], ri, 0.0)
+    return total
+
+
+def light_side_mis(lv: Vertices, l0: dict, pdf_area_light, end: int,
+                   qs_rev, qsm_rev):
+    """Balance-heuristic denominator terms from light-side alternative
+    strategies.
+
+    ``end`` is the PBRT light index of the junction vertex (index 0 = the
+    origin point on the light, index k>=1 = walk vertex k-1); the sampled
+    strategy has s = end+1 light vertices, and the loop enumerates
+    s' = end .. 0.  ``qs_rev``/``qsm_rev`` override pdf_rev at indices
+    ``end`` and ``end-1``."""
+    n = lv.pos.shape[0]
+    ri = jnp.ones((n,))
+    total = jnp.zeros((n,))
+    for k in range(end, -1, -1):
+        if k == end:
+            rev = qs_rev
+        elif k == end - 1:
+            rev = qsm_rev
+        elif k == 0:
+            # rev density of the light origin: walk vertex 0 scattering
+            # back toward it (diffuse |cos|/pi; delta -> 0/remap)
+            diff0 = ~lv.is_delta[:, 0]
+            rev = jnp.where(
+                diff0,
+                _diffuse_pdf_area(lv.ns[:, 0], None, lv.pos[:, 0],
+                                  l0["pos"], l0["ns"]),
+                0.0,
+            )
+        else:
+            rev = lv.pdf_rev[:, k - 1]
+        fwd = (
+            jnp.full((n,), pdf_area_light)
+            if k == 0 else lv.pdf_fwd[:, k - 1]
+        )
+        ri = ri * _remap(rev) / _remap(fwd)
+        d_k = jnp.zeros((n,), bool) if k == 0 else lv.is_delta[:, k - 1]
+        d_km = jnp.zeros((n,), bool) if k <= 1 else lv.is_delta[:, k - 2]
+        total = total + jnp.where(~d_k & ~d_km, ri, 0.0)
+    return total
+
+
 from functools import partial
 
 
@@ -308,62 +377,6 @@ def render_bdpt(
     total_area = jnp.maximum(scene.lights.total_area, 1e-12)
     pdf_area_light = 1.0 / total_area
 
-    def cam_side_mis(j, pt_rev, ptm_rev):
-        """Sum of ri over camera-side alternative strategies: t' from j+1
-        surface vertices down to 1 (PBRT t'>=2), plus the t'=1 (light
-        tracing) alternative when it is among the sampled strategies."""
-        ri = jnp.ones((n,))
-        total = jnp.zeros((n,))
-        stop = -1 if light_tracing else 0
-        for i in range(j, stop, -1):
-            rev = pt_rev if i == j else (ptm_rev if i == j - 1 else cam.pdf_rev[:, i])
-            ri = ri * _remap(rev) / _remap(cam.pdf_fwd[:, i])
-            if i == 0:
-                # t'=1: the camera vertex is non-delta (film sampling)
-                not_delta = ~cam.is_delta[:, 0]
-            else:
-                not_delta = ~cam.is_delta[:, i] & ~cam.is_delta[:, i - 1]
-            total = total + jnp.where(not_delta & cam.valid[:, i], ri, 0.0)
-        return total
-
-    def light_side_mis(end, qs_rev, qsm_rev):
-        """Sum of ri over light-side alternative strategies.
-
-        ``end`` is the PBRT light index of the junction vertex (index 0 =
-        the origin point on the light, index k>=1 = walk vertex k-1); the
-        sampled strategy has s = end+1 light vertices, and the loop
-        enumerates s' = end .. 0.  ``qs_rev``/``qsm_rev`` override pdf_rev at
-        indices ``end`` and ``end-1``.
-        """
-        ri = jnp.ones((n,))
-        total = jnp.zeros((n,))
-        for k in range(end, -1, -1):
-            if k == end:
-                rev = qs_rev
-            elif k == end - 1:
-                rev = qsm_rev
-            elif k == 0:
-                # rev density of the light origin: walk vertex 0 scattering
-                # back toward it (diffuse |cos|/pi; delta -> 0/remap)
-                diff0 = ~lv.is_delta[:, 0]
-                rev = jnp.where(
-                    diff0,
-                    _diffuse_pdf_area(lv.ns[:, 0], None, lv.pos[:, 0],
-                                      l0["pos"], l0["ns"]),
-                    0.0,
-                )
-            else:
-                rev = lv.pdf_rev[:, k - 1]
-            fwd = (
-                jnp.full((n,), pdf_area_light)
-                if k == 0 else lv.pdf_fwd[:, k - 1]
-            )
-            ri = ri * _remap(rev) / _remap(fwd)
-            d_k = jnp.zeros((n,), bool) if k == 0 else lv.is_delta[:, k - 1]
-            d_km = jnp.zeros((n,), bool) if k <= 1 else lv.is_delta[:, k - 2]
-            total = total + jnp.where(~d_k & ~d_km, ri, 0.0)
-        return total
-
     # ---- s = 0: camera path hits the light ---------------------------------
     for j in range(max_d):
         hit_light = cam.valid[:, j] & cam.is_light[:, j]
@@ -378,7 +391,7 @@ def render_bdpt(
                 cam.ns[:, j], None, cam.pos[:, j], cam.pos[:, j - 1],
                 cam.ns[:, j - 1],
             )  # cosine emission: same |cos|/pi shape
-            denom_cam = cam_side_mis(j, pdf_area_light, ptm_rev)
+            denom_cam = cam_side_mis(cam, j, pdf_area_light, ptm_rev, light_tracing)
             w = 1.0 / (1.0 + denom_cam)
         radiance = radiance + jnp.where(
             hit_light[:, None], contrib * w[:, None], 0.0
@@ -420,7 +433,7 @@ def render_bdpt(
                                         cam.ns[:, j - 1])
         else:
             ptm_rev = jnp.zeros((n,))
-        denom_cam = cam_side_mis(j, pt_rev, ptm_rev)
+        denom_cam = cam_side_mis(cam, j, pt_rev, ptm_rev, light_tracing)
         # light side: single vertex (s'=0 alternative): ri = remap(qs_rev)/
         # remap(pdf_pos); term counted (light not delta)
         ri_l = _remap(qs_rev) / _remap(pdf_pos)
@@ -473,8 +486,8 @@ def render_bdpt(
                 qsm_pos, qsm_ns = l0["pos"], l0["ns"]
             qsm_rev = _diffuse_pdf_area(lns, None, lp_, qsm_pos, qsm_ns)
 
-            denom_cam = cam_side_mis(j, pt_rev, ptm_rev)
-            denom_light = light_side_mis(i + 1, qs_rev, qsm_rev)
+            denom_cam = cam_side_mis(cam, j, pt_rev, ptm_rev, light_tracing)
+            denom_light = light_side_mis(lv, l0, pdf_area_light, i + 1, qs_rev, qsm_rev)
             w = 1.0 / (1.0 + denom_cam + denom_light)
             radiance = radiance + jnp.where(
                 ok[:, None], contrib * w[:, None], 0.0
@@ -538,7 +551,7 @@ def render_bdpt(
             else:
                 qsm_pos, qsm_ns = l0["pos"], l0["ns"]
             qsm_rev = _diffuse_pdf_area(p_ns, None, p_pos, qsm_pos, qsm_ns)
-            denom = light_side_mis(i + 1, qs_rev, qsm_rev)
+            denom = light_side_mis(lv, l0, pdf_area_light, i + 1, qs_rev, qsm_rev)
             w_mis = 1.0 / (1.0 + denom)
 
             add = jnp.where(ok[:, None], contrib * w_mis[:, None], 0.0)

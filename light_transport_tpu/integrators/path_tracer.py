@@ -61,6 +61,12 @@ class PathState(NamedTuple):
     throughput: jnp.ndarray  # (N, 3)
     radiance: jnp.ndarray  # (N, 3)
     alive: jnp.ndarray  # (N,) bool
+    # NEE bookkeeping ("nee" emission mode): True when a light hit at this
+    # bounce could NOT have been sampled by a shadow ray — at bounce 0, or
+    # when every vertex since the last diffuse one was specular / a medium
+    # scatter.  Avoids both the double counting of "always" and the
+    # specular-chain energy loss of "first_hit".
+    emit_ok: jnp.ndarray  # (N,) bool
 
 
 class TraceRecord(NamedTuple):
@@ -133,13 +139,49 @@ def _bounce(
     diffuse_rgb = mats.diffuse[mat_id]
     ior = mats.ior[mat_id]
 
-    # --- emission (src/path_tracing.py:59-60: bounce 0 only; fix1 :45: always)
+    # --- interior participating medium ------------------------------------
+    # A backface hit means the segment [origin, hit_p] traversed the inside
+    # of the closed object whose surface was hit: Beer-Lambert absorption
+    # applies along it, and if the material scatters (sigma_s > 0) an
+    # in-scatter event may preempt the surface interaction.  Free flight is
+    # sampled against sigma_s alone (analog scattering), so the scattering
+    # transmittance cancels its own pdf exactly and absorption remains as a
+    # throughput weight — standard unbiased spectral-absorption estimator.
+    # (Completes the capability the reference stubbed with its Medium enum,
+    # src/constants.py:17-24, and unused HG, src/medium_samples.py:14-16.)
+    sig_a = mats.sigma_a[mat_id]  # (N, 3)
+    sig_s = mats.sigma_s[mat_id]
+    med_g = mats.medium_g[mat_id]
+    interior = hit_ok & inside
+    has_scat = interior & (sig_s > 0.0)
+    safe_ss = jnp.where(has_scat, sig_s, 1.0)
+    d_scat = -jnp.log1p(-u[:, rng.U_MED]) / safe_ss
+    scatter_evt = has_scat & (d_scat < hit.t)
+    seg_len = jnp.where(interior, jnp.where(scatter_evt, d_scat, hit.t), 0.0)
+    atten = jnp.exp(-sig_a * seg_len[:, None])
+    tp_arr = state.throughput * atten  # throughput at this bounce's event
+
+    hg_cos = sampling.sample_henyey_greenstein(med_g, u[:, rng.U_BSDF0])
+    hg_dir = sampling.scatter_direction(state.direction, hg_cos,
+                                        u[:, rng.U_BSDF1])
+    scat_o = state.origin + state.direction * d_scat[:, None]
+
+    # --- emission (src/path_tracing.py:59-60: bounce 0 only; fix1 :45:
+    # always; "nee": the estimator-correct rule — emission counts only when
+    # NEE could not have sampled this light hit, i.e. at bounce 0 or after
+    # an unbroken specular/medium-scatter chain.  "first_hit" reproduces the
+    # reference flagship, which structurally drops light seen through
+    # specular chains; "always" reproduces fix1, which double-counts
+    # BSDF-sampled light hits that NEE also scored.)
     if cfg.emission_mode == "first_hit":
         add_emit = hit_ok & is_light & (bounce == 0)
+    elif cfg.emission_mode == "nee":
+        add_emit = hit_ok & is_light & state.emit_ok
     else:
         add_emit = hit_ok & is_light
+    add_emit = add_emit & ~scatter_evt
     radiance = state.radiance + jnp.where(
-        add_emit[:, None], emission[:, None] * state.throughput, 0.0
+        add_emit[:, None], emission[:, None] * tp_arr, 0.0
     )
 
     # --- diffuse branch: NEE + cosine bounce -------------------------------
@@ -200,15 +242,21 @@ def _bounce(
         diffuse_new_o,
         jnp.where(is_mirror[:, None], mirror_new_o, trans_new_o),
     )
+    # in-scatter events preempt the surface interaction entirely
+    new_dir = jnp.where(scatter_evt[:, None], hg_dir, new_dir)
+    new_o = jnp.where(scatter_evt[:, None], scat_o, new_o)
     tp_scale = jnp.where(is_diffuse[:, None], diffuse_tp_scale, 1.0)
 
-    shade = hit_ok & is_diffuse
-    direct_contrib = jnp.where(shade[:, None], state.throughput * direct, 0.0)
+    shade = hit_ok & is_diffuse & ~scatter_evt
+    direct_contrib = jnp.where(shade[:, None], tp_arr * direct, 0.0)
     radiance = radiance + direct_contrib
 
-    new_tp = state.throughput * jnp.where(hit_ok[:, None], tp_scale, 1.0)
+    new_tp = tp_arr * jnp.where((hit_ok & ~scatter_evt)[:, None],
+                                tp_scale, 1.0)
 
-    alive = state.alive & hit_ok & bsdf_ok & (pdf_ok | ~is_diffuse)
+    alive = state.alive & (
+        scatter_evt | (hit_ok & bsdf_ok & (pdf_ok | ~is_diffuse))
+    )
 
     # --- Russian roulette (src/path_tracing.py:147-155) --------------------
     rr_active = alive & (bounce > cfg.rr_start)
@@ -226,13 +274,15 @@ def _bounce(
         throughput=new_tp,
         radiance=radiance,
         alive=alive,
+        emit_ok=scatter_evt | (hit_ok & (is_mirror | is_trans)),
     )
+    reached = hit_ok & ~scatter_evt  # path actually arrived at the surface
     per_bounce = (
         log_pdf,
         hit_ok & state.alive,
         direct_contrib,
-        jnp.where(hit_ok, hit.tri, -1),
-        jnp.where(hit_ok, lm.luminance(state.throughput), 0.0),
+        jnp.where(reached, hit.tri, -1),
+        jnp.where(reached, lm.luminance(tp_arr), 0.0),
     )
     return new_state, per_bounce
 
@@ -257,6 +307,7 @@ def trace_paths(
         throughput=jnp.ones((n, 3), dtype=dtype),
         radiance=jnp.zeros((n, 3), dtype=dtype),
         alive=jnp.ones((n,), dtype=bool),
+        emit_ok=jnp.ones((n,), dtype=bool),
     )
 
     def step(carry, xs):

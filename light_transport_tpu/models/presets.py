@@ -68,19 +68,77 @@ def mesh_scene():
 
 def full_scale():
     """BASELINE config 5: 1e8 photons into a 3D fluence volume + a 512x512
-    detector image, photon batches sharded across the mesh."""
+    detector image, photon batches sharded across the mesh.
+
+    The 3-D cartesian volume (128^3 cells, 2 mm pitch) covers +/-1.28 cm
+    around the beam axis and 2.56 cm of depth — the same physical extent as
+    the (r, z) MCML grid; ``tally_stride=4`` thins the spatial deposits
+    (unbiased, see PhotonRunConfig) so the giant-grid scatter cost doesn't
+    dominate the run.
+    """
     medium = LayeredMedium.build(
         [MediumConfig(mu_a=0.5, mu_s=50.0, g=0.9, n=1.37)]
     )
     cfg = PhotonRunConfig(n_photons=100_000_000, nr=512, nz=512,
                           dr=0.005, dz=0.005,
-                          detector_nx=512, detector_extent=1.28)
+                          detector_nx=512, detector_extent=1.28,
+                          vol_nx=128, vol_ny=128, vol_nz=128,
+                          vol_dx=0.02, vol_dy=0.02, vol_dz=0.02,
+                          tally_stride=4)
     return medium, cfg
 
 
 def lts_scene(**kw):
     """The flagship notebook scene (LTS.ipynb cells 11-18)."""
     return cornell_box_scene(**kw)
+
+
+def hard_shadow_scene(width=400, height=400):
+    """The reference's hard_shadow.ipynb scene, rebuilt exactly: a 2-unit
+    BRONZE cube at [0,2]^3 on a green floor (y=-2, x +/-52, z +/-7), a point
+    light at (3,5,3) (tiny emissive quad; our Whitted shades from light-row
+    centroids), camera (0,0,3.5) with the screen plane at z=3 (the
+    notebook's legacy ``scene.depth``), 400x400, depth 3 — the golden-image
+    parity scene vs examples/hard_shadow.png."""
+    from light_transport_tpu.scene.geometry import (
+        TriangleMesh,
+        concat_meshes,
+        quad_triangles,
+    )
+    from light_transport_tpu.scene.material import (
+        Material,
+        MaterialTable,
+        presets,
+    )
+    from light_transport_tpu.scene.scene import Scene
+
+    # cube.obj: unit-2 cube spanning [0,2]^3, quad faces fanned like the
+    # reference loader (examples/obj/cube.obj + hard_shadow.ipynb cell 9)
+    v = np.array([[0, 2, 2], [0, 0, 2], [2, 0, 2], [2, 2, 2],
+                  [0, 2, 0], [0, 0, 0], [2, 0, 0], [2, 2, 0]], np.float64)
+    faces = [(0, 1, 2, 3), (7, 6, 5, 4), (3, 2, 6, 7),
+             (4, 0, 3, 7), (4, 5, 1, 0), (1, 5, 6, 2)]
+    cube_t = np.concatenate(
+        [quad_triangles(v[a], v[b], v[c], v[d]) for a, b, c, d in faces])
+    cube = TriangleMesh.build(cube_t, np.zeros(len(cube_t), np.int32))
+    floor = TriangleMesh.build(
+        quad_triangles((-52, -2, -7), (-52, -2, 7), (52, -2, 7),
+                       (52, -2, -7)),
+        np.asarray([1, 1], np.int32))
+    s = 0.01  # point light (hard_shadow.ipynb cell 11) as a tiny quad
+    lq = quad_triangles((3 - s, 5, 3 - s), (3 + s, 5, 3 - s),
+                        (3 + s, 5, 3 + s), (3 - s, 5, 3 + s))
+    lights = TriangleMesh.build(lq, np.asarray([2, 2], np.int32),
+                                np.asarray([True, True]))
+    green = Material(color=presets.GREEN, shininess=90, reflection=0.1)
+    source = Material(color=presets.WHITE, shininess=1, reflection=0.9,
+                      emission=1.0)
+    mats = MaterialTable.build([presets.BRONZE_MAT, green, source])
+    mesh = concat_meshes([cube, floor, lights])
+    scene = Scene.build(mesh, mats, camera=[0.0, 0.0, 3.5])
+    cfg = RenderConfig(width=width, height=height, spp=1, max_depth=3,
+                       f_distance=3.0)
+    return scene, cfg
 
 
 def glass_scene(width=100, height=100, spp=4, max_depth=3):
@@ -93,8 +151,14 @@ def glass_scene(width=100, height=100, spp=4, max_depth=3):
     from light_transport_tpu.scene.material import MaterialTable
     from light_transport_tpu.scene.scene import Scene
 
+    import dataclasses
+
     base, cfg = cornell_box_scene(width=width, height=height, spp=spp,
                                   max_depth=max_depth, include_cone=False)
+    # specular chains dominate this scene: use the estimator-correct "nee"
+    # emission rule (light hits count after specular chains) — "first_hit"
+    # (reference flagship parity) structurally drops that energy
+    cfg = dataclasses.replace(cfg, emission_mode="nee")
     dim = 7.5
     # tumbler is 12.5 tall with radius 7: scale into the box and stand it
     # on the floor (y = -dim), centered

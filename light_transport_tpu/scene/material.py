@@ -54,6 +54,15 @@ class Material:
     transmission: float = 0.0
     is_diffuse: bool = True
     is_mirror: bool = False
+    # Interior participating medium (closed transmissive objects): RGB
+    # absorption coefficient and scattering coefficient / HG anisotropy in
+    # inverse scene units.  The reference's ``Medium`` enum + unused
+    # ``henyey_greenstein`` (src/constants.py:17-24, src/medium_samples.py:
+    # 14-16) gesture at this capability; here Beer-Lambert attenuation and
+    # HG in-scattering run along every interior path segment.
+    sigma_a: tuple = (0.0, 0.0, 0.0)
+    sigma_s: float = 0.0
+    medium_g: float = 0.0
 
     @property
     def bsdf(self) -> int:
@@ -79,6 +88,9 @@ class MaterialTable:
     emission: np.ndarray  # (M,)
     transmission: np.ndarray  # (M,)
     bsdf: np.ndarray  # (M,) int32 BSDF code
+    sigma_a: np.ndarray  # (M, 3) interior RGB absorption coefficient
+    sigma_s: np.ndarray  # (M,) interior scattering coefficient
+    medium_g: np.ndarray  # (M,) interior HG anisotropy
 
     @staticmethod
     def build(materials: Sequence[Material], dtype=np.float32) -> "MaterialTable":
@@ -97,6 +109,9 @@ class MaterialTable:
             emission=arr(lambda m: m.emission),
             transmission=arr(lambda m: m.transmission),
             bsdf=jnp.asarray([m.bsdf for m in materials], dtype=jnp.int32),
+            sigma_a=arr(lambda m: m.sigma_a),
+            sigma_s=arr(lambda m: m.sigma_s),
+            medium_g=arr(lambda m: m.medium_g),
         )
 
     @property

@@ -1,3 +1,4 @@
+import pytest
 import dataclasses
 
 import jax
@@ -8,6 +9,7 @@ from light_transport_tpu.scene.cornell import cornell_box_scene
 from light_transport_tpu.tally.stats import image_mae
 
 
+@pytest.mark.slow
 def test_render_with_fat_leaves_matches_brute_force():
     # regression: traversal must honor the tree's own max_leaf (a build with
     # 32-prim leaves once silently tested only the first 4 prims per leaf)
@@ -34,6 +36,7 @@ def test_render_with_bvh_matches_brute_force_direct():
     np.testing.assert_allclose(img_brute, img_bvh, atol=0.02)
 
 
+@pytest.mark.slow
 def test_render_with_bvh_statistical_parity_deep():
     # at depth 3 identical uniforms still diverge chaotically from last-ulp
     # hit-t differences; compare the converged estimators instead

@@ -30,6 +30,7 @@ def test_cli_render_sharded(tmp_path):
     assert rc == 0
 
 
+@pytest.mark.slow
 def test_cli_simulate_checkpoint(tmp_path, capsys):
     ck = str(tmp_path / "run.npz")
     rc = main(["simulate", "--preset", "demo", "--photons", "4000",

@@ -27,6 +27,7 @@ def setup():
     return scene, cfg, o, d, uniforms
 
 
+@pytest.mark.slow
 def test_exact_matches_fd(setup):
     """The exact score must agree with the reference's FD scheme wherever
     the FD stencil doesn't cross a path discontinuity."""
@@ -106,6 +107,7 @@ def test_render_cv_end_to_end():
     assert out.grad_log_pdf.shape == (10, 10, 16, 6)
 
 
+@pytest.mark.slow
 def test_cv_pixel_dive():
     from light_transport_tpu.integrators.control_variates import cv_pixel_dive
 

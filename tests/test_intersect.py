@@ -1,3 +1,4 @@
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -176,6 +177,7 @@ def test_watertight_respects_t_window():
     assert not bool(h.valid[0])
 
 
+@pytest.mark.slow
 def test_watertight_ray_chunking():
     mesh = _fan_mesh(8)
     rng = np.random.default_rng(5)

@@ -111,6 +111,7 @@ def _trace_oracle(rng, v0, e1, e2, nrm, mats, o, d, max_depth, rr_start=3):
     return radiance
 
 
+@pytest.mark.slow
 def test_path_tracer_matches_scalar_oracle():
     v0, e1, e2, nrm, mats = _build_oracle_scene()
     rng = np.random.default_rng(0)

@@ -60,6 +60,7 @@ def test_sharded_render_matches_unsharded():
     np.testing.assert_allclose(img_sharded, img_ref, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sharded_render_different_device_counts_agree():
     scene, cfg = cornell_box_scene(width=16, height=16, spp=4, max_depth=2)
     img2 = np.asarray(

@@ -6,6 +6,7 @@ any scale (VERDICT.md weak #5), and the cartesian volume (BASELINE config 5)
 must close energy with the exact scalar accumulator and be shard-invariant.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -88,6 +89,7 @@ def test_volume_tally_closes_energy():
                                prof_rz / prof_rz.sum(), atol=0.02)
 
 
+@pytest.mark.slow
 def test_volume_tally_shard_invariant():
     """Same config on 2 vs 8 shards: psum'd volumes agree statistically and
     energy closes on both (VERDICT item 2's 'sharded validation')."""

@@ -1,3 +1,4 @@
+import pytest
 import dataclasses
 import os
 
@@ -32,6 +33,7 @@ def test_checkpoint_roundtrip(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_resumable_matches_uninterrupted(tmp_path):
     cfg = PhotonRunConfig(n_photons=8_000, nr=16, nz=16)
     p1 = str(tmp_path / "a.npz")

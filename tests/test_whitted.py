@@ -1,3 +1,4 @@
+import pytest
 import jax
 import numpy as np
 
@@ -39,6 +40,7 @@ def test_whitted_shadowing():
     assert img_c[floor].mean() < img_o[floor].mean() - 0.01
 
 
+@pytest.mark.slow
 def test_whitted_indirect_option():
     from light_transport_tpu.integrators.whitted import render_whitted
 
