@@ -122,16 +122,16 @@ def random_walk(
     for step in range(max_len):
         hit = _hit(scene, o, d, ray_chunk)
         ok = alive & hit.valid
-        tri = jnp.maximum(hit.tri, 0)
         hp = o + d * hit.t[:, None]
-        mat_id = mesh.mat_id[tri]
-        n_geo = mesh.normal[tri]
+        from light_transport_tpu.scene.analytic import surface_attrs
+
+        n_geo, mat_id, hit_is_light = surface_attrs(scene, hit, hp)
         inside = lm.dot(n_geo, d) > 0.0
         ns = jnp.where(inside[:, None], -n_geo, n_geo)
         bsdf = mats.bsdf[mat_id]
         is_delta = (bsdf == BSDF_MIRROR) | (bsdf == BSDF_TRANSMISSIVE)
         is_diffuse = bsdf == BSDF_DIFFUSE
-        is_light = mesh.is_light[tri] & ok
+        is_light = hit_is_light & ok
         emit = (mats.emission[mat_id][:, None] * mats.diffuse[mat_id])
 
         pdf_fwd = _to_area(pdf_dir, o, hp, ns)

@@ -121,12 +121,12 @@ def _bounce(
     hit = scene_intersect(scene, state.origin, state.direction,
                           ray_chunk=ray_chunk)
     hit_ok = hit.valid & state.alive
-    tri = jnp.maximum(hit.tri, 0)
     hit_p = state.origin + state.direction * hit.t[:, None]
     hit_p = jnp.where(hit_ok[:, None], hit_p, 0.0)
 
-    mat_id = mesh.mat_id[tri]
-    n_geo = mesh.normal[tri]
+    from light_transport_tpu.scene.analytic import surface_attrs
+
+    n_geo, mat_id, is_light = surface_attrs(scene, hit, hit_p)
     cos_in = lm.dot(n_geo, state.direction)
     inside = cos_in > 0.0
     # orient the shading normal against the incoming ray
@@ -134,7 +134,6 @@ def _bounce(
     n_s = jnp.where(inside[:, None], -n_geo, n_geo)
 
     emission = mats.emission[mat_id]
-    is_light = mesh.is_light[tri]
     bsdf = mats.bsdf[mat_id]
     diffuse_rgb = mats.diffuse[mat_id]
     ior = mats.ior[mat_id]

@@ -72,8 +72,9 @@ def trace_whitted(
     hit_ok = hit.valid
     tri = jnp.maximum(hit.tri, 0)
     hp = o + d * hit.t[:, None]
-    mat_id = mesh.mat_id[tri]
-    n_geo = mesh.normal[tri]
+    from light_transport_tpu.scene.analytic import surface_attrs
+
+    n_geo, mat_id, _ = surface_attrs(scene, hit, hp)
     inside = lm.dot(n_geo, d) > 0.0
     n_s = jnp.where(inside[:, None], -n_geo, n_geo)  # :82-85
     shifted = hp + 1e-4 * n_s  # :91 (1e-5 in f64; f32 needs more)
@@ -171,11 +172,12 @@ def render_whitted(
 
     if indirect_samples > 0:
         hit = _hit(scene, o, d, ray_chunk)
-        tri = jnp.maximum(hit.tri, 0)
         hp = o + d * hit.t[:, None]
-        n_geo = scene.mesh.normal[tri]
+        from light_transport_tpu.scene.analytic import surface_attrs
+
+        n_geo, mat_id, _ = surface_attrs(scene, hit, hp)
         n_s = jnp.where((lm.dot(n_geo, d) > 0)[:, None], -n_geo, n_geo)
-        o_dif = scene.materials.diffuse[scene.mesh.mat_id[tri]]
+        o_dif = scene.materials.diffuse[mat_id]
         acc = jnp.zeros_like(color)
         for s in range(indirect_samples):
             u = jax.random.uniform(jax.random.fold_in(key, s), (n, 2))

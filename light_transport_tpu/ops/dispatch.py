@@ -65,7 +65,33 @@ def scene_intersect(scene: Scene, origins, directions,
     else:
         hit = intersect.intersect_rays(origins, directions, scene.mesh,
                                        ray_chunk=ray_chunk)
+    hit = _merge_analytic(scene, hit, origins, directions)
     return jax.tree.map(jax.lax.stop_gradient, hit)
+
+
+def _merge_analytic(scene: Scene, hit, origins, directions):
+    """Fold the nearest analytic sphere/plane hit (scene/analytic.py) into
+    the triangle hit record."""
+    prims = getattr(scene, "analytic", None)
+    if prims is None or prims.num == 0:
+        return hit
+    from light_transport_tpu.scene.analytic import (
+        KIND_TRI,
+        intersect_analytic,
+    )
+
+    t_a, kind_a, idx_a = intersect_analytic(
+        prims, jax.lax.stop_gradient(origins),
+        jax.lax.stop_gradient(directions))
+    tri_t = jnp.where(hit.valid, hit.t, jnp.inf)
+    a_wins = t_a < tri_t
+    return intersect.Hit(
+        t=jnp.where(a_wins, t_a, hit.t),
+        tri=jnp.where(a_wins, -1, hit.tri),
+        valid=hit.valid | a_wins,
+        kind=jnp.where(a_wins, kind_a, KIND_TRI),
+        prim=jnp.where(a_wins, idx_a, 0),
+    )
 
 
 # Above this lane count the BVH walk's (N, 1)-shaped leaf slices pad 128x
@@ -131,4 +157,12 @@ def scene_occluded(scene: Scene, origins, directions, max_dist,
     else:
         occ = intersect.occluded(origins, directions, scene.mesh, max_dist,
                                  ray_chunk=ray_chunk)
+    prims = getattr(scene, "analytic", None)
+    if prims is not None and prims.num > 0:
+        from light_transport_tpu.scene.analytic import intersect_analytic
+
+        t_a, _, _ = intersect_analytic(
+            prims, jax.lax.stop_gradient(origins),
+            jax.lax.stop_gradient(directions))
+        occ = occ | (t_a < max_dist)
     return jax.lax.stop_gradient(occ)

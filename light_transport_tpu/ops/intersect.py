@@ -36,11 +36,18 @@ T_EPS = 1e-5
 
 
 class Hit(NamedTuple):
-    """SoA hit record for a ray batch."""
+    """SoA hit record for a ray batch.
+
+    ``kind``/``prim`` are populated only when the scene carries analytic
+    primitives (scene/analytic.py): kind 0 = triangle (``tri`` indexes the
+    mesh), 1 = sphere, 2 = plane (``prim`` indexes the analytic table;
+    ``tri`` is -1).  None = all-triangle scene."""
 
     t: jnp.ndarray  # (N,) hit distance; +inf on miss
     tri: jnp.ndarray  # (N,) int32 triangle index; -1 on miss
     valid: jnp.ndarray  # (N,) bool
+    kind: jnp.ndarray = None  # (N,) int32 primitive kind, or None
+    prim: jnp.ndarray = None  # (N,) int32 analytic-table index, or None
 
 
 def _mt_tile(o, d, v0, e1, e2, t_min, t_max):

@@ -47,6 +47,7 @@ and unbiased throughput):
 from __future__ import annotations
 
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +61,7 @@ from light_transport_tpu.tally.tallies import (
     PhotonTallies,
     counter_from_sum,
     counter_merge,
+    counter_value,
 )
 
 ROWS = 64  # sublanes per tile -> 64*128 = 8192 lanes per program
@@ -570,7 +572,8 @@ def simulate_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
                     lanes: int = ROWS * LANES * 16,
                     max_blocks: int = 200_000,
                     k_steps: int = K_STEPS,
-                    chunk_blocks: int = 4):
+                    chunk_blocks: int = 4,
+                    timings: dict = None):
     """Unbiased run of cfg.n_photons via per-tile launch quotas.
 
     Host-driven loop over jitted *chunks* of ``chunk_blocks`` blocks (each
@@ -608,9 +611,27 @@ def simulate_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
     state = eng.zero_state()
     tallies = PhotonTallies.zeros(cfg)
     quota = jnp.asarray(quota)
+    t0 = time.perf_counter()
+    t1 = s1 = None
     for c in range(0, max_blocks, chunk_blocks):
         state, tallies, quota, more = chunk(
             state, tallies, quota, seed + c * 65537)
-        if not bool(more):
+        done = not bool(more)  # syncs the chunk
+        if t1 is None:
+            # first chunk includes the XLA/Mosaic compile; steady-state
+            # throughput (the reference's own "do not report compile time"
+            # convention, examples/ray-tracing.ipynb cells 12/14) is
+            # measured from here
+            t1 = time.perf_counter()
+            s1 = counter_value(tallies.steps)
+        if done:
             break
+    if timings is not None and t1 is not None:
+        s_end = counter_value(tallies.steps)
+        t_end = time.perf_counter()
+        timings["compile_plus_first_chunk_s"] = t1 - t0
+        timings["steady_s"] = t_end - t1
+        timings["steady_steps"] = s_end - s1
+        timings["steady_steps_per_sec"] = (
+            (s_end - s1) / max(t_end - t1, 1e-9))
     return tallies

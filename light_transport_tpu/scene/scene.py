@@ -29,15 +29,19 @@ class Scene:
     lights: LightTable
     camera: np.ndarray  # (3,) pinhole position
     bvh: Optional["BVH"] = None  # set by with_bvh(); None = brute force
+    # optional analytic sphere/plane primitives (reference Sphere/Plane,
+    # src/primitives.py:41-66, made renderable — scene/analytic.py)
+    analytic: Optional["AnalyticPrims"] = None
 
     @staticmethod
     def build(mesh: TriangleMesh, materials: MaterialTable, camera,
-              dtype=np.float32) -> "Scene":
+              dtype=np.float32, analytic=None) -> "Scene":
         return Scene(
             mesh=mesh,
             materials=materials,
             lights=LightTable.build(mesh, materials, dtype=dtype),
             camera=jnp.asarray(np.asarray(camera, dtype=dtype)),
+            analytic=analytic,
         )
 
     def with_bvh(self, max_leaf: int = 4) -> "Scene":
@@ -52,4 +56,5 @@ class Scene:
             lights=LightTable.build(ordered, self.materials),
             camera=self.camera,
             bvh=bvh,
+            analytic=self.analytic,
         )

@@ -27,9 +27,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--photons", type=int, default=None,
                     help="override photon count (pilot runs)")
-    ap.add_argument("--tiles", type=int, default=16,
+    ap.add_argument("--tiles", type=int, default=64,
                     help="lane tiles (8192 lanes each)")
-    ap.add_argument("--k-steps", type=int, default=32)
+    ap.add_argument("--k-steps", type=int, default=64)
     ap.add_argument("--chunk-blocks", type=int, default=8)
     ap.add_argument("--out", default="artifacts/full_scale_run.json")
     args = ap.parse_args()
@@ -56,9 +56,11 @@ def main():
           file=sys.stderr)
 
     t0 = time.perf_counter()
+    timings = {}
     tallies = simulate_pallas(medium, cfg, seed=cfg.seed, lanes=lanes,
                               k_steps=args.k_steps,
-                              chunk_blocks=args.chunk_blocks)
+                              chunk_blocks=args.chunk_blocks,
+                              timings=timings)
     jax.block_until_ready(tallies)
     dt = time.perf_counter() - t0
 
@@ -73,6 +75,11 @@ def main():
         "seconds": dt,
         "events": steps,
         "steps_per_sec": steps / dt,
+        # compile-excluded throughput (the reference's own timing convention,
+        # examples/ray-tracing.ipynb cells 12/14 separate JIT time)
+        "steady_steps_per_sec": timings.get("steady_steps_per_sec"),
+        "compile_plus_first_chunk_s": timings.get(
+            "compile_plus_first_chunk_s"),
         "R_sp": tallies.specular_reflectance(),
         "R_d": tallies.total_reflectance(),
         "A": tallies.total_absorption(),
@@ -95,7 +102,7 @@ def main():
     if not args.photons or args.photons >= 10_000_000:
         np.save("artifacts/full_scale_detector.npy",
                 np.asarray(tallies.detector_xy, np.float32))
-        np.save("artifacts/full_scale_volume.npy", vol.astype(np.float16))
+        np.save("artifacts/full_scale_volume.npy", vol.astype(np.float32))
     print(json.dumps(rec, indent=1))
 
 
