@@ -87,26 +87,75 @@ def bench_xla_engine():
     return best
 
 
+def parity_check(n: int = 200_000):
+    """Chi-squared physics parity of the hardware-PRNG Pallas kernel vs the
+    XLA threefry engine, run through the *sharded* entry point (shard_map +
+    pallas_call on the attached mesh) so both the kernel physics and the
+    multi-chip composition are validated on hardware every round
+    (VERDICT.md next-round items 4 and 7).
+
+    The chi-squared treats per-bin absorbed weight as pseudo-counts; photon
+    weights are <= 1, so true variance is below Poisson and the bound is
+    conservative in the lenient direction — it flags gross physics
+    divergence, while the 3-sigma totals catch estimator-level bias.
+    """
+    import numpy as np
+
+    from light_transport_tpu.api import simulate
+    from light_transport_tpu.parallel.mesh import simulate_pallas_sharded
+    from light_transport_tpu.tally.stats import (
+        binomial_stderr,
+        chi2_counts,
+        mc_parity_3sigma,
+    )
+
+    medium = LayeredMedium.build(
+        [MediumConfig(mu_a=1.0, mu_s=9.0, g=0.7, n=1.37)], n_above=1.0
+    )
+    cfg = PhotonRunConfig(n_photons=n, nr=32, nz=32, dr=0.02, dz=0.02)
+    t_p = simulate_pallas_sharded(medium, cfg, seed=11)
+    t_x = simulate(medium, cfg, seed=12)
+    a = np.asarray(t_p.absorb_rz, np.float64).reshape(8, 4, 8, 4).sum((1, 3))
+    b = np.asarray(t_x.absorb_rz, np.float64).reshape(8, 4, 8, 4).sum((1, 3))
+    chi2, dof = chi2_counts(a.reshape(-1), b.reshape(-1), min_expected=50.0)
+    se = binomial_stderr(t_x.total_reflectance(), n) * np.sqrt(2.0)
+    r_ok = mc_parity_3sigma(t_p.total_reflectance(), t_x.total_reflectance(),
+                            se, abs_floor=1e-3)
+    return {
+        "parity_chi2": chi2,
+        "parity_dof": dof,
+        "parity_chi2_per_dof": chi2 / max(dof, 1),
+        "parity_r_d_pallas": t_p.total_reflectance(),
+        "parity_r_d_xla": t_x.total_reflectance(),
+        "parity_n_exact": t_p.n_launched == float(n),
+        "parity_ok": bool(r_ok and chi2 / max(dof, 1) < 1.5
+                          and t_p.n_launched == float(n)),
+    }
+
+
 def main():
+    import sys
+
     try:
         best = bench_pallas_engine()
     except Exception as e:
-        import sys
-
         print(f"pallas bench failed ({type(e).__name__}); falling back "
               f"to the XLA engine", file=sys.stderr)
         best = bench_xla_engine()
 
-    print(
-        json.dumps(
-            {
-                "metric": "photon_scatter_steps_per_sec_per_chip",
-                "value": best,
-                "unit": "steps/s/chip",
-                "vs_baseline": best / BASELINE_STEPS_PER_SEC,
-            }
-        )
-    )
+    rec = {
+        "metric": "photon_scatter_steps_per_sec_per_chip",
+        "value": best,
+        "unit": "steps/s/chip",
+        "vs_baseline": best / BASELINE_STEPS_PER_SEC,
+    }
+    try:
+        rec.update(parity_check())
+    except Exception as e:  # parity must never break the throughput record
+        print(f"parity check failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+        rec["parity_ok"] = False
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

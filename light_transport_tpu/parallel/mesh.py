@@ -146,6 +146,97 @@ def _simulate_dynamic_quota(medium, cfg, key, quota, lanes):
     return tallies
 
 
+def simulate_pallas_sharded(
+    medium: LayeredMedium,
+    cfg: PhotonRunConfig,
+    seed: int,
+    mesh: Optional[Mesh] = None,
+    lanes_per_device: Optional[int] = None,
+    k_steps: Optional[int] = None,
+    chunk_blocks: int = 4,
+    max_blocks: int = 200_000,
+) -> PhotonTallies:
+    """The fused Pallas photon engine composed with ``shard_map``: each chip
+    runs the hardware-PRNG superstep kernel on its lane shard with an exact
+    per-tile slice of the launch quota; per-chunk tally deltas psum over ICI.
+
+    TPU-only (the kernel's hardware PRNG has no CPU lowering — CLAUDE.md);
+    the CPU-mesh dryrun covers the same sharding structure through the XLA
+    engine (:func:`simulate_sharded`), and bench.py exercises this path on
+    the real chip every round with a chi-squared parity check vs the XLA
+    engine (VERDICT.md next-round items 4 and 7).
+    """
+    import jax.numpy as jnp
+
+    from light_transport_tpu.ops.pallas.photon_kernel import (
+        K_STEPS,
+        LANES,
+        ROWS,
+        PallasPhotonEngine,
+    )
+
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    lanes = lanes_per_device or ROWS * LANES * 16
+    # don't over-provision lanes for small runs
+    per_dev_photons = max(cfg.n_photons // n_dev, 1)
+    lanes = min(lanes, max(ROWS * LANES,
+                           (per_dev_photons // (ROWS * LANES)) * ROWS * LANES))
+    eng = PallasPhotonEngine(medium, cfg, lanes, bench_mode=False,
+                             k_steps=k_steps or K_STEPS)
+
+    # exact integer split of the launch budget over every tile of the mesh
+    total_tiles = n_dev * eng.n_tiles
+    base = cfg.n_photons // total_tiles
+    rem = cfg.n_photons - base * total_tiles
+    assert base + 1 < 2 ** 24, "per-tile quota must stay exact in f32"
+    quota = np.full((total_tiles, 1), base, np.float32)
+    quota[:rem, 0] += 1.0
+
+    n_rows = eng.n_tiles * ROWS
+
+    def per_device(state, quota, seed0):
+        idx = jax.lax.axis_index(BATCH)
+
+        def body(carry, b):
+            state, delta, quota = carry
+            state, outs, counters = eng.run_block(
+                state, seed0 + idx * 999_983 + b * 65_537, quota)
+            delta = eng.accumulate(delta, outs, counters)
+            quota = counters[:, 3:4]
+            return (state, delta, quota), None
+
+        delta = PhotonTallies.zeros(cfg)
+        (state, delta, quota), _ = jax.lax.scan(
+            body, (state, delta, quota),
+            jnp.arange(chunk_blocks, dtype=jnp.int32))
+        delta = jax.tree.map(lambda x: jax.lax.psum(x, BATCH), delta)
+        more_local = (jnp.any(quota > 0) | jnp.any(state[6] > 0.0))
+        more = jax.lax.psum(more_local.astype(jnp.float32), BATCH) > 0
+        return state, delta, quota, more
+
+    chunk = jax.jit(shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(BATCH), P(BATCH), P()),
+        out_specs=(P(BATCH), P(), P(BATCH), P()),
+        check_vma=False,
+    ))
+
+    zero = eng.zero_state()
+    state = tuple(jnp.tile(a, (n_dev, 1)) for a in zero)  # (n_dev*rows, L)
+    tallies = PhotonTallies.zeros(cfg)
+    quota = jnp.asarray(quota)
+    merge = jax.jit(lambda a, b: a.merge(b))  # one dispatch, not ~15 eager
+    for c in range(0, max_blocks, chunk_blocks):
+        state, delta, quota, more = chunk(
+            state, quota, jnp.asarray(seed + c * 65_537, jnp.int32))
+        tallies = merge(tallies, delta)
+        if not bool(more):
+            break
+    return tallies
+
+
 def render_sharded(
     scene: Scene,
     cfg: RenderConfig,

@@ -108,6 +108,21 @@ class PhotonTallies:
             absorbed=jnp.zeros((), dtype),
         )
 
+    def merge(self, other: "PhotonTallies") -> "PhotonTallies":
+        """Combine two tally sets (counter-aware: the two-word counters use
+        counter_merge, everything else adds)."""
+        return PhotonTallies(
+            refl_r=self.refl_r + other.refl_r,
+            trans_r=self.trans_r + other.trans_r,
+            absorb_rz=self.absorb_rz + other.absorb_rz,
+            specular=self.specular + other.specular,
+            launched=counter_merge(self.launched, other.launched),
+            steps=counter_merge(self.steps, other.steps),
+            detector_xy=self.detector_xy + other.detector_xy,
+            absorb_xyz=self.absorb_xyz + other.absorb_xyz,
+            absorbed=self.absorbed + other.absorbed,
+        )
+
     # --- exact counter views -------------------------------------------------
 
     @property

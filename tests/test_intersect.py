@@ -192,3 +192,46 @@ def test_watertight_ray_chunking():
                                   np.asarray(chunked.valid))
     np.testing.assert_array_equal(np.asarray(full.tri),
                                   np.asarray(chunked.tri))
+
+
+def test_watertight_shared_edges_unfriendly_coordinates():
+    """Shared-edge watertightness over a float32-hostile coordinate range
+    (VERDICT.md missing #3): the fan is scaled by 1/3 (vertices land off the
+    binary grid) and translated to a large offset where one ulp is ~2^-11 of
+    the geometry scale, so every edge-function product rounds.  The argument
+    in ops/intersect.py (adjacent triangles see the same rounded products,
+    negated) must hold here too: no edge or vertex ray may fall through.
+
+    The reference instead re-evaluates exactly-zero edge functions in
+    float64 (src/intersects.py:316-329) — unavailable on TPU; this test is
+    the evidence the f32-only policy is safe.
+    """
+    from light_transport_tpu.scene.geometry import TriangleMesh
+
+    n_spokes = 24
+    off = np.asarray([4096.37, -8192.11, 513.77], np.float64)
+    scale = 1.0 / 3.0
+    ang = np.linspace(0, 2 * np.pi, n_spokes + 1)
+    rim = np.stack([np.cos(ang), np.sin(ang), np.zeros_like(ang)], -1)
+    tris = (np.stack([np.zeros((n_spokes, 3)), rim[:-1], rim[1:]], axis=1)
+            * scale + off)
+    mesh = TriangleMesh.build(tris.astype(np.float32),
+                              np.zeros(n_spokes, np.int32))
+    # aim exactly along the spokes (shared edges) and at the center vertex,
+    # using the float32-rounded vertex positions as targets
+    v32 = tris.astype(np.float32)
+    targets = [v32[:, 0, :][:1]]  # shared center vertex
+    for r in (0.2, 0.5, 0.93):
+        # points on each spoke: center + r * (rim_vertex - center), rounded
+        spoke = v32[:, 0, :] + np.float32(r) * (v32[:, 1, :] - v32[:, 0, :])
+        targets.append(spoke.astype(np.float32))
+    pts = np.concatenate(targets)
+    cam = (off + np.asarray([0.21, -0.13, 2.7])).astype(np.float32)
+    o = jnp.asarray(np.tile(cam, (len(pts), 1)))
+    dd = pts.astype(np.float64) - cam.astype(np.float64)
+    d = jnp.asarray((dd / np.linalg.norm(dd, axis=1, keepdims=True))
+                    .astype(np.float32))
+    hw = intersect.intersect_rays_watertight(o, d, mesh)
+    assert bool(np.asarray(hw.valid).all()), (
+        "watertight test dropped an edge/vertex ray at unfriendly coords"
+    )

@@ -132,3 +132,21 @@ def test_pallas_cluster_culling_matches_unculled():
     tmm = jnp.stack([jnp.full((4096,), 1e-5), jnp.full((4096,), np.inf)], -1)
     mask = ik._tile_cluster_mask(feats_o, d, tmm, c_lo, c_hi)
     assert float(np.asarray(mask).mean()) < 1.0
+
+
+@tpu_only
+def test_pallas_sharded_composition():
+    """shard_map + pallas_call (simulate_pallas_sharded) on the attached
+    mesh: exact launch count, energy closure, and van-de-Hulst golden R_d
+    (VERDICT.md next-round item 4)."""
+    from light_transport_tpu.parallel.mesh import simulate_pallas_sharded
+
+    m = LayeredMedium.build([MediumConfig(mu_a=1.0, mu_s=9.0, g=0.0, n=1.0)])
+    n = 200_000
+    cfg = PhotonRunConfig(n_photons=n, nr=64, nz=64, dr=0.05, dz=0.05)
+    tl = simulate_pallas_sharded(m, cfg, seed=5)
+    assert tl.n_launched == n
+    se = binomial_stderr(0.41550, n)
+    assert mc_parity_3sigma(tl.total_reflectance(), 0.41550, se,
+                            abs_floor=1e-3)
+    assert abs(tl.energy_total() - 1.0) < 5e-3
