@@ -31,8 +31,17 @@ class RenderConfig:
     rr_start: int = 3
     rr_floor: float = 0.05
     # 'first_hit': emission only added at bounce 0 (flagship tracer :59);
-    # 'always': emission at every bounce (path_tracing_fix1.py:45-46).
+    # 'always': emission at every bounce (path_tracing_fix1.py:45-46);
+    # 'nee': emission at bounce 0 / after specular or medium-scatter chains
+    # only (the estimator-correct rule; see path_tracer._bounce).
     emission_mode: str = "first_hit"
+    # 'one': one shadow ray to a random area-weighted light point per
+    # diffuse bounce (cast_one_shadow_ray, src/light_samples.py:35-61);
+    # 'all': one shadow ray per light triangle at a fixed per-row point,
+    # area-weighted quadrature (the legacy all-lights estimator,
+    # cast_all_shadow_rays, src/light_samples.py:119-143 — its random
+    # pre-drawn sample list becomes deterministic centroids here).
+    nee_mode: str = "one"
     seed: int = 0
 
     @property

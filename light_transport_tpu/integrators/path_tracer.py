@@ -184,19 +184,39 @@ def _bounce(
     )
 
     # --- diffuse branch: NEE + cosine bounce -------------------------------
-    lp, ln, lrad, pdf_area = sample_light_points(
-        scene.lights, u[:, rng.U_PICK], u[:, rng.U_LIGHT0], u[:, rng.U_LIGHT1]
-    )
-    shadow_o = hit_p + eps * n_s
-    g_term, wi, dist = geometry_term(shadow_o, n_s, lp, ln)
     from light_transport_tpu.ops.dispatch import scene_occluded
 
-    blocked = scene_occluded(scene, shadow_o, wi, dist * (1.0 - 1e-3),
-                             ray_chunk=ray_chunk)
+    shadow_o = hit_p + eps * n_s
     f_diffuse = diffuse_rgb * lm.INV_PI
-    # contract: src/light_samples.py:55-59 — L * f * G / pdf_area
-    direct = lrad * f_diffuse * (g_term / jnp.maximum(pdf_area, 1e-30))[:, None]
-    direct = jnp.where(blocked[:, None], 0.0, direct)
+    if cfg.nee_mode == "all":
+        # legacy all-lights estimator (cast_all_shadow_rays,
+        # src/light_samples.py:119-143): one shadow ray per light triangle
+        # at its centroid, contributions area-weighted (exact quadrature
+        # over the table instead of the reference's averaged random list)
+        lt_ = scene.lights
+        lp_rows = lt_.v0 + (lt_.e1 + lt_.e2) / 3.0
+        direct = jnp.zeros_like(f_diffuse)
+        for li in range(lt_.area.shape[0]):
+            lp_i = jnp.broadcast_to(lp_rows[li], shadow_o.shape)
+            ln_i = jnp.broadcast_to(lt_.normal[li], shadow_o.shape)
+            g_i, wi_i, dist_i = geometry_term(shadow_o, n_s, lp_i, ln_i)
+            blk = scene_occluded(scene, shadow_o, wi_i,
+                                 dist_i * (1.0 - 1e-3), ray_chunk=ray_chunk)
+            contrib = lt_.radiance[li] * f_diffuse \
+                * (g_i * lt_.area[li])[:, None]
+            direct = direct + jnp.where(blk[:, None], 0.0, contrib)
+    else:
+        lp, ln, lrad, pdf_area = sample_light_points(
+            scene.lights, u[:, rng.U_PICK], u[:, rng.U_LIGHT0],
+            u[:, rng.U_LIGHT1]
+        )
+        g_term, wi, dist = geometry_term(shadow_o, n_s, lp, ln)
+        blocked = scene_occluded(scene, shadow_o, wi, dist * (1.0 - 1e-3),
+                                 ray_chunk=ray_chunk)
+        # contract: src/light_samples.py:55-59 — L * f * G / pdf_area
+        direct = lrad * f_diffuse \
+            * (g_term / jnp.maximum(pdf_area, 1e-30))[:, None]
+        direct = jnp.where(blocked[:, None], 0.0, direct)
 
     d_dir, d_pdf = sampling.cosine_weighted_hemisphere(
         n_s, u[:, rng.U_BSDF0], u[:, rng.U_BSDF1]
