@@ -20,9 +20,12 @@ import jax.numpy as jnp
 from light_transport_tpu.ops import intersect
 from light_transport_tpu.scene.scene import Scene
 
-# above this triangle count even the cluster-culled MXU kernel loses to
-# the BVH walk (culling efficiency falls off for incoherent bounce rays)
-MXU_MAX_TRIS = 262144
+# Crossover vs the roped BVH walk, re-measured with the scalar-prefetch
+# gather kernel + coherence ray sorting (PERF.md): at 998k tris the MXU
+# path still wins 2.2x (4.15 s vs 9.03 s for 1.6M mixed rays), so the cap
+# sits at 1M; beyond that SMEM chunking (ids lists scale with cluster
+# count) shrinks ray chunks enough that the BVH walk is competitive.
+MXU_MAX_TRIS = 1_048_576
 
 
 def _platform() -> str:
@@ -46,14 +49,17 @@ def scene_intersect(scene: Scene, origins, directions,
         from light_transport_tpu.ops.pallas.intersect_kernel import (
             intersect_rays_pallas,
         )
+        from light_transport_tpu.ops.raysort import sorted_apply
 
         # intersection is treated as non-differentiable everywhere (see
         # path_tracer._bounce); stop the tangents BEFORE the pallas call —
         # its jvp rule rejects tangent-carrying inputs even when the
         # outputs are stop-gradiented downstream
-        hit = intersect_rays_pallas(
+        hit = sorted_apply(
+            lambda o, d: intersect_rays_pallas(o, d, scene.mesh),
+            scene.mesh,
             jax.lax.stop_gradient(origins),
-            jax.lax.stop_gradient(directions), scene.mesh,
+            jax.lax.stop_gradient(directions),
         )
     elif scene.bvh is not None:
         from light_transport_tpu.accel import bvh as bvh_mod
@@ -125,11 +131,18 @@ def scene_occluded(scene: Scene, origins, directions, max_dist,
         from light_transport_tpu.ops.pallas.intersect_kernel import (
             intersect_rays_pallas,
         )
+        from light_transport_tpu.ops.raysort import sorted_apply
 
-        occ = intersect_rays_pallas(
+        n = origins.shape[0]
+        md = jnp.broadcast_to(
+            jnp.asarray(jax.lax.stop_gradient(max_dist),
+                        origins.dtype), (n,))
+        occ = sorted_apply(
+            lambda o, d, m: intersect_rays_pallas(
+                o, d, scene.mesh, any_hit=True, max_dist=m),
+            scene.mesh,
             jax.lax.stop_gradient(origins),
-            jax.lax.stop_gradient(directions), scene.mesh,
-            any_hit=True, max_dist=jax.lax.stop_gradient(max_dist),
+            jax.lax.stop_gradient(directions), md,
         )
     elif scene.bvh is not None:
         from light_transport_tpu.accel import bvh as bvh_mod

@@ -120,6 +120,113 @@ def _kernel(mask_ref, feat_ref, w_ref, tminmax_ref, best_t_ref,
         best_col_ref[:] = best_col
 
 
+def _gather_kernel(ids_ref, cnt_ref, feat_ref, tminmax_ref, w_hbm,
+                   best_t_ref, best_col_ref, wbuf, sems, *, tri_tile):
+    """Per ray-tile: loop over the tile's *active* clusters only, manually
+    DMAing each cluster's weight block HBM->VMEM with double buffering.
+
+    The dense-grid kernel above pays one grid step per (ray tile, cluster)
+    pair even when the cull mask skips it — at 241 clusters (123k tris)
+    skipped-step overhead dominates the render.  Here the grid is ray tiles
+    only; the active-cluster id list and count arrive via scalar prefetch
+    (SMEM), so the inner fori_loop does exactly as many matmuls as the cull
+    lets through.  This is the "two-level MXU scheme" of PERF.md: culling at
+    cluster granularity, brute-force MXU inside a cluster.
+    """
+    i = pl.program_id(0)
+    best_t_ref[:] = jnp.full_like(best_t_ref, BIG)
+    best_col_ref[:] = jnp.full_like(best_col_ref, -1)
+    n_act = cnt_ref[i]
+
+    def dma(k, slot):
+        return pltpu.make_async_copy(
+            w_hbm.at[ids_ref[i, k]], wbuf.at[slot], sems.at[slot])
+
+    @pl.when(n_act > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(k, carry):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < n_act)
+        def _():
+            dma(k + 1, jax.lax.rem(k + 1, 2)).start()
+
+        dma(k, slot).wait()
+        w = wbuf[slot]  # (16, 4*tri_tile)
+        feats = feat_ref[:]
+        q = jnp.dot(feats, w, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        det = q[:, 0:tri_tile]
+        u_num = q[:, tri_tile:2 * tri_tile]
+        v_num = q[:, 2 * tri_tile:3 * tri_tile]
+        t_num = q[:, 3 * tri_tile:4 * tri_tile]
+        ok = jnp.abs(det) > DET_EPS
+        inv = jnp.where(ok, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
+        u = u_num * inv
+        v = v_num * inv
+        t = t_num * inv
+        tmin = tminmax_ref[:, 0:1]
+        tmax = tminmax_ref[:, 1:2]
+        valid = (
+            ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > tmin) & (t < tmax)
+        )
+        t_masked = jnp.where(valid, t, BIG)
+        base = ids_ref[i, k] * tri_tile
+        best_t = best_t_ref[:]
+        best_col = best_col_ref[:]
+        for s in range(tri_tile // 128):
+            sub_t = t_masked[:, s * 128:(s + 1) * 128]
+            take = sub_t < best_t
+            best_t = jnp.where(take, sub_t, best_t)
+            best_col = jnp.where(take, base + s * 128, best_col)
+        best_t_ref[:] = best_t
+        best_col_ref[:] = best_col
+        return carry
+
+    jax.lax.fori_loop(0, n_act, body, 0)
+
+
+def _intersect_gather_cull(feats, tminmax, tri_weights_c, ids, cnt, n_pad):
+    """pallas_call wrapper for :func:`_gather_kernel`.
+
+    ``tri_weights_c``: (C, 16, 4*TRI_TILE) resident in HBM (memory_space
+    ANY); ``ids``/``cnt``: (tiles, C) compacted active-cluster indices and
+    (tiles,) counts, delivered by scalar prefetch."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_pad // RAY_TILE,),
+        in_specs=[
+            pl.BlockSpec((RAY_TILE, 16), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 2), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # weights stay in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((RAY_TILE, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, 4 * TRI_TILE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kern = functools.partial(_gather_kernel, tri_tile=TRI_TILE)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 128), jnp.int32),
+        ),
+    )(ids, cnt, feats, tminmax, tri_weights_c)
+
+
 def cluster_bounds(mesh: TriangleMesh):
     """(C, 6) AABBs of consecutive TRI_TILE-sized triangle clusters (the
     BVH-reordered mesh gives them spatial locality).  Padding replicates
@@ -151,13 +258,16 @@ def _tile_cluster_mask(origins, directions, tminmax, c_lo, c_hi):
     tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
     hit = (tn <= tf) & (tf >= tminmax[:, 0:1]) & (tn <= tminmax[:, 1:2])
     tiles = hit.reshape(-1, RAY_TILE, hit.shape[-1])
-    # flattened (tiles * C,) — see the SMEM padding note in _kernel
-    return jnp.any(tiles, axis=1).astype(jnp.int32).reshape(-1)
+    return jnp.any(tiles, axis=1)  # (n_ray_tiles, C) bool
 
 
 # SMEM budget for the (n_ray_tiles, C) culling mask — chunk rays so the
 # mask stays comfortably inside scalar memory
 _MASK_MAX_ENTRIES = 32768
+
+# above this cluster count the dense (ray tile x cluster) grid pays more in
+# skipped-step overhead than the gather variant pays in manual DMA
+_GATHER_MIN_CLUSTERS = 16
 
 
 def intersect_rays_pallas(
@@ -238,38 +348,50 @@ def intersect_rays_pallas(
     w = tri_weights.reshape(16, 4, -1, TRI_TILE)
     w = jnp.moveaxis(w, 2, 0).reshape(-1, 16, 4 * TRI_TILE)
 
-    # per-(ray tile, cluster) culling mask for the in-kernel skip
+    # per-(ray tile, cluster) culling mask
     c_lo, c_hi = clusters
-    mask = _tile_cluster_mask(
+    mask2d = _tile_cluster_mask(
         feats[:, 6:9], feats[:, 0:3], tminmax, c_lo, c_hi
     )
 
-    grid = (n_pad // RAY_TILE, t_pad // TRI_TILE)
-    kern = functools.partial(_kernel, tri_tile=TRI_TILE,
-                             n_clusters=n_clusters, any_hit=any_hit)
-    best_t, best_col = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # (tiles, C) mask
-            pl.BlockSpec((RAY_TILE, 16), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16, 4 * TRI_TILE), lambda i, j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE, 2), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((RAY_TILE, 128), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE, 128), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, 128), jnp.int32),
-        ),
-    )(mask, feats, w, tminmax)
+    if n_clusters >= _GATHER_MIN_CLUSTERS:
+        # compacted active-cluster lists: actives first, ascending (stable
+        # argsort of the inverted mask), plus per-tile counts
+        ids = jnp.argsort(~mask2d, axis=1, stable=True).astype(jnp.int32)
+        cnt = mask2d.sum(axis=1).astype(jnp.int32)
+        w_c = jnp.moveaxis(
+            tri_weights.reshape(16, 4, n_clusters, TRI_TILE), 2, 0
+        ).reshape(n_clusters, 16, 4 * TRI_TILE)
+        best_t, best_col = _intersect_gather_cull(
+            feats, tminmax, w_c, ids, cnt, n_pad)
+    else:
+        mask = mask2d.astype(jnp.int32).reshape(-1)
+        grid = (n_pad // RAY_TILE, t_pad // TRI_TILE)
+        kern = functools.partial(_kernel, tri_tile=TRI_TILE,
+                                 n_clusters=n_clusters, any_hit=any_hit)
+        best_t, best_col = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # (tiles*C,) mask
+                pl.BlockSpec((RAY_TILE, 16), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 16, 4 * TRI_TILE), lambda i, j: (j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((RAY_TILE, 2), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((RAY_TILE, 128), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((RAY_TILE, 128), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad, 128), jnp.int32),
+            ),
+        )(mask, feats, w, tminmax)
 
     best_t = best_t[:n]
     best_col = best_col[:n]

@@ -150,3 +150,41 @@ def test_pallas_sharded_composition():
     assert mc_parity_3sigma(tl.total_reflectance(), 0.41550, se,
                             abs_floor=1e-3)
     assert abs(tl.energy_total() - 1.0) < 5e-3
+
+
+@tpu_only
+def test_pallas_gather_path_matches_brute_incoherent():
+    """The scalar-prefetch gather kernel (>= _GATHER_MIN_CLUSTERS clusters,
+    intersect_kernel._gather_kernel) against the XLA brute force on
+    incoherent interior rays — the workload the dense-grid kernel was
+    replaced for.  Covers closest-hit and any-hit."""
+    import jax.numpy as jnp
+    from light_transport_tpu.ops import intersect
+    from light_transport_tpu.ops.pallas import intersect_kernel as ik
+    from light_transport_tpu.scene.cornell import sphere_triangles
+    from light_transport_tpu.scene.geometry import TriangleMesh
+
+    tris = sphere_triangles(center=(0, 0, 0), radius=1.5, n_theta=48,
+                            n_phi=96)  # ~9k tris -> 18 clusters
+    mesh = TriangleMesh.build(tris, np.zeros(len(tris), np.int32))
+    assert ik.pack_tri_weights(mesh).shape[2] // ik.TRI_TILE >= \
+        ik._GATHER_MIN_CLUSTERS
+
+    rng = np.random.default_rng(11)
+    n = 4096
+    o = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+
+    hb = intersect.intersect_rays(o, d, mesh, ray_chunk=1024)
+    hp = ik.intersect_rays_pallas(o, d, mesh)
+    np.testing.assert_array_equal(np.asarray(hb.valid), np.asarray(hp.valid))
+    m = np.asarray(hb.valid)
+    np.testing.assert_allclose(np.asarray(hb.t)[m], np.asarray(hp.t)[m],
+                               rtol=1e-5, atol=1e-6)
+    assert (np.asarray(hb.tri)[m] != np.asarray(hp.tri)[m]).mean() < 0.01
+
+    ob = intersect.occluded(o, d, mesh, 2.0, ray_chunk=1024)
+    op = ik.intersect_rays_pallas(o, d, mesh, any_hit=True, max_dist=2.0)
+    np.testing.assert_array_equal(np.asarray(ob), np.asarray(op))
