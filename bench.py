@@ -18,7 +18,11 @@ on the attached backend.
 import json
 import time
 
-import jax
+from light_transport_tpu.core.cache import enable_compile_cache
+
+enable_compile_cache()
+
+import jax  # noqa: E402
 
 from light_transport_tpu.core.config import MediumConfig, PhotonRunConfig
 from light_transport_tpu.scene.medium import LayeredMedium

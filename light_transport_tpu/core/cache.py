@@ -1,0 +1,34 @@
+"""Persistent XLA compilation cache.
+
+Compiles dominate short runs in this environment: the axon tunnel's remote
+Mosaic/XLA compile of a full render is 20-40 s (a Pallas photon bench ~4
+min) while the steady-state render is seconds.  JAX's persistent cache
+works through the tunnel (measured: second-process compile of the same
+graph drops ~20x), so example drivers and bench.py opt in via this helper.
+
+Not enabled from the package __init__ — library users keep JAX's default
+behavior unless they ask.
+"""
+
+from __future__ import annotations
+
+import os
+
+DEFAULT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".jax_cache")
+
+
+def enable_compile_cache(path: str | None = None) -> str:
+    """Turn on JAX's persistent compilation cache (idempotent).
+
+    Must run before the first compilation to be effective for it; later
+    calls still cache subsequent compiles."""
+    import jax
+
+    path = path or DEFAULT_DIR
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path

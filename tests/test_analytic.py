@@ -62,6 +62,7 @@ def _base(analytic=None, sphere_mesh=False, sphere_mat=None, n_theta=48):
     return scene, cfg
 
 
+@pytest.mark.slow
 def test_analytic_sphere_matches_tessellated():
     """A diffuse analytic sphere renders the same image as a finely
     tessellated mesh sphere of the same center/radius (same seed, same
@@ -73,6 +74,21 @@ def test_analytic_sphere_matches_tessellated():
     img_m = np.asarray(render_image(scene_m, cfg, jax.random.key(0)))
     assert np.abs(img_a - img_m).mean() < 0.015
     assert abs(img_a.mean() - img_m.mean()) < 0.01
+
+
+def test_analytic_sphere_matches_tessellated_fast():
+    """Cheap default-suite version of the test above: coarser tessellation
+    (n_theta=24, ~2.3k tris — the CPU brute-force N x T render dominates
+    the slow variant's 135 s) and fewer samples, with a correspondingly
+    looser bound (measured MAE 0.0007)."""
+    prims = AnalyticPrims.build(spheres=[(_C, _R, 2)])
+    scene_a, cfg = _base(analytic=prims)
+    scene_m, _ = _base(sphere_mesh=True, n_theta=24)
+    cfg = dataclasses.replace(cfg, spp=6)
+    img_a = np.asarray(render_image(scene_a, cfg, jax.random.key(0)))
+    img_m = np.asarray(render_image(scene_m, cfg, jax.random.key(0)))
+    assert np.abs(img_a - img_m).mean() < 0.005
+    assert abs(img_a.mean() - img_m.mean()) < 0.003
 
 
 def test_analytic_sphere_occludes_shadow_rays():
