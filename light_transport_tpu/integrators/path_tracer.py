@@ -119,7 +119,7 @@ def _bounce(
     from light_transport_tpu.ops.dispatch import scene_intersect
 
     hit = scene_intersect(scene, state.origin, state.direction,
-                          ray_chunk=ray_chunk)
+                          ray_chunk=ray_chunk, active=state.alive)
     hit_ok = hit.valid & state.alive
     hit_p = state.origin + state.direction * hit.t[:, None]
     hit_p = jnp.where(hit_ok[:, None], hit_p, 0.0)
@@ -188,6 +188,9 @@ def _bounce(
 
     shadow_o = hit_p + eps * n_s
     f_diffuse = diffuse_rgb * lm.INV_PI
+    # only lanes whose NEE contribution survives the `shade` mask below
+    # need real shadow rays; the rest are culled inside dispatch
+    nee_active = hit_ok & (bsdf == BSDF_DIFFUSE) & ~scatter_evt
     if cfg.nee_mode == "all":
         # legacy all-lights estimator (cast_all_shadow_rays,
         # src/light_samples.py:119-143): one shadow ray per light triangle
@@ -201,7 +204,8 @@ def _bounce(
             ln_i = jnp.broadcast_to(lt_.normal[li], shadow_o.shape)
             g_i, wi_i, dist_i = geometry_term(shadow_o, n_s, lp_i, ln_i)
             blk = scene_occluded(scene, shadow_o, wi_i,
-                                 dist_i * (1.0 - 1e-3), ray_chunk=ray_chunk)
+                                 dist_i * (1.0 - 1e-3), ray_chunk=ray_chunk,
+                                 active=nee_active)
             contrib = lt_.radiance[li] * f_diffuse \
                 * (g_i * lt_.area[li])[:, None]
             direct = direct + jnp.where(blk[:, None], 0.0, contrib)
@@ -212,7 +216,7 @@ def _bounce(
         )
         g_term, wi, dist = geometry_term(shadow_o, n_s, lp, ln)
         blocked = scene_occluded(scene, shadow_o, wi, dist * (1.0 - 1e-3),
-                                 ray_chunk=ray_chunk)
+                                 ray_chunk=ray_chunk, active=nee_active)
         # contract: src/light_samples.py:55-59 — L * f * G / pdf_area
         direct = lrad * f_diffuse \
             * (g_term / jnp.maximum(pdf_area, 1e-30))[:, None]

@@ -43,8 +43,15 @@ def _use_pallas_mxu(scene: Scene) -> bool:
 
 
 def scene_intersect(scene: Scene, origins, directions,
-                    ray_chunk: Optional[int] = None):
-    """Nearest-hit against the scene; returns Hit (gradients stopped)."""
+                    ray_chunk: Optional[int] = None, active=None):
+    """Nearest-hit against the scene; returns Hit (gradients stopped).
+
+    ``active``: optional (N,) bool — lanes the caller will ignore anyway
+    (dead paths in a lockstep superstep).  Inactive lanes get an empty ray
+    interval (t_max = -inf), so the Pallas cluster cull drops their whole
+    footprint instead of intersecting them; they report no hit.  Purely an
+    occupancy optimization: callers already mask results with their own
+    alive state."""
     if _use_pallas_mxu(scene):
         from light_transport_tpu.ops.pallas.intersect_kernel import (
             intersect_rays_pallas,
@@ -55,11 +62,15 @@ def scene_intersect(scene: Scene, origins, directions,
         # path_tracer._bounce); stop the tangents BEFORE the pallas call —
         # its jvp rule rejects tangent-carrying inputs even when the
         # outputs are stop-gradiented downstream
+        n = origins.shape[0]
+        tmax = jnp.full((n,), jnp.inf, origins.dtype) if active is None \
+            else jnp.where(active, jnp.inf, -jnp.inf).astype(origins.dtype)
         hit = sorted_apply(
-            lambda o, d: intersect_rays_pallas(o, d, scene.mesh),
+            lambda o, d, tm: intersect_rays_pallas(o, d, scene.mesh,
+                                                   t_max=tm),
             scene.mesh,
             jax.lax.stop_gradient(origins),
-            jax.lax.stop_gradient(directions),
+            jax.lax.stop_gradient(directions), tmax,
         )
     elif scene.bvh is not None:
         from light_transport_tpu.accel import bvh as bvh_mod
@@ -125,8 +136,11 @@ def _chunked_bvh(fn, origins, directions):
 
 
 def scene_occluded(scene: Scene, origins, directions, max_dist,
-                   ray_chunk: Optional[int] = None):
-    """Any-hit visibility against the scene."""
+                   ray_chunk: Optional[int] = None, active=None):
+    """Any-hit visibility against the scene.
+
+    ``active``: optional (N,) bool — see :func:`scene_intersect`; inactive
+    lanes are skipped by the cull and report unoccluded."""
     if _use_pallas_mxu(scene):
         from light_transport_tpu.ops.pallas.intersect_kernel import (
             intersect_rays_pallas,
@@ -137,6 +151,8 @@ def scene_occluded(scene: Scene, origins, directions, max_dist,
         md = jnp.broadcast_to(
             jnp.asarray(jax.lax.stop_gradient(max_dist),
                         origins.dtype), (n,))
+        if active is not None:
+            md = jnp.where(active, md, -jnp.inf)
         occ = sorted_apply(
             lambda o, d, m: intersect_rays_pallas(
                 o, d, scene.mesh, any_hit=True, max_dist=m),
