@@ -60,16 +60,17 @@ class Vertices(NamedTuple):
     emit: jnp.ndarray  # (N, L, 3) emitted radiance if on a light
 
 
-def _hit(scene, o, d, ray_chunk):
+def _hit(scene, o, d, ray_chunk, active=None):
     from light_transport_tpu.ops.dispatch import scene_intersect
 
-    return scene_intersect(scene, o, d, ray_chunk=ray_chunk)
+    return scene_intersect(scene, o, d, ray_chunk=ray_chunk, active=active)
 
 
-def _occluded(scene, o, d, dist, ray_chunk):
+def _occluded(scene, o, d, dist, ray_chunk, active=None):
     from light_transport_tpu.ops.dispatch import scene_occluded
 
-    return scene_occluded(scene, o, d, dist, ray_chunk=ray_chunk)
+    return scene_occluded(scene, o, d, dist, ray_chunk=ray_chunk,
+                          active=active)
 
 
 def _to_area(pdf_solid, from_pos, to_pos, to_ns):
@@ -120,7 +121,7 @@ def random_walk(
     have_prev = jnp.zeros((n,), bool)
 
     for step in range(max_len):
-        hit = _hit(scene, o, d, ray_chunk)
+        hit = _hit(scene, o, d, ray_chunk, active=alive)
         ok = alive & hit.valid
         hp = o + d * hit.t[:, None]
         from light_transport_tpu.scene.analytic import surface_attrs
@@ -418,7 +419,7 @@ def render_bdpt(
         f_cam = cam.diffuse[:, j] * INV_PI
         contrib = cam.beta[:, j] * f_cam * lrad * (g / pdf_pos)[:, None]
         blocked = _occluded(scene, cp + lm.EPSILON * cns, wi,
-                            dist * (1 - 1e-3), ray_chunk)
+                            dist * (1 - 1e-3), ray_chunk, active=ok)
         ok = ok & ~blocked & (jnp.abs(cos_l) > 1e-7)
 
         # MIS
@@ -469,7 +470,7 @@ def render_bdpt(
                 * g[:, None]
             )
             blocked = _occluded(scene, cp + lm.EPSILON * cns, wi,
-                                dist * (1 - 1e-3), ray_chunk)
+                                dist * (1 - 1e-3), ray_chunk, active=ok)
             ok = ok & ~blocked
 
             # junction rev densities
@@ -540,7 +541,7 @@ def render_bdpt(
             contrib = lv.beta[:, i] * f_p * ((cos_p / r2) * we)[:, None]
 
             blocked = _occluded(scene, p_pos + lm.EPSILON * w_dir, w_dir,
-                                dist * (1 - 1e-3), ray_chunk)
+                                dist * (1 - 1e-3), ray_chunk, active=ok)
             ok = ok & ~blocked
 
             # MIS: junction rev densities — the camera generating P, and P

@@ -37,16 +37,17 @@ from light_transport_tpu.ops import intersect, sampling
 from light_transport_tpu.scene.scene import Scene
 
 
-def _hit(scene: Scene, o, d, ray_chunk):
+def _hit(scene: Scene, o, d, ray_chunk, active=None):
     from light_transport_tpu.ops.dispatch import scene_intersect
 
-    return scene_intersect(scene, o, d, ray_chunk=ray_chunk)
+    return scene_intersect(scene, o, d, ray_chunk=ray_chunk, active=active)
 
 
-def _occluded(scene: Scene, o, d, dist, ray_chunk):
+def _occluded(scene: Scene, o, d, dist, ray_chunk, active=None):
     from light_transport_tpu.ops.dispatch import scene_occluded
 
-    return scene_occluded(scene, o, d, dist, ray_chunk=ray_chunk)
+    return scene_occluded(scene, o, d, dist, ray_chunk=ray_chunk,
+                          active=active)
 
 
 def _light_points(scene: Scene):
@@ -61,15 +62,20 @@ def trace_whitted(
     d: jnp.ndarray,
     depth: int,
     ray_chunk: Optional[int] = None,
+    active=None,
 ) -> jnp.ndarray:
-    """Shade a ray batch Whitted-style; returns (N, 3) color."""
+    """Shade a ray batch Whitted-style; returns (N, 3) color.
+
+    ``active``: lanes whose color the caller will actually use — dead or
+    zero-weight recursion branches are culled inside dispatch (their color
+    is already masked to 0 by the weights below)."""
     mesh = scene.mesh
     mats = scene.materials
     eps = lm.EPSILON
     n = o.shape[0]
 
-    hit = _hit(scene, o, d, ray_chunk)
-    hit_ok = hit.valid
+    hit = _hit(scene, o, d, ray_chunk, active=active)
+    hit_ok = hit.valid if active is None else hit.valid & active
     tri = jnp.maximum(hit.tri, 0)
     hp = o + d * hit.t[:, None]
     from light_transport_tpu.scene.analytic import surface_attrs
@@ -95,7 +101,8 @@ def trace_whitted(
         to_l = lp[li] - shifted
         dist = lm.norm(to_l)
         wi = to_l / jnp.maximum(dist, 1e-20)[:, None]
-        shadowed = _occluded(scene, shifted, wi, dist * (1 - 1e-3), ray_chunk)
+        shadowed = _occluded(scene, shifted, wi, dist * (1 - 1e-3),
+                             ray_chunk, active=hit_ok)
         illum = o_amb * l_amb[li]  # ambient always (:116)
         ndotl = jnp.maximum(lm.dot(wi, n_s), 0.0)
         diffuse = o_dif * l_dif[li] * ndotl[:, None]
@@ -121,7 +128,8 @@ def trace_whitted(
     if depth > 0:
         # reflection branch (:157-164)
         r_dir = lm.reflect(d, n_s)
-        r_col = trace_whitted(scene, shifted, r_dir, depth - 1, ray_chunk)
+        r_col = trace_whitted(scene, shifted, r_dir, depth - 1, ray_chunk,
+                              active=hit_ok)
         color = color + jnp.where(
             hit_ok[:, None], refl_coef[:, None] * r_col, 0.0
         )
@@ -131,12 +139,10 @@ def trace_whitted(
         eta = n1 / n2
         t_dir, tir = lm.refract(d, n_s, eta)
         t_o = hp - 1e-3 * n_s  # :178 (-0.001 offset)
-        t_col = trace_whitted(scene, t_o, t_dir, depth - 1, ray_chunk)
-        t_w = jnp.where(
-            hit_ok & ~tir & (transmission > 0),
-            (1.0 - refl_coef) * transmission,
-            0.0,
-        )
+        t_active = hit_ok & ~tir & (transmission > 0)
+        t_col = trace_whitted(scene, t_o, t_dir, depth - 1, ray_chunk,
+                              active=t_active)
+        t_w = jnp.where(t_active, (1.0 - refl_coef) * transmission, 0.0)
         color = color + t_w[:, None] * t_col
 
     return color
