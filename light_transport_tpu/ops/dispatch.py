@@ -71,6 +71,7 @@ def scene_intersect(scene: Scene, origins, directions,
             scene.mesh,
             jax.lax.stop_gradient(origins),
             jax.lax.stop_gradient(directions), tmax,
+            inactive=None if active is None else ~active,
         )
     elif scene.bvh is not None:
         from light_transport_tpu.accel import bvh as bvh_mod
@@ -159,6 +160,7 @@ def scene_occluded(scene: Scene, origins, directions, max_dist,
             scene.mesh,
             jax.lax.stop_gradient(origins),
             jax.lax.stop_gradient(directions), md,
+            inactive=None if active is None else ~active,
         )
     elif scene.bvh is not None:
         from light_transport_tpu.accel import bvh as bvh_mod

@@ -48,8 +48,12 @@ def scene_bounds(mesh):
     return lo, hi
 
 
-def ray_sort_key(origins, directions, lo, hi):
-    """(N,) uint32 direction-major locality key (see module docstring)."""
+def ray_sort_key(origins, directions, lo, hi, inactive=None):
+    """(N,) uint32 direction-major locality key (see module docstring).
+
+    ``inactive``: optional (N,) bool set as the top key bit, packing dead
+    lanes into trailing, fully-dead ray tiles — the cluster cull then skips
+    those tiles outright instead of diluting live tiles with dead lanes."""
     q = jnp.clip((origins - lo) / (hi - lo), 0.0, 1.0)
     q = (q * 255.0).astype(jnp.uint32)
     m = ((_spread3_8(q[:, 0]) << 2) | (_spread3_8(q[:, 1]) << 1)
@@ -57,23 +61,28 @@ def ray_sort_key(origins, directions, lo, hi):
     qd = jnp.clip((directions + 1.0) * 0.5 * 3.999, 0.0, 3.0).astype(
         jnp.uint32)
     dk = (qd[:, 0] << 4) | (qd[:, 1] << 2) | qd[:, 2]
-    return (dk << 24) | m
+    key = (dk << 24) | m
+    if inactive is not None:
+        key = key | (inactive.astype(jnp.uint32) << 31)
+    return key
 
 
 # below this lane count tiles are too few for sorting to change the cull
 MIN_SORT_LANES = 4096
 
 
-def sorted_apply(fn, mesh, origins, directions, *per_ray):
+def sorted_apply(fn, mesh, origins, directions, *per_ray, inactive=None):
     """Run ``fn(origins, directions, *per_ray)`` on coherence-sorted lanes
     and un-permute the result pytree back to input order.
 
     ``per_ray``: extra (N,)-leading arrays to permute alongside (e.g. a
-    per-ray max distance)."""
+    per-ray max distance).  ``inactive``: optional (N,) bool — dead lanes,
+    packed last (see :func:`ray_sort_key`)."""
     if origins.shape[0] < MIN_SORT_LANES:
         return fn(origins, directions, *per_ray)
     lo, hi = scene_bounds(mesh)
-    perm = jnp.argsort(ray_sort_key(origins, directions, lo, hi))
+    perm = jnp.argsort(
+        ray_sort_key(origins, directions, lo, hi, inactive=inactive))
     out = fn(origins[perm], directions[perm],
              *(a[perm] for a in per_ray))
     inv = jnp.argsort(perm)

@@ -84,3 +84,25 @@ def test_key_groups_by_direction_then_position():
     # same direction, same origin -> same key
     np.testing.assert_array_equal(
         k_pos, np.asarray(raysort.ray_sort_key(o, d_pos, lo, hi)))
+
+
+def test_inactive_lanes_sort_last_and_results_identical():
+    """With an inactive mask, dead lanes pack after all live lanes (top key
+    bit) and sorted_apply still returns input-order results."""
+    mesh = _mesh()
+    lo, hi = raysort.scene_bounds(mesh)
+    n = raysort.MIN_SORT_LANES
+    o, d = _rays(n, seed=4)
+    rng = np.random.default_rng(5)
+    alive = jnp.asarray(rng.uniform(size=n) < 0.4)
+    key = np.asarray(raysort.ray_sort_key(o, d, lo, hi, inactive=~alive))
+    order = np.argsort(key)
+    alive_sorted = np.asarray(alive)[order]
+    first_dead = np.argmax(~alive_sorted)
+    assert not alive_sorted[first_dead:].any()
+
+    direct = intersect.intersect_rays(o, d, mesh)
+    via = raysort.sorted_apply(
+        lambda oo, dd: intersect.intersect_rays(oo, dd, mesh), mesh, o, d,
+        inactive=~alive)
+    np.testing.assert_array_equal(np.asarray(direct.tri), np.asarray(via.tri))
