@@ -140,11 +140,21 @@ def parity_check(n: int = 200_000):
 def main():
     import sys
 
-    try:
-        best = bench_pallas_engine()
-    except Exception as e:
-        print(f"pallas bench failed ({type(e).__name__}); falling back "
-              f"to the XLA engine", file=sys.stderr)
+    best = None
+    # the axon tunnel fails compiles/transfers transiently (CLAUDE.md);
+    # falling back to the 4x-slower XLA engine on a flake would record a
+    # misleading number, so retry the Pallas bench first
+    for attempt in range(3):
+        try:
+            best = bench_pallas_engine()
+            break
+        except Exception as e:
+            print(f"pallas bench attempt {attempt + 1} failed "
+                  f"({type(e).__name__}: {e})", file=sys.stderr)
+            time.sleep(20)
+    if best is None:
+        print("pallas bench failed 3x; falling back to the XLA engine",
+              file=sys.stderr)
         best = bench_xla_engine()
 
     rec = {
@@ -153,12 +163,15 @@ def main():
         "unit": "steps/s/chip",
         "vs_baseline": best / BASELINE_STEPS_PER_SEC,
     }
-    try:
-        rec.update(parity_check())
-    except Exception as e:  # parity must never break the throughput record
-        print(f"parity check failed ({type(e).__name__}: {e})",
-              file=sys.stderr)
-        rec["parity_ok"] = False
+    for attempt in range(2):
+        try:
+            rec.update(parity_check())
+            break
+        except Exception as e:  # parity must never break the throughput rec
+            print(f"parity check attempt {attempt + 1} failed "
+                  f"({type(e).__name__}: {e})", file=sys.stderr)
+            rec["parity_ok"] = False
+            time.sleep(20)
     print(json.dumps(rec))
 
 

@@ -55,3 +55,20 @@ class timer:
 
     def __exit__(self, *a):
         self.seconds = time.time() - self.t0
+
+
+def timed_twice(fn):
+    """Run ``fn`` twice: returns (result, jit_seconds, steady_seconds).
+
+    The reference notebooks report both "w/ JIT" and steady-state timings
+    (ray-tracing.ipynb cells 12/14); compiles here additionally ride a
+    remote tunnel whose latency varies minute-to-minute, so the steady
+    number is the meaningful one for render-speed claims.
+    """
+    t0 = time.time()
+    result = fn()
+    t_jit = time.time() - t0
+    t0 = time.time()
+    result = fn()
+    t_steady = time.time() - t0
+    return result, t_jit, t_steady

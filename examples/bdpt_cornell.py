@@ -12,7 +12,7 @@ tests/test_bdpt.py).
 import numpy as np
 import jax
 
-from _common import report, save_image, timer
+from _common import report, save_image, timed_twice
 
 from light_transport_tpu.integrators.bdpt import render_bdpt
 from light_transport_tpu.integrators.path_tracer import render_image
@@ -22,15 +22,15 @@ from light_transport_tpu.scene.cornell import cornell_box_scene
 def main():
     scene, cfg = cornell_box_scene(width=96, height=96, spp=16, max_depth=4)
 
-    with timer() as t:
-        img_pt = np.asarray(render_image(scene, cfg, jax.random.key(0)))
-    report("path_tracer", t.seconds, mean=float(img_pt.mean()))
+    img_pt, t_jit, t_steady = timed_twice(
+        lambda: np.asarray(render_image(scene, cfg, jax.random.key(0))))
+    report("path_tracer", t_jit, steady_seconds=round(t_steady, 3),
+           mean=float(img_pt.mean()))
 
-    with timer() as t:
-        img_bd = np.asarray(
-            render_bdpt(scene, cfg, jax.random.key(1), light_tracing=True)
-        )
-    report("bdpt_light_tracing", t.seconds, mean=float(img_bd.mean()),
+    img_bd, t_jit, t_steady = timed_twice(lambda: np.asarray(
+        render_bdpt(scene, cfg, jax.random.key(1), light_tracing=True)))
+    report("bdpt_light_tracing", t_jit, steady_seconds=round(t_steady, 3),
+           mean=float(img_bd.mean()),
            pt_mean=float(img_pt.mean()),
            abs_mean_diff=float(abs(img_bd.mean() - img_pt.mean())))
 

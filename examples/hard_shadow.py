@@ -8,7 +8,7 @@ Compare with soft_shadow.py, which only enlarges the emitter.
 import numpy as np
 import jax
 
-from _common import report, save_image, timer
+from _common import report, save_image, timed_twice
 
 from light_transport_tpu.api import render
 from light_transport_tpu.core.config import RenderConfig
@@ -54,10 +54,10 @@ def build_scene(light_half_size: float, emission: float):
 def main():
     # emission scales as 1/area so total light power stays comparable
     scene, cfg = build_scene(light_half_size=0.12, emission=5000.0)
-    with timer() as t:
-        img = np.asarray(render(scene, cfg, seed=0))
+    img, t_jit, t_steady = timed_twice(
+        lambda: np.asarray(render(scene, cfg, seed=0)))
     p = save_image(img, "hard_shadow.png", gamma=2.2)
-    report("hard_shadow", t.seconds, mean=float(img.mean()), image=p)
+    report("hard_shadow", t_jit, steady_seconds=round(t_steady, 3), mean=float(img.mean()), image=p)
 
 
 if __name__ == "__main__":

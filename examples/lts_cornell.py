@@ -13,7 +13,7 @@ scene end-to-end jitted in well under a second steady-state on one TPU chip.
 import numpy as np
 import jax
 
-from _common import report, save_image, timer
+from _common import report, save_image, timed_twice, timer
 
 from light_transport_tpu.integrators.control_variates import (
     cv_pixel_dive,
@@ -25,15 +25,17 @@ from light_transport_tpu.scene.cornell import cornell_box_scene
 def main():
     scene, cfg = cornell_box_scene(width=150, height=150, spp=12, max_depth=4)
 
-    with timer() as t:
+    def go():
         out = render_cv(scene, cfg, jax.random.key(0))
         jax.block_until_ready(out)
+        return out
+    out, t_jit, t_steady = timed_twice(go)
     plain = np.asarray(out.image_plain)
     cv = np.asarray(out.image_cv)
     var_plain = np.asarray(out.samples).var(axis=2).mean()
     p1 = save_image(plain, "lts_cornell_plain.png")
     p2 = save_image(cv, "lts_cornell_cv.png")
-    report("lts_cornell", t.seconds, mean_plain=float(plain.mean()),
+    report("lts_cornell", t_jit, steady_seconds=round(t_steady, 3), mean_plain=float(plain.mean()),
            mean_cv=float(cv.mean()), sample_variance=float(var_plain),
            images=[p1, p2])
 

@@ -9,7 +9,7 @@ hemisphere-sampled indirect diffuse (src/render_old.py:186-194).
 import numpy as np
 import jax
 
-from _common import report, save_image, timer
+from _common import report, save_image, timed_twice
 
 from light_transport_tpu.core.config import RenderConfig
 from light_transport_tpu.integrators.whitted import render_whitted
@@ -67,14 +67,13 @@ def build_scene():
 
 def main():
     scene, cfg = build_scene()
-    with timer() as t:
-        # static args (ray_chunk, indirect_samples) passed positionally —
-        # render_whitted jits with static_argnums
-        img = np.asarray(
-            render_whitted(scene, cfg, jax.random.key(0), None, 4)
-        )
+    # static args (ray_chunk, indirect_samples) passed positionally —
+    # render_whitted jits with static_argnums
+    img, t_jit, t_steady = timed_twice(lambda: np.asarray(
+        render_whitted(scene, cfg, jax.random.key(0), None, 4)))
     p = save_image(img, "ray_tracing_teapot.png")
-    report("ray_tracing", t.seconds, tris=int(scene.mesh.v0.shape[0]),
+    report("ray_tracing", t_jit, steady_seconds=round(t_steady, 3),
+           tris=int(scene.mesh.v0.shape[0]),
            mean=float(img.mean()), image=p)
 
 

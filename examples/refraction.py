@@ -10,7 +10,7 @@ Fresnel reflect-or-refract at every interface.
 import numpy as np
 import jax
 
-from _common import report, save_image, timer
+from _common import report, save_image, timed_twice
 
 from light_transport_tpu.api import render
 from light_transport_tpu.models.presets import glass_scene
@@ -18,10 +18,10 @@ from light_transport_tpu.models.presets import glass_scene
 
 def main():
     scene, cfg = glass_scene(width=160, height=160, spp=32, max_depth=6)
-    with timer() as t:
-        img = np.asarray(render(scene, cfg, seed=0))
+    img, t_jit, t_steady = timed_twice(
+        lambda: np.asarray(render(scene, cfg, seed=0)))
     p = save_image(img, "refraction_glass.png", gamma=2.2)
-    report("refraction", t.seconds, tris=int(scene.mesh.v0.shape[0]),
+    report("refraction", t_jit, steady_seconds=round(t_steady, 3), tris=int(scene.mesh.v0.shape[0]),
            mean=float(img.mean()), image=p)
 
 

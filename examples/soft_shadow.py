@@ -12,7 +12,7 @@ import sys
 import numpy as np
 import jax
 
-from _common import report, save_image, timer
+from _common import report, save_image, timed_twice
 
 from light_transport_tpu.api import render
 from light_transport_tpu.core.config import RenderConfig
@@ -56,10 +56,10 @@ def main():
     else:
         cfg = RenderConfig(width=400, height=400, spp=10, max_depth=3,
                            f_distance=3.5)
-    with timer() as t:
-        img = np.asarray(render(scene, cfg, seed=0))
+    img, t_jit, t_steady = timed_twice(
+        lambda: np.asarray(render(scene, cfg, seed=0)))
     p = save_image(img, "soft_shadow.png", gamma=2.2)
-    report("soft_shadow", t.seconds, tris=int(scene.mesh.v0.shape[0]),
+    report("soft_shadow", t_jit, steady_seconds=round(t_steady, 3), tris=int(scene.mesh.v0.shape[0]),
            pixels=cfg.width * cfg.height, spp=cfg.spp,
            mean=float(img.mean()), image=p,
            reference_seconds=525.0 if not quick else None)
