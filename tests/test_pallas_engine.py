@@ -188,3 +188,52 @@ def test_pallas_gather_path_matches_brute_incoherent():
     ob = intersect.occluded(o, d, mesh, 2.0, ray_chunk=1024)
     op = ik.intersect_rays_pallas(o, d, mesh, any_hit=True, max_dist=2.0)
     np.testing.assert_array_equal(np.asarray(ob), np.asarray(op))
+
+
+@tpu_only
+def test_dispatch_active_mask_gates_dead_lanes():
+    """scene_intersect/scene_occluded with an active mask: live lanes get
+    exactly the ungated results, inactive lanes report no-hit/unoccluded
+    (dispatch gives them an empty ray interval; ops/dispatch.py)."""
+    import jax.numpy as jnp
+    from light_transport_tpu.ops.dispatch import (
+        scene_intersect,
+        scene_occluded,
+    )
+    from light_transport_tpu.scene.cornell import sphere_triangles
+    from light_transport_tpu.scene.geometry import TriangleMesh
+    from light_transport_tpu.scene.material import (
+        Material,
+        MaterialTable,
+        presets,
+    )
+    from light_transport_tpu.scene.scene import Scene
+
+    tris = sphere_triangles(center=(0, 0, 0), radius=1.5, n_theta=48,
+                            n_phi=96)
+    mesh = TriangleMesh.build(tris, np.zeros(len(tris), np.int32))
+    mats = MaterialTable.build([Material(color=presets.GREY)])
+    scene = Scene.build(mesh, mats, camera=[0.0, 0.0, 6.0])
+
+    rng = np.random.default_rng(13)
+    n = 8192
+    o = jnp.asarray(rng.uniform(-3, 3, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    alive = jnp.asarray(rng.uniform(size=n) < 0.5)
+
+    full = scene_intersect(scene, o, d)
+    gated = scene_intersect(scene, o, d, active=alive)
+    a = np.asarray(alive)
+    np.testing.assert_array_equal(np.asarray(gated.valid)[a],
+                                  np.asarray(full.valid)[a])
+    np.testing.assert_array_equal(np.asarray(gated.tri)[a],
+                                  np.asarray(full.tri)[a])
+    assert not np.asarray(gated.valid)[~a].any()
+
+    occ_full = scene_occluded(scene, o, d, 4.0)
+    occ_gated = scene_occluded(scene, o, d, 4.0, active=alive)
+    np.testing.assert_array_equal(np.asarray(occ_gated)[a],
+                                  np.asarray(occ_full)[a])
+    assert not np.asarray(occ_gated)[~a].any()
