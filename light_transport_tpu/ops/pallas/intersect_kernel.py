@@ -37,7 +37,7 @@ from light_transport_tpu.core import math as lm
 from light_transport_tpu.ops.intersect import DET_EPS, Hit
 from light_transport_tpu.scene.geometry import TriangleMesh
 
-RAY_TILE = 256
+RAY_TILE = 128
 TRI_TILE = 512  # must be a multiple of 128
 BIG = 3.0e38  # sentinel "no hit" distance (finite so min() stays clean)
 
