@@ -263,7 +263,7 @@ def _tile_cluster_mask(origins, directions, tminmax, c_lo, c_hi):
 
 # SMEM budget for the (n_ray_tiles, C) culling mask — chunk rays so the
 # mask stays comfortably inside scalar memory
-_MASK_MAX_ENTRIES = 32768
+_MASK_MAX_ENTRIES = 65536
 
 # above this cluster count the dense (ray tile x cluster) grid pays more in
 # skipped-step overhead than the gather variant pays in manual DMA
