@@ -88,9 +88,24 @@ def _u01(shape):
     return hi24.astype(jnp.float32) * _TWO_NEG24
 
 
+def _n_draws(k_steps: int, bench_mode: bool) -> int:
+    """Uniforms consumed per lane per block (5 per superstep + the strided-
+    deposit phase draw in quota mode) — the off-TPU fallback pre-draws
+    exactly this many with threefry."""
+    return 5 * k_steps + (0 if bench_mode else 1)
+
+
 def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
-                 k_steps: int = K_STEPS, stride: int = 1):
-    """Bake the (tiny, static) medium tables into the kernel as constants."""
+                 k_steps: int = K_STEPS, stride: int = 1,
+                 hw_prng: bool = True):
+    """Bake the (tiny, static) medium tables into the kernel as constants.
+
+    ``hw_prng=False`` is the off-TPU fallback (VERDICT.md r2 item 1): the
+    kernel draws its uniforms from an extra input ref filled with threefry
+    samples instead of ``pltpu.prng_random_bits`` (which has no CPU
+    lowering), so the identical kernel body — and the shard_map composition
+    around it — executes under ``pallas_call(..., interpret=True)`` on the
+    virtual CPU mesh."""
     num_layers = len(medium_host["mu_t"])
     mu_t = tuple(float(x) for x in medium_host["mu_t"])
     mu_a = tuple(float(x) for x in medium_host["mu_a"])
@@ -122,12 +137,25 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
     inv_vdy = 1.0 / cfg.vol_dy
     inv_vdz = 1.0 / cfg.vol_dz
 
-    def kernel(seed_ref, quota_ref, px, py, pz, dx, dy, dz, w_ref, tau_ref,
-               layer_ref, opx, opy, opz, odx, ody, odz, ow, otau, olayer,
-               exit_bin_ref, exit_val_ref, det_bin_ref, det_val_ref,
-               rz_bins_ref, rz_vals_ref, vol_bins_ref, counters_ref):
+    def kernel_body(seed_ref, quota_ref, u_ref, px, py, pz, dx, dy, dz,
+                    w_ref, tau_ref, layer_ref, opx, opy, opz, odx, ody, odz,
+                    ow, otau, olayer,
+                    exit_bin_ref, exit_val_ref, det_bin_ref, det_val_ref,
+                    rz_bins_ref, rz_vals_ref, vol_bins_ref, counters_ref):
         pid = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] + pid * 7919)
+        if hw_prng:
+            pltpu.prng_seed(seed_ref[0] + pid * 7919)
+
+        # the kernel consumes uniforms in a fixed static order, so the
+        # fallback can hand them out from u_ref by a python counter
+        draw_ctr = [0]
+
+        def u01(shape):
+            if hw_prng:
+                return _u01(shape)
+            i = draw_ctr[0]
+            draw_ctr[0] += 1
+            return u_ref[i]
 
         launched = jnp.zeros((), jnp.float32)
         spec = jnp.zeros((), jnp.float32)
@@ -196,7 +224,7 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             # fixed phase is badly biased — respawn aligns all photons to
             # step 0, so their 0th/stride-th/... life-steps would always be
             # the sampled ones (measured +4.8% on the absorb grids).
-            phase = jnp.minimum((_u01(x.shape) * float(stride))
+            phase = jnp.minimum((u01(x.shape) * float(stride))
                                 .astype(jnp.int32), stride - 1)
 
         for step in range(k_steps):
@@ -209,11 +237,11 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             alive = w > 0.0
             steps += jnp.sum(alive.astype(jnp.float32))
 
-            u_tau = _u01(x.shape)
-            u_hg = _u01(x.shape)
-            u_phi = _u01(x.shape)
-            u_fr = _u01(x.shape)
-            u_rr = _u01(x.shape)
+            u_tau = u01(x.shape)
+            u_hg = u01(x.shape)
+            u_phi = u01(x.shape)
+            u_fr = u01(x.shape)
+            u_rr = u01(x.shape)
 
             # ---- hop -------------------------------------------------------
             mu_t_l = tab(mu_t, layer)
@@ -381,7 +409,11 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
         counters_ref[pid, 3] = quota
         counters_ref[pid, 4] = absorbed
 
-    return kernel
+    if hw_prng:
+        def kernel(seed_ref, quota_ref, *rest):
+            kernel_body(seed_ref, quota_ref, None, *rest)
+        return kernel
+    return kernel_body
 
 
 def _hist(bins, vals, n_bins: int):
@@ -413,13 +445,19 @@ class PallasPhotonEngine:
 
     def __init__(self, medium: LayeredMedium, cfg: PhotonRunConfig,
                  lanes: int, bench_mode: bool = True,
-                 k_steps: int = K_STEPS):
+                 k_steps: int = K_STEPS, hw_prng: bool | None = None):
         assert lanes % (ROWS * LANES) == 0, (lanes, ROWS * LANES)
         self.cfg = cfg
         self.lanes = lanes
         self.n_tiles = lanes // (ROWS * LANES)
         self.bench_mode = bench_mode
         self.k_steps = k_steps
+        # hardware PRNG on a real TPU; threefry-fed interpret mode elsewhere
+        # (same kernel body — lets the CPU mesh execute the full shard_map +
+        # pallas_call composition, VERDICT.md r2 item 1)
+        if hw_prng is None:
+            hw_prng = jax.default_backend() in ("tpu", "axon")
+        self.hw_prng = bool(hw_prng)
         self.stride = max(1, int(cfg.tally_stride))
         assert k_steps % self.stride == 0, (k_steps, self.stride)
         med = {
@@ -430,7 +468,7 @@ class PallasPhotonEngine:
             "n_below": np.asarray(medium.n_below),
         }
         self.kernel = _make_kernel(med, cfg, bench_mode, k_steps,
-                                   stride=self.stride)
+                                   stride=self.stride, hw_prng=self.hw_prng)
 
     def zero_state(self):
         shape = (self.n_tiles * ROWS, LANES)
@@ -482,6 +520,10 @@ class PallasPhotonEngine:
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ]
+            + ([] if self.hw_prng else
+               [pl.BlockSpec((_n_draws(self.k_steps, self.bench_mode),
+                              ROWS, LANES), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)])
             + [row_spec] * 8
             + [row_spec]
         )
@@ -489,15 +531,26 @@ class PallasPhotonEngine:
             jnp.asarray(quota_per_tile, jnp.float32).reshape(-1, 1),
             (self.n_tiles, 1),
         ) if jnp.ndim(quota_per_tile) == 0 else quota_per_tile
+        u_args = ()
+        if not self.hw_prng:
+            # threefry stand-in for the hardware PRNG: same per-block seed
+            # feeds an independent stream per (draw, row, lane)
+            key = jax.random.fold_in(jax.random.key(0),
+                                     jnp.asarray(seed, jnp.int32))
+            u_args = (jax.random.uniform(
+                key, (_n_draws(self.k_steps, self.bench_mode), n_rows, LANES),
+                jnp.float32),)
         outs = pl.pallas_call(
             self.kernel,
             grid=(self.n_tiles,),
             in_specs=in_specs,
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),
+            interpret=not self.hw_prng,
         )(
             jnp.asarray([seed], jnp.int32),
             quota_arr,
+            *u_args,
             px, py, pz, dx, dy, dz, w, tau, layer,
         )
         new_state = outs[:9]

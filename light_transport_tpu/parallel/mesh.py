@@ -160,11 +160,14 @@ def simulate_pallas_sharded(
     runs the hardware-PRNG superstep kernel on its lane shard with an exact
     per-tile slice of the launch quota; per-chunk tally deltas psum over ICI.
 
-    TPU-only (the kernel's hardware PRNG has no CPU lowering — CLAUDE.md);
-    the CPU-mesh dryrun covers the same sharding structure through the XLA
-    engine (:func:`simulate_sharded`), and bench.py exercises this path on
-    the real chip every round with a chi-squared parity check vs the XLA
-    engine (VERDICT.md next-round items 4 and 7).
+    On a real TPU the kernel uses the hardware PRNG; on any other backend
+    the engine transparently switches to threefry-fed interpret mode
+    (ops/pallas/photon_kernel._make_kernel hw_prng=False), so the full
+    shard_map + pallas_call composition — quota splitting across
+    ``n_dev * n_tiles`` tiles, per-device seeds, psum'd tally deltas, the
+    ``more`` reduction — executes and is chi²-tested on the virtual 8-CPU
+    mesh (tests/test_sharding.py) and in the driver dryrun, in addition to
+    bench.py's on-chip parity check every round.
     """
     import jax.numpy as jnp
 

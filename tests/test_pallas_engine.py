@@ -1,10 +1,11 @@
-"""Pallas photon-engine parity tests.
+"""Pallas photon-engine parity tests (hardware-PRNG path).
 
-These run only on a real TPU: the CPU interpreter stubs the hardware PRNG
-(pltpu.prng_random_bits yields constants), so the kernel can't produce
-meaningful physics off-chip.  The CI suite runs on the virtual CPU mesh and
-skips them; the driver's TPU bench exercises the kernel every round, and
-this file can be run manually with JAX_PLATFORMS unset.
+These run only on a real TPU: they exercise the Mosaic-compiled kernel with
+``pltpu.prng_random_bits``, which has no CPU lowering.  Off-TPU coverage of
+the same kernel body exists via the threefry-fed interpret fallback
+(tests/test_sharding.py::test_pallas_sharded_cpu_mesh_matches_xla and the
+driver dryrun); the driver's TPU bench exercises the hardware path every
+round, and this file can be run manually with JAX_PLATFORMS unset.
 """
 
 import jax

@@ -60,6 +60,34 @@ def test_sharded_render_matches_unsharded():
     np.testing.assert_allclose(img_sharded, img_ref, atol=2e-5)
 
 
+def test_pallas_sharded_cpu_mesh_matches_xla():
+    """The flagship Pallas engine's shard_map + pallas_call composition
+    (parallel/mesh.simulate_pallas_sharded) executed on the 8-device CPU
+    mesh via the threefry-fed interpret fallback, chi²-checked against the
+    XLA sharded engine (VERDICT.md r2 item 1: this path must not remain
+    TPU-only unexecuted code)."""
+    from light_transport_tpu.parallel.mesh import simulate_pallas_sharded
+    from light_transport_tpu.tally.stats import chi2_counts, mc_parity_3sigma
+
+    m = LayeredMedium.build(
+        [MediumConfig(mu_a=1.0, mu_s=9.0, g=0.7, n=1.37)])
+    n = 40_000
+    cfg = PhotonRunConfig(n_photons=n, nr=16, nz=16, dr=0.05, dz=0.05)
+    mesh = make_mesh(8)
+    tp = simulate_pallas_sharded(m, cfg, seed=7, mesh=mesh, k_steps=8)
+    tx = simulate_sharded(m, cfg, jax.random.key(9), mesh=mesh,
+                          lanes_per_device=4096)
+    assert tp.n_launched == n
+    assert abs(tp.energy_total() - 1.0) < 5e-3
+    a = np.asarray(tp.absorb_rz, np.float64).reshape(8, 2, 8, 2).sum((1, 3))
+    b = np.asarray(tx.absorb_rz, np.float64).reshape(8, 2, 8, 2).sum((1, 3))
+    chi2, dof = chi2_counts(a.reshape(-1), b.reshape(-1), min_expected=50.0)
+    assert chi2 / max(dof, 1) < 1.5, (chi2, dof)
+    se = binomial_stderr(tx.total_reflectance(), n) * np.sqrt(2)
+    assert mc_parity_3sigma(tp.total_reflectance(), tx.total_reflectance(),
+                            se, abs_floor=1e-3)
+
+
 @pytest.mark.slow
 def test_sharded_render_different_device_counts_agree():
     scene, cfg = cornell_box_scene(width=16, height=16, spp=4, max_depth=2)
