@@ -42,6 +42,12 @@ class RenderConfig:
     # cast_all_shadow_rays, src/light_samples.py:119-143 — its random
     # pre-drawn sample list becomes deterministic centroids here).
     nee_mode: str = "one"
+    # 'opaque': any occluder blocks the shadow ray (the reference's
+    # cast_one_shadow_ray rule, src/light_samples.py:44-52);
+    # 'transmittance': transmissive occluders attenuate by straight-line
+    # spectral Beer-Lambert of their interior extinction instead of
+    # blocking (colored-glass shadows; ops/dispatch.scene_transmittance).
+    shadow_mode: str = "opaque"
     seed: int = 0
 
     @property
@@ -110,6 +116,12 @@ class PhotonRunConfig:
     # 1 = deposit every step (the MCML convention; always used by the XLA
     # engine and by chi² parity runs).
     tally_stride: int = 1
+    # Separate stride for the 3-D volume deposits (0 = same as
+    # tally_stride).  The volume has ~8x the bins of the (r,z) grid and the
+    # fold is scatter-bound at ~10 ns/event (PERF.md), so thinning it
+    # harder than the headline (r,z) physics grid buys back most of the
+    # fold cost at a variance cost only the 2M-bin volume pays.
+    vol_stride: int = 0
     seed: int = 0
 
 

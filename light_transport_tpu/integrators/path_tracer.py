@@ -184,7 +184,10 @@ def _bounce(
     )
 
     # --- diffuse branch: NEE + cosine bounce -------------------------------
-    from light_transport_tpu.ops.dispatch import scene_occluded
+    from light_transport_tpu.ops.dispatch import (
+        scene_occluded,
+        scene_transmittance,
+    )
 
     shadow_o = hit_p + eps * n_s
     f_diffuse = diffuse_rgb * lm.INV_PI
@@ -203,24 +206,41 @@ def _bounce(
             lp_i = jnp.broadcast_to(lp_rows[li], shadow_o.shape)
             ln_i = jnp.broadcast_to(lt_.normal[li], shadow_o.shape)
             g_i, wi_i, dist_i = geometry_term(shadow_o, n_s, lp_i, ln_i)
-            blk = scene_occluded(scene, shadow_o, wi_i,
-                                 dist_i * (1.0 - 1e-3), ray_chunk=ray_chunk,
-                                 active=nee_active)
             contrib = lt_.radiance[li] * f_diffuse \
                 * (g_i * lt_.area[li])[:, None]
-            direct = direct + jnp.where(blk[:, None], 0.0, contrib)
+            if cfg.shadow_mode == "transmittance":
+                contrib = contrib * scene_transmittance(
+                    scene, shadow_o, wi_i, dist_i * (1.0 - 1e-3),
+                    ray_chunk=ray_chunk, active=nee_active)
+            else:
+                blk = scene_occluded(scene, shadow_o, wi_i,
+                                     dist_i * (1.0 - 1e-3),
+                                     ray_chunk=ray_chunk,
+                                     active=nee_active)
+                contrib = jnp.where(blk[:, None], 0.0, contrib)
+            direct = direct + contrib
     else:
         lp, ln, lrad, pdf_area = sample_light_points(
             scene.lights, u[:, rng.U_PICK], u[:, rng.U_LIGHT0],
             u[:, rng.U_LIGHT1]
         )
         g_term, wi, dist = geometry_term(shadow_o, n_s, lp, ln)
-        blocked = scene_occluded(scene, shadow_o, wi, dist * (1.0 - 1e-3),
-                                 ray_chunk=ray_chunk, active=nee_active)
         # contract: src/light_samples.py:55-59 — L * f * G / pdf_area
         direct = lrad * f_diffuse \
             * (g_term / jnp.maximum(pdf_area, 1e-30))[:, None]
-        direct = jnp.where(blocked[:, None], 0.0, direct)
+        if cfg.shadow_mode == "transmittance":
+            # media-aware visibility: transmissive occluders attenuate by
+            # their interior Beer-Lambert extinction instead of blocking
+            trans = scene_transmittance(scene, shadow_o, wi,
+                                        dist * (1.0 - 1e-3),
+                                        ray_chunk=ray_chunk,
+                                        active=nee_active)
+            direct = direct * trans
+        else:
+            blocked = scene_occluded(scene, shadow_o, wi,
+                                     dist * (1.0 - 1e-3),
+                                     ray_chunk=ray_chunk, active=nee_active)
+            direct = jnp.where(blocked[:, None], 0.0, direct)
 
     d_dir, d_pdf = sampling.cosine_weighted_hemisphere(
         n_s, u[:, rng.U_BSDF0], u[:, rng.U_BSDF1]

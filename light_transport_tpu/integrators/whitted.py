@@ -69,25 +69,46 @@ def trace_whitted(
     ``active``: lanes whose color the caller will actually use — dead or
     zero-weight recursion branches are culled inside dispatch (their color
     is already masked to 0 by the weights below)."""
-    mesh = scene.mesh
-    mats = scene.materials
-    eps = lm.EPSILON
-    n = o.shape[0]
-
     hit = _hit(scene, o, d, ray_chunk, active=active)
+    (color, hit_ok, hp, n_s, shifted, refl_coef, transmission,
+     t_dir, tir) = _shade_local(scene, o, d, hit, ray_chunk, active)
+
+    if depth > 0:
+        # reflection branch (:157-164)
+        r_dir = lm.reflect(d, n_s)
+        r_col = trace_whitted(scene, shifted, r_dir, depth - 1, ray_chunk,
+                              active=hit_ok)
+        color = color + jnp.where(
+            hit_ok[:, None], refl_coef[:, None] * r_col, 0.0
+        )
+
+        # refraction branch (:167-184)
+        t_o = hp - 1e-3 * n_s  # :178 (-0.001 offset)
+        t_active = hit_ok & ~tir & (transmission > 0)
+        t_col = trace_whitted(scene, t_o, t_dir, depth - 1, ray_chunk,
+                              active=t_active)
+        t_w = jnp.where(t_active, (1.0 - refl_coef) * transmission, 0.0)
+        color = color + t_w[:, None] * t_col
+
+    return color
+
+
+def _shade_local(scene, o, d, hit, ray_chunk, active):
+    """Phong-shade one traced ray batch; returns (color, geometry info
+    needed for spawning reflection/refraction children)."""
+    mats = scene.materials
+    n = o.shape[0]
     hit_ok = hit.valid if active is None else hit.valid & active
-    tri = jnp.maximum(hit.tri, 0)
     hp = o + d * hit.t[:, None]
     from light_transport_tpu.scene.analytic import surface_attrs
 
     n_geo, mat_id, _ = surface_attrs(scene, hit, hp)
     inside = lm.dot(n_geo, d) > 0.0
-    n_s = jnp.where(inside[:, None], -n_geo, n_geo)  # :82-85
-    shifted = hp + 1e-4 * n_s  # :91 (1e-5 in f64; f32 needs more)
+    n_s = jnp.where(inside[:, None], -n_geo, n_geo)
+    shifted = hp + 1e-4 * n_s
 
-    # ---- Phong shading against every light row (:96-133) ------------------
-    lp = _light_points(scene)  # (L, 3)
-    l_amb = mats.ambient[scene.lights.mat_id]  # (L, 3)
+    lp = _light_points(scene)
+    l_amb = mats.ambient[scene.lights.mat_id]
     l_dif = mats.diffuse[scene.lights.mat_id]
     l_spec = mats.specular[scene.lights.mat_id]
     o_amb = mats.ambient[mat_id]
@@ -103,7 +124,7 @@ def trace_whitted(
         wi = to_l / jnp.maximum(dist, 1e-20)[:, None]
         shadowed = _occluded(scene, shifted, wi, dist * (1 - 1e-3),
                              ray_chunk, active=hit_ok)
-        illum = o_amb * l_amb[li]  # ambient always (:116)
+        illum = o_amb * l_amb[li]
         ndotl = jnp.maximum(lm.dot(wi, n_s), 0.0)
         diffuse = o_dif * l_dif[li] * ndotl[:, None]
         to_cam = lm.normalize(scene.camera - hp)
@@ -115,7 +136,6 @@ def trace_whitted(
     color = color / max(num_l, 1)
     color = jnp.where(hit_ok[:, None], color, 0.0)
 
-    # ---- reflection / refraction coefficients (:140-155) ------------------
     is_mirror = mats.bsdf[mat_id] == 1
     ior = mats.ior[mat_id]
     n1 = jnp.where(inside, ior, 1.0)
@@ -124,34 +144,127 @@ def trace_whitted(
     cos_i = jnp.abs(lm.dot(d, n_s))
     fresnel_r = sampling.schlick_reflectance(r0, cos_i)
     refl_coef = jnp.where(is_mirror, mats.reflection[mat_id], fresnel_r)
+    transmission = mats.transmission[mat_id]
+    eta = n1 / n2
+    t_dir, tir = lm.refract(d, n_s, eta)
+    return (color, hit_ok, hp, n_s, shifted, refl_coef, transmission,
+            t_dir, tir)
 
-    if depth > 0:
-        # reflection branch (:157-164)
-        r_dir = lm.reflect(d, n_s)
-        r_col = trace_whitted(scene, shifted, r_dir, depth - 1, ray_chunk,
-                              active=hit_ok)
-        color = color + jnp.where(
-            hit_ok[:, None], refl_coef[:, None] * r_col, 0.0
-        )
 
-        # refraction branch (:167-184)
-        transmission = mats.transmission[mat_id]
-        eta = n1 / n2
-        t_dir, tir = lm.refract(d, n_s, eta)
-        t_o = hp - 1e-3 * n_s  # :178 (-0.001 offset)
-        t_active = hit_ok & ~tir & (transmission > 0)
-        t_col = trace_whitted(scene, t_o, t_dir, depth - 1, ray_chunk,
-                              active=t_active)
-        t_w = jnp.where(t_active, (1.0 - refl_coef) * transmission, 0.0)
-        color = color + t_w[:, None] * t_col
+def trace_whitted_queue(
+    scene: Scene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    depth: int,
+    ray_chunk: Optional[int] = None,
+    weight_cutoff: float = 1e-3,
+    max_iters: Optional[int] = None,
+) -> jnp.ndarray:
+    """Deep-recursion Whitted: iterative weighted ray queue (VERDICT r2
+    item 10).
 
+    ``trace_whitted`` statically unrolls the reflect/refract tree — 2^depth
+    trace sweeps, unusable past depth ~5.  Here each lane follows one
+    branch at a time and pushes the other (with its accumulated scalar
+    weight) onto a per-lane stack of static depth; sub-``weight_cutoff``
+    branches are dropped.  One host-driven superstep per tree node on the
+    heaviest-weight-first path: the jitted step compiles ONCE (a device
+    while_loop around the Pallas intersector compiles pathologically —
+    CLAUDE.md), and total iterations are bounded by the number of
+    significant tree nodes, not 2^depth.
+
+    Same physics as ``trace_whitted`` — identical shading per node; images
+    differ only by the dropped sub-cutoff subtrees (<= cutoff in radiance).
+    """
+    n = o.shape[0]
+    dtype = o.dtype
+    S = depth + 1  # stack capacity: one deferred branch per level
+
+    def push(stack, top, lane_mask, o_, d_, w_, dep_):
+        s_o, s_d, s_w, s_dep = stack
+        idx = jnp.clip(top, 0, S - 1)
+        onehot = (jnp.arange(S)[None, :] == idx[:, None]) & lane_mask[:, None]
+        s_o = jnp.where(onehot[..., None], o_[:, None, :], s_o)
+        s_d = jnp.where(onehot[..., None], d_[:, None, :], s_d)
+        s_w = jnp.where(onehot, w_[:, None], s_w)
+        s_dep = jnp.where(onehot, dep_[:, None], s_dep)
+        return (s_o, s_d, s_w, s_dep), top + lane_mask.astype(jnp.int32)
+
+    @jax.jit
+    def step(color, cur, stack, top):
+        cur_o, cur_d, cur_w, cur_dep, cur_act = cur
+        hit = _hit(scene, cur_o, cur_d, ray_chunk, active=cur_act)
+        (local, hit_ok, hp, n_s, shifted, refl_coef, transmission,
+         t_dir, tir) = _shade_local(scene, cur_o, cur_d, hit, ray_chunk,
+                                    cur_act)
+        color = color + cur_w[:, None] * local
+
+        can_recurse = hit_ok & (cur_dep > 0)
+        w_refl = jnp.where(can_recurse, cur_w * refl_coef, 0.0)
+        w_refr = jnp.where(can_recurse & ~tir & (transmission > 0),
+                           cur_w * (1.0 - refl_coef) * transmission, 0.0)
+        refl_sig = w_refl > weight_cutoff
+        refr_sig = w_refr > weight_cutoff
+
+        r_dir = lm.reflect(cur_d, n_s)
+        t_o = hp - 1e-3 * n_s
+
+        # follow the heavier branch, push the other if also significant
+        refl_first = w_refl >= w_refr
+        both = refl_sig & refr_sig
+        push_refr = both & refl_first
+        push_refl = both & ~refl_first
+        stack, top = push(stack, top, push_refr, t_o, t_dir, w_refr,
+                          cur_dep - 1)
+        stack, top = push(stack, top, push_refl, shifted, r_dir, w_refl,
+                          cur_dep - 1)
+
+        take_refl = refl_sig & (refl_first | ~refr_sig)
+        take_refr = refr_sig & ~take_refl
+        has_child = take_refl | take_refr
+        nxt_o = jnp.where(take_refl[:, None], shifted, t_o)
+        nxt_d = jnp.where(take_refl[:, None], r_dir, t_dir)
+        nxt_w = jnp.where(take_refl, w_refl, w_refr)
+
+        # lanes without a child pop their deferred branch (if any)
+        s_o, s_d, s_w, s_dep = stack
+        can_pop = ~has_child & (top > 0)
+        pidx = jnp.clip(top - 1, 0, S - 1)
+        onehot = jnp.arange(S)[None, :] == pidx[:, None]
+        p_o = jnp.sum(jnp.where(onehot[..., None], s_o, 0.0), axis=1)
+        p_d = jnp.sum(jnp.where(onehot[..., None], s_d, 0.0), axis=1)
+        p_w = jnp.sum(jnp.where(onehot, s_w, 0.0), axis=1)
+        p_dep = jnp.sum(jnp.where(onehot, s_dep, 0), axis=1)
+        top = top - can_pop.astype(jnp.int32)
+
+        new_o = jnp.where(has_child[:, None], nxt_o, p_o)
+        new_d = jnp.where(has_child[:, None], nxt_d, p_d)
+        new_w = jnp.where(has_child, nxt_w, p_w)
+        new_dep = jnp.where(has_child, cur_dep - 1, p_dep)
+        new_act = has_child | can_pop
+        any_act = jnp.any(new_act)
+        return color, (new_o, new_d, new_w, new_dep, new_act), \
+            (s_o, s_d, s_w, s_dep), top, any_act
+
+    color = jnp.zeros((n, 3), dtype)
+    cur = (o, d, jnp.ones((n,), dtype),
+           jnp.full((n,), depth, jnp.int32), jnp.ones((n,), bool))
+    stack = (jnp.zeros((n, S, 3), dtype), jnp.zeros((n, S, 3), dtype),
+             jnp.zeros((n, S), dtype), jnp.zeros((n, S), jnp.int32))
+    top = jnp.zeros((n,), jnp.int32)
+    # significant tree nodes are bounded by 2^depth but in practice by the
+    # weight cutoff; the hard cap only guards against degenerate scenes
+    iters = max_iters or min(2 ** depth + 1, 64 * (depth + 1))
+    for _ in range(iters):
+        color, cur, stack, top, any_act = step(color, cur, stack, top)
+        if not bool(any_act):
+            break
     return color
 
 
 from functools import partial
 
 
-@partial(jax.jit, static_argnums=(1, 3, 4))
 def render_whitted(
     scene: Scene,
     cfg: RenderConfig,
@@ -162,9 +275,36 @@ def render_whitted(
     """Whitted render (reference ``render_old.render_scene``,
     src/render_old.py:202-221): one primary ray per pixel, clip to [0,1].
 
+    Depth <= 4 runs the statically unrolled tree fully jitted (one
+    dispatch, bit-stable vs earlier rounds); deeper renders switch to the
+    host-driven weighted ray queue (:func:`trace_whitted_queue`) whose
+    cost scales with significant tree nodes instead of 2^depth.
+
     ``indirect_samples`` > 0 adds the reference's hemisphere-sampled
     indirect-diffuse estimate at the primary hit (:186-194).
     """
+    if cfg.max_depth > 4:
+        from light_transport_tpu.integrators.path_tracer import camera_rays
+        import dataclasses
+
+        n = cfg.height * cfg.width
+        cfg1 = dataclasses.replace(cfg, spp=1)
+        u_aa = jnp.zeros((n, 2), scene.camera.dtype)
+        o, d = camera_rays(scene, cfg1, u_aa)
+        color = trace_whitted_queue(scene, o, d, cfg.max_depth, ray_chunk)
+        return jnp.clip(color.reshape(cfg.height, cfg.width, 3), 0.0, 1.0)
+    return _render_whitted_unrolled(scene, cfg, key, ray_chunk,
+                                    indirect_samples)
+
+
+@partial(jax.jit, static_argnums=(1, 3, 4))
+def _render_whitted_unrolled(
+    scene: Scene,
+    cfg: RenderConfig,
+    key: jax.Array,
+    ray_chunk: Optional[int] = None,
+    indirect_samples: int = 0,
+):
     from light_transport_tpu.integrators.path_tracer import camera_rays
 
     n = cfg.height * cfg.width

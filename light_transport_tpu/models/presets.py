@@ -72,11 +72,14 @@ def full_scale():
 
     The 3-D cartesian volume (128^3 cells, 2 mm pitch) covers +/-1.28 cm
     around the beam axis and 2.56 cm of depth — the same physical extent as
-    the (r, z) MCML grid; ``tally_stride=16`` thins the spatial deposits
-    (unbiased, see PhotonRunConfig; ~25 sampled deposits per photon at the
-    ~400-step mean lifetime, 2.5e9 in total) so the giant-grid scatter cost
-    doesn't dominate — measured 772M steps/s with full tallies vs 218M at
-    stride 4 (PERF.md).
+    the (r, z) MCML grid.  The spatial tallies are strided (unbiased
+    stratified thinning, see PhotonRunConfig): the fold is scatter-bound at
+    ~10 ns/event (PERF.md §fold ladder), so the (r,z) grid samples every
+    32nd step (~13 deposits/photon at the ~400-step mean lifetime, 1.3e9
+    total at 1e8 photons) and the 2M-bin volume every 64th (~6/photon,
+    6.4e8 total).  Measured full-tally throughput 1.34e9 steps/s/chip at
+    these settings vs 0.89e9 at the round-2 stride-16 defaults; exits,
+    the detector image, and all counters stay exact every step.
     """
     medium = LayeredMedium.build(
         [MediumConfig(mu_a=0.5, mu_s=50.0, g=0.9, n=1.37)]
@@ -86,7 +89,7 @@ def full_scale():
                           detector_nx=512, detector_extent=1.28,
                           vol_nx=128, vol_ny=128, vol_nz=128,
                           vol_dx=0.02, vol_dy=0.02, vol_dz=0.02,
-                          tally_stride=16)
+                          tally_stride=32, vol_stride=64)
     return medium, cfg
 
 

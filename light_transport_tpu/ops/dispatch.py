@@ -197,3 +197,65 @@ def scene_occluded(scene: Scene, origins, directions, max_dist,
             jax.lax.stop_gradient(directions))
         occ = occ | (t_a < max_dist)
     return jax.lax.stop_gradient(occ)
+
+
+def scene_transmittance(scene: Scene, origins, directions, max_dist,
+                        ray_chunk: Optional[int] = None, active=None,
+                        max_hits: int = 3):
+    """Spectral straight-line transmittance along shadow segments.
+
+    Marches up to ``max_hits`` nearest-hit segments: any non-transmissive
+    surface blocks (transmittance 0); each transmissive interface crossing
+    is tracked by face orientation, and interior spans attenuate by
+    Beer-Lambert ``exp(-(sigma_a + sigma_s) * len)`` of the exited
+    material — the unscattered direct term; in-scattered light re-enters
+    the estimator through the tracer's analog medium-scatter chains with
+    ``emit_ok`` crediting.  Completes the reference's Medium stubs
+    (src/constants.py:17-24) for shadow rays; the reference's own
+    ``cast_one_shadow_ray`` (src/light_samples.py:35-61) blocks on any hit.
+
+    Approximations (documented in README §Deviations): the segment is not
+    refracted (a bent shadow path cannot reach the sampled light point),
+    interface Fresnel loss is ignored, and nested transmissive media
+    attribute each span to the material exited.  Segments still inside
+    glass after ``max_hits`` crossings keep their accumulated attenuation.
+
+    Returns (N, 3) transmittance in [0, 1].
+    """
+    from light_transport_tpu.scene.analytic import surface_attrs
+    from light_transport_tpu.scene.material import BSDF_TRANSMISSIVE
+
+    eps = 1e-4
+    n = origins.shape[0]
+    dtype = origins.dtype
+    mats = scene.materials
+    md = jnp.broadcast_to(jnp.asarray(max_dist, dtype), (n,))
+    marching = jnp.ones((n,), bool) if active is None else active
+
+    def body(carry, _):
+        cur_o, remaining, trans, marching = carry
+        hit = scene_intersect(scene, cur_o, directions, ray_chunk=ray_chunk,
+                              active=marching)
+        hit_in = hit.valid & (hit.t < remaining) & marching
+        hit_p = cur_o + directions * hit.t[:, None]
+        n_geo, mat_id, _ = surface_attrs(scene, hit, hit_p)
+        is_trans = mats.bsdf[mat_id] == BSDF_TRANSMISSIVE
+        blocked = hit_in & ~is_trans
+        trans = jnp.where(blocked[:, None], 0.0, trans)
+        # a backface crossing exits the hit object: the span just marched
+        # was its interior — attenuate by its extinction
+        exiting = hit_in & is_trans & (
+            jnp.sum(n_geo * directions, axis=-1) > 0.0)
+        sig_t = mats.sigma_a[mat_id] + mats.sigma_s[mat_id][:, None]
+        att = jnp.exp(-sig_t * hit.t[:, None])
+        trans = jnp.where(exiting[:, None], trans * att, trans)
+        step = hit.t + eps
+        cur_o = jnp.where(hit_in[:, None], hit_p + eps * directions, cur_o)
+        remaining = jnp.where(hit_in, remaining - step, remaining)
+        marching = hit_in & is_trans
+        return (cur_o, remaining, trans, marching), None
+
+    trans0 = jnp.ones((n, 3), dtype)
+    (_, _, trans, _), _ = jax.lax.scan(
+        body, (origins, md, trans0, marching), None, length=max_hits)
+    return jax.lax.stop_gradient(trans)

@@ -294,8 +294,17 @@ def intersect_rays_pallas(
     t_pad = tri_weights.shape[2]
     n_clusters = t_pad // TRI_TILE
 
-    # chunk rays so the SMEM mask fits
-    max_tiles = max(1, _MASK_MAX_ENTRIES // n_clusters)
+    # chunk rays so the SMEM mask fits.  The gather path's (tiles, C) ids
+    # array is scalar-prefetched 2-D, and 2-D SMEM arrays pad each row to
+    # the 128-lane width (see _gather_kernel's layout note) — budget
+    # against the PADDED row or mid-size scenes (16 <= C < 128) overshoot
+    # SMEM by up to 8x (ADVICE r2).  The dense path's mask is flattened
+    # 1-D, so its budget is the raw entry count.
+    if n_clusters >= _GATHER_MIN_CLUSTERS:
+        padded_row = ((n_clusters + 127) // 128) * 128
+        max_tiles = max(1, _MASK_MAX_ENTRIES // padded_row)
+    else:
+        max_tiles = max(1, _MASK_MAX_ENTRIES // n_clusters)
     chunk = max_tiles * RAY_TILE
     if n > chunk:
         tmax_eff = max_dist if (any_hit and max_dist is not None) else t_max

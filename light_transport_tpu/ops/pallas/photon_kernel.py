@@ -88,16 +88,19 @@ def _u01(shape):
     return hi24.astype(jnp.float32) * _TWO_NEG24
 
 
-def _n_draws(k_steps: int, bench_mode: bool) -> int:
+def _n_draws(k_steps: int, bench_mode: bool, vol_phase: bool = False) -> int:
     """Uniforms consumed per lane per block (5 per superstep + the strided-
-    deposit phase draw in quota mode) — the off-TPU fallback pre-draws
+    deposit phase draw(s) in quota mode) — the off-TPU fallback pre-draws
     exactly this many with threefry."""
-    return 5 * k_steps + (0 if bench_mode else 1)
+    if bench_mode:
+        return 5 * k_steps
+    return 5 * k_steps + 1 + (1 if vol_phase else 0)
 
 
 def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
                  k_steps: int = K_STEPS, stride: int = 1,
-                 hw_prng: bool = True):
+                 vol_stride: int = 0, hw_prng: bool = True,
+                 unroll: int = 1):
     """Bake the (tiny, static) medium tables into the kernel as constants.
 
     ``hw_prng=False`` is the off-TPU fallback (VERDICT.md r2 item 1): the
@@ -136,19 +139,25 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
     inv_vdx = 1.0 / cfg.vol_dx
     inv_vdy = 1.0 / cfg.vol_dy
     inv_vdz = 1.0 / cfg.vol_dz
+    vol_stride = vol_stride or stride
+    sep_vol_phase = vol_on and (vol_stride != stride)
 
     def kernel_body(seed_ref, quota_ref, u_ref, px, py, pz, dx, dy, dz,
                     w_ref, tau_ref, layer_ref, opx, opy, opz, odx, ody, odz,
                     ow, otau, olayer,
                     exit_bin_ref, exit_val_ref, det_bin_ref, det_val_ref,
-                    rz_bins_ref, rz_vals_ref, vol_bins_ref, counters_ref):
+                    rz_bins_ref, rz_vals_ref, vol_bins_ref, vol_vals_ref,
+                    counters_ref):
         pid = pl.program_id(0)
         if hw_prng:
             pltpu.prng_seed(seed_ref[0] + pid * 7919)
 
         # the kernel consumes uniforms in a fixed static order, so the
-        # fallback can hand them out from u_ref by a python counter
+        # fallback can hand them out from u_ref by a python counter (the
+        # pre-loop phase draws) plus a step-indexed slot (the 5 in-loop
+        # draws at n_phase + 5*step + j)
         draw_ctr = [0]
+        n_phase = 0 if bench_mode else (2 if sep_vol_phase else 1)
 
         def u01(shape):
             if hw_prng:
@@ -156,6 +165,11 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             i = draw_ctr[0]
             draw_ctr[0] += 1
             return u_ref[i]
+
+        def u01_step(step, j, shape):
+            if hw_prng:
+                return _u01(shape)
+            return u_ref[n_phase + step * 5 + j]
 
         launched = jnp.zeros((), jnp.float32)
         spec = jnp.zeros((), jnp.float32)
@@ -215,6 +229,7 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             return (x, y, z, ux, uy, uz, w, tau, layer, quota,
                     launched + n_r, spec + n_r * r_sp)
 
+        phase = phase_v = zero_i
         if not bench_mode:
             (x, y, z, ux, uy, uz, w, tau, layer, quota, launched,
              spec) = respawn(x, y, z, ux, uy, uz, w, tau, layer, quota,
@@ -226,8 +241,23 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             # the sampled ones (measured +4.8% on the absorb grids).
             phase = jnp.minimum((u01(x.shape) * float(stride))
                                 .astype(jnp.int32), stride - 1)
+            if sep_vol_phase:
+                phase_v = jnp.minimum((u01(x.shape) * float(vol_stride))
+                                      .astype(jnp.int32), vol_stride - 1)
+            else:
+                phase_v = phase
+            # stream slots accumulate read-modify-write inside the step
+            # loop, so zero them up front (pallas outputs start undefined)
+            for s_i in range(k_steps // stride):
+                rz_bins_ref[s_i] = zero_i
+                rz_vals_ref[s_i] = zero_f
+            for s_i in range(k_steps // vol_stride if vol_on else 1):
+                vol_bins_ref[s_i] = zero_i
+                vol_vals_ref[s_i] = zero_f
 
-        for step in range(k_steps):
+        def step_body(step, carry):
+            (x, y, z, ux, uy, uz, w, tau, layer, quota, launched, spec,
+             steps, absorbed, ex_bin, ex_val, de_bin, de_val) = carry
             if bench_mode:
                 # free respawn every step: occupancy stays at 100% so the
                 # throughput metric measures the superstep itself
@@ -237,11 +267,11 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             alive = w > 0.0
             steps += jnp.sum(alive.astype(jnp.float32))
 
-            u_tau = u01(x.shape)
-            u_hg = u01(x.shape)
-            u_phi = u01(x.shape)
-            u_fr = u01(x.shape)
-            u_rr = u01(x.shape)
+            u_tau = u01_step(step, 0, x.shape)
+            u_hg = u01_step(step, 1, x.shape)
+            u_phi = u01_step(step, 2, x.shape)
+            u_fr = u01_step(step, 3, x.shape)
+            u_rr = u01_step(step, 4, x.shape)
 
             # ---- hop -------------------------------------------------------
             mu_t_l = tab(mu_t, layer)
@@ -354,17 +384,22 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
                 # steps, a lane deposits on the one step matching its random
                 # phase, scaled by the stride — every step is sampled with
                 # probability exactly 1/stride, so the estimate is unbiased
-                # (the absorbed scalar above stays exact regardless)
+                # (the absorbed scalar above stays exact regardless).  Slots
+                # were zeroed before the loop; writes are read-modify-write
+                # at a dynamic slot index.
                 sidx = step // stride
                 sel = scat if stride == 1 else (
                     scat & (phase == (step % stride)))
-                first = step % stride == 0
-                base_b = zero_i if first else rz_bins_ref[sidx]
-                base_v = zero_f if first else rz_vals_ref[sidx]
-                rz_bins_ref[sidx] = jnp.where(sel, ir * nz + iz, base_b)
+                rz_bins_ref[sidx] = jnp.where(sel, ir * nz + iz,
+                                              rz_bins_ref[sidx])
                 rz_vals_ref[sidx] = jnp.where(sel, dw * float(stride),
-                                              base_v)
+                                              rz_vals_ref[sidx])
                 if vol_on:
+                    # independent (usually coarser) stride for the 2M-bin
+                    # volume: its fold is scatter-bound at ~10 ns/event
+                    svidx = step // vol_stride
+                    sel_v = scat if vol_stride == 1 else (
+                        scat & (phase_v == (step % vol_stride)))
                     vx = jnp.clip(
                         (x * inv_vdx + 0.5 * cfg.vol_nx).astype(jnp.int32),
                         0, cfg.vol_nx - 1)
@@ -373,17 +408,25 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
                         0, cfg.vol_ny - 1)
                     vz = jnp.clip((z * inv_vdz).astype(jnp.int32),
                                   0, cfg.vol_nz - 1)
-                    base_vb = zero_i if first else vol_bins_ref[sidx]
-                    vol_bins_ref[sidx] = jnp.where(
-                        sel, (vx * cfg.vol_ny + vy) * cfg.vol_nz + vz,
-                        base_vb)
-                elif step == 0:
-                    vol_bins_ref[0] = zero_i
+                    vol_bins_ref[svidx] = jnp.where(
+                        sel_v, (vx * cfg.vol_ny + vy) * cfg.vol_nz + vz,
+                        vol_bins_ref[svidx])
+                    vol_vals_ref[svidx] = jnp.where(
+                        sel_v, dw * float(vol_stride), vol_vals_ref[svidx])
 
             w = jnp.where(exits, 0.0, w)  # lane dies on exit
 
             # nudge off the interface
             z = jnp.where(hits_b & (w > 0.0), z + jnp.sign(uz) * 1e-6, z)
+            return (x, y, z, ux, uy, uz, w, tau, layer, quota, launched,
+                    spec, steps, absorbed, ex_bin, ex_val, de_bin, de_val)
+
+        (x, y, z, ux, uy, uz, w, tau, layer, quota, launched, spec,
+         steps, absorbed, ex_bin, ex_val, de_bin, de_val) = jax.lax.fori_loop(
+            0, k_steps, step_body,
+            (x, y, z, ux, uy, uz, w, tau, layer, quota, launched, spec,
+             steps, absorbed, ex_bin, ex_val, de_bin, de_val),
+            unroll=unroll)
 
         opx[:] = x
         opy[:] = y
@@ -403,6 +446,7 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             rz_bins_ref[0] = zero_i
             rz_vals_ref[0] = zero_f
             vol_bins_ref[0] = zero_i
+            vol_vals_ref[0] = zero_f
         counters_ref[pid, 0] = launched
         counters_ref[pid, 1] = spec
         counters_ref[pid, 2] = steps
@@ -445,7 +489,8 @@ class PallasPhotonEngine:
 
     def __init__(self, medium: LayeredMedium, cfg: PhotonRunConfig,
                  lanes: int, bench_mode: bool = True,
-                 k_steps: int = K_STEPS, hw_prng: bool | None = None):
+                 k_steps: int = K_STEPS, hw_prng: bool | None = None,
+                 unroll: int = 1):
         assert lanes % (ROWS * LANES) == 0, (lanes, ROWS * LANES)
         self.cfg = cfg
         self.lanes = lanes
@@ -460,6 +505,11 @@ class PallasPhotonEngine:
         self.hw_prng = bool(hw_prng)
         self.stride = max(1, int(cfg.tally_stride))
         assert k_steps % self.stride == 0, (k_steps, self.stride)
+        self.vol_stride = max(1, int(cfg.vol_stride or self.stride))
+        assert k_steps % self.vol_stride == 0, (k_steps, self.vol_stride)
+        self.sep_vol_phase = (cfg.vol_nx > 0
+                              and self.vol_stride != self.stride
+                              and not bench_mode)
         med = {
             "mu_t": np.asarray(medium.mu_t), "mu_a": np.asarray(medium.mu_a),
             "g": np.asarray(medium.g), "n": np.asarray(medium.n),
@@ -467,8 +517,14 @@ class PallasPhotonEngine:
             "n_above": np.asarray(medium.n_above),
             "n_below": np.asarray(medium.n_below),
         }
+        # the step loop runs as an in-kernel fori_loop (Mosaic compiles one
+        # step body instead of k_steps copies — the unrolled variant cost
+        # ~23 s of compile at k=64); Mosaic only allows unroll=1 or full
         self.kernel = _make_kernel(med, cfg, bench_mode, k_steps,
-                                   stride=self.stride, hw_prng=self.hw_prng)
+                                   stride=self.stride,
+                                   vol_stride=self.vol_stride,
+                                   hw_prng=self.hw_prng,
+                                   unroll=min(unroll, k_steps))
 
     def zero_state(self):
         shape = (self.n_tiles * ROWS, LANES)
@@ -487,8 +543,8 @@ class PallasPhotonEngine:
         row_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
         n_stream = (self.k_steps // self.stride) if not self.bench_mode else 1
-        n_vol = n_stream if (self.cfg.vol_nx > 0
-                             and not self.bench_mode) else 1
+        n_vol = ((self.k_steps // self.vol_stride)
+                 if (self.cfg.vol_nx > 0 and not self.bench_mode) else 1)
 
         def stream_spec(steps):
             return pl.BlockSpec((steps, ROWS, LANES), lambda i: (0, i, 0),
@@ -500,7 +556,7 @@ class PallasPhotonEngine:
             + [row_spec]  # layer
             + [row_spec] * 4  # exit_bin/exit_val/det_bin/det_val
             + [stream_spec(n_stream), stream_spec(n_stream),
-               stream_spec(n_vol)]
+               stream_spec(n_vol), stream_spec(n_vol)]
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]
         )
         out_shape = (
@@ -512,7 +568,8 @@ class PallasPhotonEngine:
                jax.ShapeDtypeStruct((n_rows, LANES), f32)]
             + [jax.ShapeDtypeStruct((n_stream, n_rows, LANES), i32),
                jax.ShapeDtypeStruct((n_stream, n_rows, LANES), f32),
-               jax.ShapeDtypeStruct((n_vol, n_rows, LANES), i32)]
+               jax.ShapeDtypeStruct((n_vol, n_rows, LANES), i32),
+               jax.ShapeDtypeStruct((n_vol, n_rows, LANES), f32)]
             + [jax.ShapeDtypeStruct((self.n_tiles, 5), f32)]
         )
         in_specs = (
@@ -521,7 +578,8 @@ class PallasPhotonEngine:
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ]
             + ([] if self.hw_prng else
-               [pl.BlockSpec((_n_draws(self.k_steps, self.bench_mode),
+               [pl.BlockSpec((_n_draws(self.k_steps, self.bench_mode,
+                                       self.sep_vol_phase),
                               ROWS, LANES), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM)])
             + [row_spec] * 8
@@ -538,7 +596,8 @@ class PallasPhotonEngine:
             key = jax.random.fold_in(jax.random.key(0),
                                      jnp.asarray(seed, jnp.int32))
             u_args = (jax.random.uniform(
-                key, (_n_draws(self.k_steps, self.bench_mode), n_rows, LANES),
+                key, (_n_draws(self.k_steps, self.bench_mode,
+                               self.sep_vol_phase), n_rows, LANES),
                 jnp.float32),)
         outs = pl.pallas_call(
             self.kernel,
@@ -554,11 +613,11 @@ class PallasPhotonEngine:
             px, py, pz, dx, dy, dz, w, tau, layer,
         )
         new_state = outs[:9]
-        return new_state, outs[9:16], outs[16]
+        return new_state, outs[9:17], outs[17]
 
     def accumulate(self, tallies: PhotonTallies, outs, counters):
         (exit_bin, exit_val, det_bin, det_val,
-         rz_bins, rz_vals, vol_bins) = outs
+         rz_bins, rz_vals, vol_bins, vol_vals) = outs
         cfg = self.cfg
         if not self.bench_mode:
             ex = _hist(exit_bin, exit_val, 2 * cfg.nr)
@@ -575,7 +634,7 @@ class PallasPhotonEngine:
                     detector_xy=tallies.detector_xy + det.reshape(nx, nx))
             if cfg.vol_nx > 0:
                 nb = cfg.vol_nx * cfg.vol_ny * cfg.vol_nz
-                vol = _hist(vol_bins, rz_vals, nb)
+                vol = _hist(vol_bins, vol_vals, nb)
                 tallies = tallies.replace(
                     absorb_xyz=tallies.absorb_xyz
                     + vol.reshape(cfg.vol_nx, cfg.vol_ny, cfg.vol_nz))
@@ -597,8 +656,12 @@ def bench_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
     exact scalar counters — it measures the superstep kernel itself.  The
     unbiased quota engine below is the one that produces physics.
     """
+    # bench mode fully unrolls the step loop: Mosaic's unroll=1 fori costs
+    # ~25% steady throughput (cross-step ILP), which the quota engine
+    # gladly trades for a 23 s -> 1.5 s compile, but the throughput metric
+    # should measure the kernel at its best (compile time is excluded)
     eng = PallasPhotonEngine(medium, cfg, lanes, bench_mode=True,
-                             k_steps=k_steps)
+                             k_steps=k_steps, unroll=k_steps)
 
     @jax.jit
     def run(seed0):
@@ -666,11 +729,22 @@ def simulate_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
     quota = jnp.asarray(quota)
     t0 = time.perf_counter()
     t1 = s1 = None
+    # pipelined host loop: dispatch chunk c+1 (async) BEFORE forcing chunk
+    # c's `more` scalar, so the ~27 ms tunnel round-trip of the termination
+    # read overlaps device work instead of stalling it.  Termination lags
+    # one chunk (one extra all-dead chunk executes after drain — dead lanes
+    # cost no counted steps).
+    prev_more = None
+    prev_tallies = tallies
     for c in range(0, max_blocks, chunk_blocks):
         state, tallies, quota, more = chunk(
             state, tallies, quota, seed + c * 65537)
-        done = not bool(more)  # syncs the chunk
+        if prev_more is not None:
+            done = not bool(prev_more)  # syncs chunk c-1 only
+        else:
+            done = False
         if t1 is None:
+            jax.block_until_ready(more)
             # first chunk includes the XLA/Mosaic compile; steady-state
             # throughput (the reference's own "do not report compile time"
             # convention, examples/ray-tracing.ipynb cells 12/14) is
@@ -678,7 +752,9 @@ def simulate_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
             t1 = time.perf_counter()
             s1 = counter_value(tallies.steps)
         if done:
+            tallies = prev_tallies  # chunk c was dispatched past the drain
             break
+        prev_more, prev_tallies = more, tallies
     if timings is not None and t1 is not None:
         s_end = counter_value(tallies.steps)
         t_end = time.perf_counter()

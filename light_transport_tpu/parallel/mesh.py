@@ -231,12 +231,17 @@ def simulate_pallas_sharded(
     tallies = PhotonTallies.zeros(cfg)
     quota = jnp.asarray(quota)
     merge = jax.jit(lambda a, b: a.merge(b))  # one dispatch, not ~15 eager
+    # pipelined host loop (same as simulate_pallas): dispatch chunk c+1
+    # before forcing chunk c's `more`, hiding the tunnel round-trip; the one
+    # extra all-dead chunk after drain contributes an exactly-zero delta
+    prev_more = None
     for c in range(0, max_blocks, chunk_blocks):
         state, delta, quota, more = chunk(
             state, quota, jnp.asarray(seed + c * 65_537, jnp.int32))
         tallies = merge(tallies, delta)
-        if not bool(more):
+        if prev_more is not None and not bool(prev_more):
             break
+        prev_more = more
     return tallies
 
 

@@ -22,6 +22,7 @@ fold-in; tallies are psum-reducible partials (see parallel/).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax
@@ -250,33 +251,45 @@ def simulate_photons(
     key: jax.Array,
     lanes: int = 16384,
     max_supersteps: int = 100_000,
+    compact_drain: bool | None = None,
+    min_lanes: int = 1024,
 ) -> PhotonTallies:
     """Run exactly ``cfg.n_photons`` photons to completion (unbiased: the
-    loop continues until every launched photon has exited or died)."""
-    lanes = min(lanes, cfg.n_photons)
+    loop continues until every launched photon has exited or died).
 
-    # Inner scan length: supersteps executed per while-loop iteration.  The
-    # termination condition is only re-evaluated between rounds — crucial on
-    # remote/tunneled TPUs where every while_loop iteration costs a host
-    # round-trip.  Correctness is unaffected (dead lanes with zero quota are
-    # no-ops).
+    Two phases (VERDICT r2 item 6 — the drain-tail fix):
+
+    * **Main phase** (quota remaining): a device-side while-of-scan with
+      per-step respawn keeps every lane occupied; the termination check
+      runs once per ``cfg.steps_per_batch`` round so tunneled TPUs don't
+      pay a host round-trip per superstep.  Bitwise identical to the
+      round-2 engine while the quota lasts.
+    * **Drain phase** (quota exhausted, survivors finishing): previously
+      the full lane population stayed resident while a shrinking live set
+      (albedo→1 photons live for hundreds of steps) finished — at 2^20
+      lanes the tail cost hundreds of full-width supersteps for a few
+      live lanes.  Now a host-driven loop compacts the live lanes into a
+      half/quarter/... sized population (argsort-gather, re-jitted per
+      power-of-two size down to ``min_lanes``) between rounds, so the
+      tail's compute shrinks with its live set.  Compaction re-lanes a
+      photon, which re-keys its remaining uniform stream — statistically
+      equivalent, and runs that never trigger compaction (alive > lanes/2
+      throughout) are bitwise unchanged.  ``compact_drain=None`` (auto)
+      enables it at >= 2^16 lanes, where the tail dominates; smaller
+      populations skip it (each power-of-two size costs one extra jit).
+    """
+    lanes = min(lanes, cfg.n_photons)
+    if compact_drain is None:
+        compact_drain = lanes >= 65536
     round_len = max(1, cfg.steps_per_batch)
 
-    @jax.jit
-    def run(key):
-        state = PhotonState.dead(lanes)
-        tallies = PhotonTallies.zeros(cfg)
-        quota = jnp.asarray(cfg.n_photons, jnp.int32)
-
-        def cond(carry):
-            state, _, quota, step = carry
-            return ((quota > 0) | jnp.any(state.alive)) & (step < max_supersteps)
-
-        def round_body(carry):
-            def one(carry2, step):
+    def make_round(n_lanes):
+        @jax.jit
+        def run_round(key, state, tallies, quota, step):
+            def one(carry2, s):
                 state, tallies, quota = carry2
                 u = jax.random.uniform(
-                    jax.random.fold_in(key, step), (lanes, _NUM_U),
+                    jax.random.fold_in(key, s), (n_lanes, _NUM_U),
                     dtype=state.w.dtype,
                 )
                 state, tallies, quota = superstep(
@@ -284,19 +297,55 @@ def simulate_photons(
                 )
                 return (state, tallies, quota), None
 
-            state, tallies, quota, step = carry
             (state, tallies, quota), _ = jax.lax.scan(
                 one, (state, tallies, quota),
                 step + jnp.arange(round_len, dtype=jnp.int32),
             )
             return state, tallies, quota, step + round_len
+        return run_round
 
-        _, tallies, _, _ = jax.lax.while_loop(
-            cond, round_body, (state, tallies, quota, jnp.asarray(0, jnp.int32))
+    @jax.jit
+    def main_phase(key):
+        state = PhotonState.dead(lanes)
+        tallies = PhotonTallies.zeros(cfg)
+        quota = jnp.asarray(cfg.n_photons, jnp.int32)
+
+        def cond(carry):
+            _, _, quota, step = carry
+            return (quota > 0) & (step < max_supersteps)
+
+        def round_body(carry):
+            state, tallies, quota, step = carry
+            return make_round(lanes).__wrapped__(
+                key, state, tallies, quota, step)
+
+        return jax.lax.while_loop(
+            cond, round_body,
+            (state, tallies, quota, jnp.asarray(0, jnp.int32)),
         )
-        return tallies
 
-    return run(key)
+    @partial(jax.jit, static_argnums=1)
+    def compact(state, target):
+        # live lanes first (stable: preserves relative order), then slice
+        order = jnp.argsort(~state.alive, stable=True)[:target]
+        return jax.tree.map(lambda a: a[order], state)
+
+    state, tallies, quota, step = main_phase(key)
+
+    n_lanes = lanes
+    rounds = {}
+    while bool(jnp.any(state.alive)) and int(step) < max_supersteps:
+        if compact_drain:
+            n_alive = int(jnp.sum(state.alive))
+            target = n_lanes
+            while target > min_lanes and n_alive <= target // 2:
+                target //= 2
+            if target != n_lanes:
+                state = compact(state, target)
+                n_lanes = target
+        fn = rounds.setdefault(n_lanes, make_round(n_lanes))
+        state, tallies, quota, step = fn(key, state, tallies, quota, step)
+    return tallies
 
 
 def run_fixed_steps(

@@ -29,8 +29,8 @@ def main():
                     help="override photon count (pilot runs)")
     ap.add_argument("--tiles", type=int, default=64,
                     help="lane tiles (8192 lanes each)")
-    ap.add_argument("--k-steps", type=int, default=64)
-    ap.add_argument("--chunk-blocks", type=int, default=8)
+    ap.add_argument("--k-steps", type=int, default=128)
+    ap.add_argument("--chunk-blocks", type=int, default=4)
     ap.add_argument("--out", default="artifacts/full_scale_run.json")
     args = ap.parse_args()
 
@@ -102,7 +102,7 @@ def main():
     if not args.photons or args.photons >= 10_000_000:
         np.save("artifacts/full_scale_detector.npy",
                 np.asarray(tallies.detector_xy, np.float32))
-        np.save("artifacts/full_scale_volume.npy", vol.astype(np.float32))
+        np.save("artifacts/full_scale_volume.npy", vol.astype(np.float16))
     print(json.dumps(rec, indent=1))
 
 

@@ -78,3 +78,75 @@ def test_detector_disabled_shape():
     cfg = PhotonRunConfig(n_photons=2_000, nr=8, nz=8)
     res = simulate(m, cfg, seed=0)
     assert res.detector_xy.shape == (1, 1)
+
+
+def test_detector_through_sharded_paths():
+    """detector_xy through BOTH sharded engines on the 8-device CPU mesh
+    (VERDICT.md r2 item 7: the psum'd detector was single-device-only
+    tested).  The psum'd image must agree statistically with the
+    single-device run and conserve exit energy exactly."""
+    import dataclasses
+
+    from light_transport_tpu.parallel.mesh import (
+        make_mesh,
+        simulate_pallas_sharded,
+        simulate_sharded,
+    )
+
+    m = LayeredMedium.build(
+        [MediumConfig(mu_a=1.0, mu_s=20.0, g=0.8, n=1.4)], n_above=1.0)
+    n = 40_000
+    cfg = PhotonRunConfig(n_photons=n, nr=16, nz=16, dr=0.04, dz=0.04,
+                          detector_nx=16, detector_extent=0.32)
+    mesh = make_mesh(8)
+    res8 = simulate_sharded(m, cfg, jax.random.key(3), mesh=mesh,
+                            lanes_per_device=2048)
+    det8 = np.asarray(res8.detector_xy, np.float64)
+    assert det8.shape == (16, 16)
+    # exit-energy conservation through the psum: detector total == R_d total
+    np.testing.assert_allclose(det8.sum(), float(res8.refl_r.sum()),
+                               rtol=1e-4)
+    # single-device statistical parity on the rebinned image
+    res1 = simulate(m, cfg, seed=7)
+    det1 = np.asarray(res1.detector_xy, np.float64)
+    a = det8.reshape(4, 4, 4, 4).sum((1, 3)) / n
+    b = det1.reshape(4, 4, 4, 4).sum((1, 3)) / n
+    se = np.sqrt(np.maximum(b, 1e-6) / n) * 3 + 2e-3
+    assert np.all(np.abs(a - b) < 3 * se), np.abs(a - b).max()
+
+    # the Pallas engine's sharded path (threefry interpret fallback off-TPU)
+    resp = simulate_pallas_sharded(m, cfg, seed=11, mesh=mesh, k_steps=8)
+    detp = np.asarray(resp.detector_xy, np.float64)
+    np.testing.assert_allclose(detp.sum(), float(resp.refl_r.sum()),
+                               rtol=1e-4)
+    ap = detp.reshape(4, 4, 4, 4).sum((1, 3)) / n
+    assert np.all(np.abs(ap - b) < 3 * se), np.abs(ap - b).max()
+
+
+def test_vol_stride_unbiased():
+    """Separate volume stride (PhotonRunConfig.vol_stride): the strided
+    volume and (r,z) deposits must stay unbiased estimates of the exact
+    absorbed scalar at any stride combination (stratified thinning)."""
+    import dataclasses
+
+    from light_transport_tpu.ops.pallas.photon_kernel import (
+        LANES,
+        ROWS,
+        simulate_pallas,
+    )
+
+    m = LayeredMedium.build([MediumConfig(mu_a=1.0, mu_s=9.0, g=0.5, n=1.0)])
+    n = 30_000
+    base = PhotonRunConfig(n_photons=n, nr=16, nz=16, dr=0.05, dz=0.05,
+                           vol_nx=16, vol_ny=16, vol_nz=16,
+                           vol_dx=0.05, vol_dy=0.05, vol_dz=0.05)
+    for ts, vs in [(1, 1), (2, 4), (8, 8)]:
+        cfg = dataclasses.replace(base, tally_stride=ts, vol_stride=vs)
+        tl = simulate_pallas(m, cfg, seed=5, lanes=ROWS * LANES, k_steps=8)
+        ab = float(tl.absorbed)
+        vol = float(np.asarray(tl.absorb_xyz, np.float64).sum())
+        rz = float(np.asarray(tl.absorb_rz, np.float64).sum())
+        assert tl.n_launched == n
+        assert abs(vol / ab - 1) < 0.03, (ts, vs, vol / ab)
+        assert abs(rz / ab - 1) < 0.03, (ts, vs, rz / ab)
+        assert abs(tl.energy_total() - 1.0) < 5e-3

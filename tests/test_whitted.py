@@ -51,3 +51,48 @@ def test_whitted_indirect_option():
     )
     assert np.all(np.isfinite(ind))
     assert ind.mean() >= base.mean() - 1e-6  # indirect only adds energy
+
+
+def test_whitted_queue_matches_unrolled():
+    """The iterative weighted ray queue (trace_whitted_queue, VERDICT r2
+    item 10) must reproduce the statically unrolled tree at shallow depth
+    (same shading per node; only sub-cutoff subtrees differ) and complete
+    a depth-8 render — infeasible for the 2^depth unrolled form — in a
+    bounded number of supersteps."""
+    import dataclasses
+    import time
+
+    import jax.numpy as jnp
+
+    from light_transport_tpu.integrators.path_tracer import camera_rays
+    from light_transport_tpu.integrators.whitted import (
+        render_whitted,
+        trace_whitted,
+        trace_whitted_queue,
+    )
+
+    scene, cfg = cornell_box_scene(width=16, height=16, spp=1, max_depth=3)
+    n = cfg.height * cfg.width
+    cfg1 = dataclasses.replace(cfg, spp=1)
+    # jittered rays: the no-AA grid puts rays exactly on box corners, where
+    # jit FMA contraction vs eager evaluation flips watertight edge hits —
+    # the queue's step is jitted, so degenerate rays would compare a jitted
+    # against an eager intersector instead of the two traversal orders
+    u_aa = jax.random.uniform(jax.random.key(4), (n, 2))
+    o, d = camera_rays(scene, cfg1, u_aa)
+    unrolled = np.asarray(jax.jit(
+        lambda o, d: trace_whitted(scene, o, d, 3))(o, d))
+    queued = np.asarray(trace_whitted_queue(scene, o, d, 3))
+    # dropped sub-cutoff subtrees bound the difference by a few times the
+    # 1e-3 weight cutoff (local radiance can exceed 1)
+    np.testing.assert_allclose(queued, unrolled, atol=6e-3)
+
+    # depth-8 completes (render_whitted auto-switches to the queue there)
+    deep_cfg = dataclasses.replace(cfg, max_depth=8)
+    t0 = time.time()
+    img = np.asarray(render_whitted(scene, deep_cfg, jax.random.key(0)))
+    assert np.isfinite(img).all() and img.shape == (16, 16, 3)
+    assert img.mean() > 0.05
+    # deeper recursion only adds energy on this scene
+    shallow = np.asarray(render_whitted(scene, cfg, jax.random.key(0)))
+    assert img.mean() >= shallow.mean() - 1e-4
