@@ -22,6 +22,7 @@ fold-in; tallies are psum-reducible partials (see parallel/).
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import NamedTuple, Tuple
 
@@ -252,7 +253,7 @@ def simulate_photons(
     lanes: int = 16384,
     max_supersteps: int = 100_000,
     compact_drain: bool | None = None,
-    min_lanes: int = 1024,
+    min_lanes: int = 65536,
 ) -> PhotonTallies:
     """Run exactly ``cfg.n_photons`` photons to completion (unbiased: the
     loop continues until every launched photon has exited or died).
@@ -268,84 +269,115 @@ def simulate_photons(
       the full lane population stayed resident while a shrinking live set
       (albedo→1 photons live for hundreds of steps) finished — at 2^20
       lanes the tail cost hundreds of full-width supersteps for a few
-      live lanes.  Now a host-driven loop compacts the live lanes into a
-      half/quarter/... sized population (argsort-gather, re-jitted per
-      power-of-two size down to ``min_lanes``) between rounds, so the
-      tail's compute shrinks with its live set.  Compaction re-lanes a
-      photon, which re-keys its remaining uniform stream — statistically
-      equivalent, and runs that never trigger compaction (alive > lanes/2
-      throughout) are bitwise unchanged.  ``compact_drain=None`` (auto)
-      enables it at >= 2^16 lanes, where the tail dominates; smaller
-      populations skip it (each power-of-two size costs one extra jit).
+      live lanes.  Now a host-driven loop compacts the live lanes
+      (argsort-gather) straight down to the next power of two >= the live
+      count, runs 4x-length rounds, and dispatches several rounds per
+      host sync (a tunneled round-trip costs ~0.5 s, far more than a
+      drain round's device time).  Compaction re-lanes a photon, which
+      re-keys its remaining uniform stream — statistically equivalent,
+      and runs that never trigger compaction are bitwise unchanged
+      (verified: identical step counts and R_d vs the round-2 engine).
+      ``compact_drain=None`` (auto) enables it at >= 2^16 lanes, where
+      the tail dominates.
+
+    All jitted pieces (``_main_phase``, ``_run_rounds``, ``_compact``)
+    are module-level with the photon count carried as a *traced* quota,
+    so repeated runs — including at different ``cfg.n_photons`` — reuse
+    every compiled executable (per-call closures used to recompile the
+    whole engine each run; see PERF.md §wall-vs-steady).
     """
     lanes = min(lanes, cfg.n_photons)
     if compact_drain is None:
         compact_drain = lanes >= 65536
     round_len = max(1, cfg.steps_per_batch)
+    # static jit key with n_photons neutralized: the quota is a *traced*
+    # argument below, so re-running at a different photon count reuses
+    # every compiled executable (the shapes don't depend on it)
+    cfg_key = dataclasses.replace(cfg, n_photons=0)
+    quota0 = jnp.asarray(cfg.n_photons, jnp.int32)
 
-    def make_round(n_lanes):
-        @jax.jit
-        def run_round(key, state, tallies, quota, step):
-            def one(carry2, s):
-                state, tallies, quota = carry2
-                u = jax.random.uniform(
-                    jax.random.fold_in(key, s), (n_lanes, _NUM_U),
-                    dtype=state.w.dtype,
-                )
-                state, tallies, quota = superstep(
-                    state, tallies, u, medium, cfg, quota
-                )
-                return (state, tallies, quota), None
-
-            (state, tallies, quota), _ = jax.lax.scan(
-                one, (state, tallies, quota),
-                step + jnp.arange(round_len, dtype=jnp.int32),
-            )
-            return state, tallies, quota, step + round_len
-        return run_round
-
-    @jax.jit
-    def main_phase(key):
-        state = PhotonState.dead(lanes)
-        tallies = PhotonTallies.zeros(cfg)
-        quota = jnp.asarray(cfg.n_photons, jnp.int32)
-
-        def cond(carry):
-            _, _, quota, step = carry
-            return (quota > 0) & (step < max_supersteps)
-
-        def round_body(carry):
-            state, tallies, quota, step = carry
-            return make_round(lanes).__wrapped__(
-                key, state, tallies, quota, step)
-
-        return jax.lax.while_loop(
-            cond, round_body,
-            (state, tallies, quota, jnp.asarray(0, jnp.int32)),
-        )
-
-    @partial(jax.jit, static_argnums=1)
-    def compact(state, target):
-        # live lanes first (stable: preserves relative order), then slice
-        order = jnp.argsort(~state.alive, stable=True)[:target]
-        return jax.tree.map(lambda a: a[order], state)
-
-    state, tallies, quota, step = main_phase(key)
+    state, tallies, quota, step = _main_phase(
+        key, medium, quota0, cfg_key, lanes, round_len, max_supersteps)
 
     n_lanes = lanes
-    rounds = {}
-    while bool(jnp.any(state.alive)) and int(step) < max_supersteps:
+    drain_len = round_len * 4  # uniforms key on the global step index, so
+    # round granularity does not change the stream (bitwise-safe)
+    rounds_per_sync = 4
+    while int(step) < max_supersteps:
+        n_alive = int(jnp.sum(state.alive))  # one host sync per batch
+        if n_alive == 0:
+            break
         if compact_drain:
-            n_alive = int(jnp.sum(state.alive))
-            target = n_lanes
-            while target > min_lanes and n_alive <= target // 2:
-                target //= 2
+            target = max(min_lanes, 1 << (max(n_alive, 1) - 1).bit_length())
+            target = min(target, n_lanes)
             if target != n_lanes:
-                state = compact(state, target)
+                state = _compact(state, target)
                 n_lanes = target
-        fn = rounds.setdefault(n_lanes, make_round(n_lanes))
-        state, tallies, quota, step = fn(key, state, tallies, quota, step)
+        # dispatch several rounds per sync: each tunneled round-trip costs
+        # ~0.5 s, far more than a drain round's device time
+        for _ in range(rounds_per_sync):
+            state, tallies, quota, step = _run_rounds(
+                key, state, tallies, quota, step, medium, cfg_key,
+                drain_len)
     return tallies
+
+
+@partial(jax.jit, static_argnames=("cfg", "length"))
+def _run_rounds(key, state, tallies, quota, step, medium, cfg, length):
+    """``length`` supersteps under one dispatch (uniforms keyed on the
+    global step index, so round granularity never changes the stream).
+
+    Module-level jit: repeated ``simulate_photons`` calls at the same
+    shapes reuse the compiled executable (per-call closures used to
+    recompile every run — the whole wall-vs-steady gap of PERF.md).
+    """
+    n_lanes = state.w.shape[0]
+
+    def one(carry2, s):
+        state, tallies, quota = carry2
+        u = jax.random.uniform(
+            jax.random.fold_in(key, s), (n_lanes, _NUM_U),
+            dtype=state.w.dtype,
+        )
+        state, tallies, quota = superstep(
+            state, tallies, u, medium, cfg, quota
+        )
+        return (state, tallies, quota), None
+
+    (state, tallies, quota), _ = jax.lax.scan(
+        one, (state, tallies, quota),
+        step + jnp.arange(length, dtype=jnp.int32),
+    )
+    return state, tallies, quota, step + length
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "lanes", "round_len", "max_supersteps"))
+def _main_phase(key, medium, quota0, cfg, lanes, round_len,
+                max_supersteps):
+    state = PhotonState.dead(lanes)
+    tallies = PhotonTallies.zeros(cfg)
+
+    def cond(carry):
+        _, _, quota, step = carry
+        return (quota > 0) & (step < max_supersteps)
+
+    def round_body(carry):
+        state, tallies, quota, step = carry
+        return _run_rounds.__wrapped__(
+            key, state, tallies, quota, step, medium, cfg, round_len)
+
+    return jax.lax.while_loop(
+        cond, round_body,
+        (state, tallies, quota0, jnp.asarray(0, jnp.int32)),
+    )
+
+
+@partial(jax.jit, static_argnums=1)
+def _compact(state, target):
+    # live lanes first (stable: preserves relative order), then slice
+    order = jnp.argsort(~state.alive, stable=True)[:target]
+    return jax.tree.map(lambda a: a[order], state)
 
 
 def run_fixed_steps(
