@@ -121,7 +121,8 @@ def _kernel(mask_ref, feat_ref, w_ref, tminmax_ref, best_t_ref,
 
 
 def _gather_kernel(ids_ref, cnt_ref, feat_ref, tminmax_ref, w_hbm,
-                   best_t_ref, best_col_ref, wbuf, sems, *, tri_tile):
+                   best_t_ref, best_col_ref, wbuf, sems, *, tri_tile,
+                   n_ids):
     """Per ray-tile: loop over the tile's *active* clusters only, manually
     DMAing each cluster's weight block HBM->VMEM with double buffering.
 
@@ -132,15 +133,28 @@ def _gather_kernel(ids_ref, cnt_ref, feat_ref, tminmax_ref, w_hbm,
     (SMEM), so the inner fori_loop does exactly as many matmuls as the cull
     lets through.  This is the "two-level MXU scheme" of PERF.md: culling at
     cluster granularity, brute-force MXU inside a cluster.
+
+    The id list is capped at ``n_ids`` entries per tile (its SMEM footprint
+    would otherwise scale with cluster count and shrink the ray chunks —
+    the round-2 >1M-triangle cliff).  Overflow tiles are flagged with
+    ``cnt = total_clusters > n_ids`` and loop *every* cluster by identity
+    instead of through the list; after coherence ray sorting almost no
+    tile activates more than n_ids clusters, so the overflow path is the
+    rare-worst-case fallback, not the norm.
     """
     i = pl.program_id(0)
     best_t_ref[:] = jnp.full_like(best_t_ref, BIG)
     best_col_ref[:] = jnp.full_like(best_col_ref, -1)
     n_act = cnt_ref[i]
+    overflow = n_act > n_ids
+
+    def cid(k):
+        return jnp.where(overflow, k,
+                         ids_ref[i, jnp.minimum(k, n_ids - 1)])
 
     def dma(k, slot):
         return pltpu.make_async_copy(
-            w_hbm.at[ids_ref[i, k]], wbuf.at[slot], sems.at[slot])
+            w_hbm.at[cid(k)], wbuf.at[slot], sems.at[slot])
 
     @pl.when(n_act > 0)
     def _():
@@ -174,7 +188,7 @@ def _gather_kernel(ids_ref, cnt_ref, feat_ref, tminmax_ref, w_hbm,
             & (t > tmin) & (t < tmax)
         )
         t_masked = jnp.where(valid, t, BIG)
-        base = ids_ref[i, k] * tri_tile
+        base = cid(k) * tri_tile
         best_t = best_t_ref[:]
         best_col = best_col_ref[:]
         for s in range(tri_tile // 128):
@@ -216,7 +230,8 @@ def _intersect_gather_cull(feats, tminmax, tri_weights_c, ids, cnt, n_pad):
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kern = functools.partial(_gather_kernel, tri_tile=TRI_TILE)
+    kern = functools.partial(_gather_kernel, tri_tile=TRI_TILE,
+                             n_ids=ids.shape[1])
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -269,6 +284,14 @@ _MASK_MAX_ENTRIES = 65536
 # skipped-step overhead than the gather variant pays in manual DMA
 _GATHER_MIN_CLUSTERS = 16
 
+# per-tile active-cluster id list cap (gather path).  Uncapped, the
+# (tiles, C) list's SMEM footprint scales with cluster count and shrinks
+# the ray chunks — the round-2 >1M-triangle cliff.  Tiles whose cull
+# admits more than this many clusters are flagged (cnt = C) and loop every
+# cluster by identity inside the kernel; after coherence ray sorting such
+# tiles are rare.  512 keeps chunks at >=16k rays at any mesh size.
+_A_MAX = 512
+
 
 def intersect_rays_pallas(
     origins: jnp.ndarray,
@@ -294,14 +317,16 @@ def intersect_rays_pallas(
     t_pad = tri_weights.shape[2]
     n_clusters = t_pad // TRI_TILE
 
-    # chunk rays so the SMEM mask fits.  The gather path's (tiles, C) ids
+    # chunk rays so the SMEM mask fits.  The gather path's (tiles, A) ids
     # array is scalar-prefetched 2-D, and 2-D SMEM arrays pad each row to
     # the 128-lane width (see _gather_kernel's layout note) — budget
     # against the PADDED row or mid-size scenes (16 <= C < 128) overshoot
-    # SMEM by up to 8x (ADVICE r2).  The dense path's mask is flattened
-    # 1-D, so its budget is the raw entry count.
+    # SMEM by up to 8x (ADVICE r2).  The row width is capped at _A_MAX, so
+    # chunks no longer shrink with cluster count (the >1M-tri cliff).  The
+    # dense path's mask is flattened 1-D: raw entry count.
     if n_clusters >= _GATHER_MIN_CLUSTERS:
-        padded_row = ((n_clusters + 127) // 128) * 128
+        row = min(n_clusters, _A_MAX)
+        padded_row = ((row + 127) // 128) * 128
         max_tiles = max(1, _MASK_MAX_ENTRIES // padded_row)
     else:
         max_tiles = max(1, _MASK_MAX_ENTRIES // n_clusters)
@@ -365,9 +390,14 @@ def intersect_rays_pallas(
 
     if n_clusters >= _GATHER_MIN_CLUSTERS:
         # compacted active-cluster lists: actives first, ascending (stable
-        # argsort of the inverted mask), plus per-tile counts
+        # argsort of the inverted mask), plus per-tile counts; capped at
+        # _A_MAX entries — overflow tiles flagged with cnt = n_clusters
+        # loop every cluster by identity inside the kernel
         ids = jnp.argsort(~mask2d, axis=1, stable=True).astype(jnp.int32)
         cnt = mask2d.sum(axis=1).astype(jnp.int32)
+        if n_clusters > _A_MAX:
+            ids = ids[:, :_A_MAX]
+            cnt = jnp.where(cnt > _A_MAX, n_clusters, cnt)
         w_c = jnp.moveaxis(
             tri_weights.reshape(16, 4, n_clusters, TRI_TILE), 2, 0
         ).reshape(n_clusters, 16, 4 * TRI_TILE)
