@@ -57,17 +57,33 @@ class timer:
         self.seconds = time.time() - self.t0
 
 
-def timed_twice(fn):
+def timed_twice(fn, retries: int = 3, delay: float = 20.0):
     """Run ``fn`` twice: returns (result, jit_seconds, steady_seconds).
 
     The reference notebooks report both "w/ JIT" and steady-state timings
     (ray-tracing.ipynb cells 12/14); compiles here additionally ride a
     remote tunnel whose latency varies minute-to-minute, so the steady
     number is the meaningful one for render-speed claims.
+
+    The first (compiling) call is retried on transient backend faults —
+    the tunnel intermittently fails compiles with UNAVAILABLE for seconds
+    at a time (CLAUDE.md), and a blip must not fail a round artifact
+    (VERDICT r2 item 7).
     """
-    t0 = time.time()
-    result = fn()
-    t_jit = time.time() - t0
+    last = None
+    for attempt in range(retries):
+        try:
+            t0 = time.time()
+            result = fn()
+            t_jit = time.time() - t0
+            break
+        except Exception as e:
+            last = e
+            print(f"compile dispatch attempt {attempt + 1} failed "
+                  f"({type(e).__name__}); retrying", file=sys.stderr)
+            time.sleep(delay)
+    else:
+        raise last
     t0 = time.time()
     result = fn()
     t_steady = time.time() - t0

@@ -55,14 +55,25 @@ def main():
           f"k_steps={args.k_steps} stride={cfg.tally_stride}",
           file=sys.stderr)
 
-    t0 = time.perf_counter()
-    timings = {}
-    tallies = simulate_pallas(medium, cfg, seed=cfg.seed, lanes=lanes,
-                              k_steps=args.k_steps,
-                              chunk_blocks=args.chunk_blocks,
-                              timings=timings)
-    jax.block_until_ready(tallies)
-    dt = time.perf_counter() - t0
+    # retry once: the tunnel intermittently fails compiles/transfers
+    # (CLAUDE.md); a blip must not fail the round artifact
+    for attempt in range(2):
+        try:
+            t0 = time.perf_counter()
+            timings = {}
+            tallies = simulate_pallas(medium, cfg, seed=cfg.seed,
+                                      lanes=lanes, k_steps=args.k_steps,
+                                      chunk_blocks=args.chunk_blocks,
+                                      timings=timings)
+            jax.block_until_ready(tallies)
+            dt = time.perf_counter() - t0
+            break
+        except Exception as e:
+            if attempt:
+                raise
+            print(f"run attempt 1 failed ({type(e).__name__}: {e}); "
+                  "retrying", file=sys.stderr)
+            time.sleep(30)
 
     n = tallies.n_launched
     steps = tallies.n_steps
