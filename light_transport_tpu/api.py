@@ -28,6 +28,12 @@ def render(
     cfg = cfg or RenderConfig()
     key = jax.random.key(cfg.seed if seed is None else seed)
     if integrator == "path":
+        if cfg.fresnel_mode == "split":
+            from light_transport_tpu.integrators.path_tracer import (
+                render_image_split,
+            )
+
+            return render_image_split(scene, cfg, key, ray_chunk=ray_chunk)
         from light_transport_tpu.integrators.path_tracer import render_image
 
         return render_image(scene, cfg, key, ray_chunk=ray_chunk)

@@ -48,6 +48,14 @@ class RenderConfig:
     # spectral Beer-Lambert of their interior extinction instead of
     # blocking (colored-glass shadows; ops/dispatch.scene_transmittance).
     shadow_mode: str = "opaque"
+    # 'stochastic': at a transmissive hit, sample reflect-vs-refract with
+    # the Schlick probability, weight 1 (the flagship tracer's rule,
+    # src/path_tracing.py:126-141); 'split': deterministically follow BOTH
+    # branches with their Fresnel weights — the reference's recursive-PT
+    # estimator (src/render.py:121-153) — via a per-lane deferred-branch
+    # stack (path_tracer.trace_paths_split).  Lower variance on glass at
+    # equal spp; costs extra supersteps for the deferred branches.
+    fresnel_mode: str = "stochastic"
     seed: int = 0
 
     @property

@@ -103,8 +103,11 @@ def _bounce(
     cfg: RenderConfig,
     state: PathState,
     u: jnp.ndarray,  # (N, NUM_U) this bounce's uniforms
-    bounce: jnp.ndarray,  # () int32 bounce index
+    bounce: jnp.ndarray,  # () or (N,) int32 bounce index
     ray_chunk: Optional[int],
+    split_ok: Optional[jnp.ndarray] = None,  # (N,) bool: deterministic
+    # both-branch Fresnel allowed for this lane (fresnel_mode="split");
+    # None = stochastic branch selection everywhere (the flagship rule)
 ):
     mesh = scene.mesh
     mats = scene.materials
@@ -264,6 +267,15 @@ def _bounce(
     eta = n1 / n2
     t_dir, tir = lm.refract(state.direction, n_s, eta)
     do_refract = (~tir) & (u[:, rng.U_BSDF0] > refl_prob)
+    trans_tp_scale = jnp.ones_like(refl_prob)
+    if split_ok is not None:
+        # deterministic both-branch Fresnel (src/render.py:121-153): the
+        # lane follows the refracted branch weighted (1-R) and the caller
+        # pushes the reflected branch weighted R onto its deferred stack.
+        # Lanes whose stack is full (split_ok False) keep the unbiased
+        # stochastic rule, so the estimator stays exact at any stack size.
+        do_refract = jnp.where(split_ok, ~tir, do_refract)
+        trans_tp_scale = jnp.where(split_ok & ~tir, 1.0 - refl_prob, 1.0)
     trans_dir = jnp.where(do_refract[:, None], t_dir, m_dir)
     trans_new_o = jnp.where(
         do_refract[:, None], hit_p - eps * n_s, hit_p + eps * n_s
@@ -288,7 +300,10 @@ def _bounce(
     # in-scatter events preempt the surface interaction entirely
     new_dir = jnp.where(scatter_evt[:, None], hg_dir, new_dir)
     new_o = jnp.where(scatter_evt[:, None], scat_o, new_o)
-    tp_scale = jnp.where(is_diffuse[:, None], diffuse_tp_scale, 1.0)
+    tp_scale = jnp.where(
+        is_diffuse[:, None], diffuse_tp_scale,
+        jnp.where(is_trans[:, None], trans_tp_scale[:, None], 1.0),
+    )
 
     shade = hit_ok & is_diffuse & ~scatter_evt
     direct_contrib = jnp.where(shade[:, None], tp_arr * direct, 0.0)
@@ -327,7 +342,18 @@ def _bounce(
         jnp.where(reached, hit.tri, -1),
         jnp.where(reached, lm.luminance(tp_arr), 0.0),
     )
-    return new_state, per_bounce
+    if split_ok is None:
+        return new_state, per_bounce
+    # fresnel_mode="split": the reflected sibling of a followed refraction,
+    # for the caller to push onto the lane's deferred-branch stack
+    defer_mask = reached & is_trans & (~tir) & split_ok & state.alive
+    defer = (
+        defer_mask,
+        hit_p + eps * n_s,
+        m_dir,
+        tp_arr * refl_prob[:, None],
+    )
+    return new_state, per_bounce, defer
 
 
 def trace_paths(
@@ -369,6 +395,145 @@ def trace_paths(
         incident=jnp.moveaxis(recs[4], 0, 1),
     )
     return final.radiance, record
+
+
+def trace_paths_split(
+    scene: Scene,
+    cfg: RenderConfig,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    uniforms: jnp.ndarray,  # (N, max_depth, NUM_U)
+    ray_chunk: Optional[int] = None,
+    stack_size: Optional[int] = None,
+    max_iters: Optional[int] = None,
+) -> jnp.ndarray:
+    """Deterministic both-branch Fresnel path tracing (``fresnel_mode=
+    "split"``): the reference's recursive-PT estimator, src/render.py:121-153,
+    which follows BOTH the reflected and the refracted branch of every
+    transmissive hit with their Fresnel weights R / (1-R) instead of
+    sampling one stochastically.  Lower variance on glass at equal spp.
+
+    TPU-native shape: same lockstep ``_bounce`` superstep as
+    :func:`trace_paths`, but lanes carry a per-lane *bounce counter* and a
+    static-depth deferred-branch stack (the :func:`~light_transport_tpu.
+    integrators.whitted.trace_whitted_queue` pattern).  At a transmissive
+    hit the lane follows refraction (weight ``1-R``) and pushes reflection
+    (weight ``R``, resuming at ``bounce+1``); when a lane dies it pops.
+    Lanes whose stack is full fall back to the stochastic one-branch rule,
+    so the estimator is unbiased at ANY ``stack_size`` — the split only
+    reduces variance.  Host-driven loop with one jitted step (a device
+    while_loop around the Pallas intersector compiles pathologically,
+    CLAUDE.md); iterations are bounded by significant tree nodes.
+
+    A deferred branch re-reads the SAME uniform rows its sibling consumed
+    at equal depth — sibling branches are correlated but each is an
+    unbiased continuation, so the mean is exact (matches the reference,
+    whose pre-drawn ``rand_0/1[j,i]`` are likewise shared across the
+    recursion tree at a pixel, src/scene.py:68-71).
+
+    Returns ``radiance (N, 3)`` (no TraceRecord: the CV pipeline keeps the
+    stochastic tracer, whose per-bounce records stay exact-gradient pure).
+    """
+    n = origins.shape[0]
+    dtype = origins.dtype
+    depth = cfg.max_depth
+    S = stack_size if stack_size is not None else min(depth, 6)
+    iters = max_iters or min(2 ** depth + 1, 8 * depth + 1)
+
+    def push(stack, top, lane_mask, o_, d_, tp_, b_):
+        s_o, s_d, s_tp, s_b = stack
+        idx = jnp.clip(top, 0, S - 1)
+        onehot = (jnp.arange(S)[None, :] == idx[:, None]) & lane_mask[:, None]
+        s_o = jnp.where(onehot[..., None], o_[:, None, :], s_o)
+        s_d = jnp.where(onehot[..., None], d_[:, None, :], s_d)
+        s_tp = jnp.where(onehot[..., None], tp_[:, None, :], s_tp)
+        s_b = jnp.where(onehot, b_[:, None], s_b)
+        return (s_o, s_d, s_tp, s_b), top + lane_mask.astype(jnp.int32)
+
+    @jax.jit
+    def step(state, bounce_v, stack, top):
+        u = jnp.take_along_axis(
+            uniforms, jnp.clip(bounce_v, 0, depth - 1)[:, None, None], axis=1
+        )[:, 0, :]
+        # a deferred branch starting at bounce_v+1 >= depth would be dead on
+        # arrival — don't split there (the depth cutoff, as in the reference
+        # recursion's depth guard)
+        split_ok = (top < S) & (bounce_v + 1 < depth)
+        new_state, _, defer = _bounce(scene, cfg, state, u, bounce_v,
+                                      ray_chunk, split_ok=split_ok)
+        d_mask, d_o, d_d, d_tp = defer
+        stack, top = push(stack, top, d_mask, d_o, d_d, d_tp, bounce_v + 1)
+
+        new_bounce = bounce_v + 1
+        alive = new_state.alive & (new_bounce < depth)
+
+        # dead lanes resume their most recent deferred branch
+        s_o, s_d, s_tp, s_b = stack
+        can_pop = ~alive & (top > 0)
+        pidx = jnp.clip(top - 1, 0, S - 1)
+        onehot = jnp.arange(S)[None, :] == pidx[:, None]
+        p_o = jnp.sum(jnp.where(onehot[..., None], s_o, 0.0), axis=1)
+        p_d = jnp.sum(jnp.where(onehot[..., None], s_d, 0.0), axis=1)
+        p_tp = jnp.sum(jnp.where(onehot[..., None], s_tp, 0.0), axis=1)
+        p_b = jnp.sum(jnp.where(onehot, s_b, 0), axis=1)
+        top = top - can_pop.astype(jnp.int32)
+
+        res_state = PathState(
+            origin=jnp.where(can_pop[:, None], p_o, new_state.origin),
+            direction=jnp.where(can_pop[:, None], p_d, new_state.direction),
+            throughput=jnp.where(can_pop[:, None], p_tp,
+                                 new_state.throughput),
+            radiance=new_state.radiance,
+            alive=alive | can_pop,
+            # a popped branch leaves a specular (transmissive) vertex:
+            # emission on its next hit was unreachable by NEE
+            emit_ok=jnp.where(can_pop, True, new_state.emit_ok),
+        )
+        res_bounce = jnp.where(can_pop, p_b, new_bounce)
+        return res_state, res_bounce, (s_o, s_d, s_tp, s_b), top, \
+            jnp.any(res_state.alive)
+
+    state = PathState(
+        origin=origins,
+        direction=directions,
+        throughput=jnp.ones((n, 3), dtype=dtype),
+        radiance=jnp.zeros((n, 3), dtype=dtype),
+        alive=jnp.ones((n,), dtype=bool),
+        emit_ok=jnp.ones((n,), dtype=bool),
+    )
+    bounce_v = jnp.zeros((n,), jnp.int32)
+    stack = (jnp.zeros((n, S, 3), dtype), jnp.zeros((n, S, 3), dtype),
+             jnp.zeros((n, S, 3), dtype), jnp.zeros((n, S), jnp.int32))
+    top = jnp.zeros((n,), jnp.int32)
+    for _ in range(iters):
+        state, bounce_v, stack, top, any_alive = step(
+            state, bounce_v, stack, top
+        )
+        if not bool(any_alive):
+            break
+    return state.radiance
+
+
+def render_image_split(
+    scene: Scene,
+    cfg: RenderConfig,
+    key: jax.Array,
+    ray_chunk: Optional[int] = None,
+):
+    """Render with ``fresnel_mode="split"`` (host-driven; see
+    :func:`trace_paths_split`).  Same image contract as
+    :func:`render_image`."""
+    n = cfg.height * cfg.width * cfg.spp
+    k_aa, k_u = jax.random.split(key)
+    u_aa = jax.random.uniform(k_aa, (n, 2), dtype=scene.camera.dtype)
+    uniforms = rng.path_uniforms(k_u, n, cfg.max_depth,
+                                 dtype=scene.camera.dtype)
+    origins, directions = camera_rays(scene, cfg, u_aa)
+    radiance = trace_paths_split(scene, cfg, origins, directions, uniforms,
+                                 ray_chunk=ray_chunk)
+    samples = radiance.reshape(cfg.spp, cfg.height, cfg.width, 3)
+    samples = jnp.moveaxis(samples, 0, 2)
+    return jnp.clip(jnp.mean(samples, axis=2), 0.0, 1.0)
 
 
 def camera_rays(scene: Scene, cfg: RenderConfig, u_aa: jnp.ndarray):

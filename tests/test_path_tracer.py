@@ -197,3 +197,108 @@ def test_nee_all_matches_one_sample():
     # the deterministic connection slashes direct-lighting noise: per-pixel
     # deviation from the (smoother) 'all' image stays moderate
     assert np.abs(img_one - img_all).mean() < 0.05
+
+
+# --- fresnel_mode="split": deterministic both-branch Fresnel ---------------
+
+
+def glass_slab_scene(emission=5.0, ior=1.5, top=2.0, bottom=1.8):
+    """Non-diffuse emitter floor at y=0 under a horizontal glass slab."""
+    floor = quad_triangles((-5, 0, -5), (-5, 0, 5), (5, 0, 5), (5, 0, -5))
+    # +y outward normal for the slab's top face, -y for its bottom face
+    slab_top = quad_triangles((-5, top, -5), (-5, top, 5), (5, top, 5),
+                              (5, top, -5))
+    slab_bot = quad_triangles((-5, bottom, -5), (5, bottom, -5),
+                              (5, bottom, 5), (-5, bottom, 5))
+    mats = MaterialTable.build(
+        [
+            Material(color=presets.WHITE, emission=emission,
+                     is_diffuse=False),
+            Material(color=presets.WHITE, transmission=1.0, ior=ior,
+                     is_diffuse=False),
+        ]
+    )
+    verts = np.concatenate([floor, slab_top, slab_bot])
+    ids = np.asarray([0, 0, 1, 1, 1, 1], np.int32)
+    is_light = np.asarray([True, True, False, False, False, False])
+    mesh = TriangleMesh.build(verts, ids, is_light)
+    return Scene.build(mesh, mats, camera=[0.0, 3.0, 0.0])
+
+
+def _slab_rays(n):
+    o = jnp.tile(jnp.asarray([[0.1, 3.0, 0.1]]), (n, 1))
+    d = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]]), (n, 1))
+    return o, d
+
+
+def test_fresnel_split_deterministic_and_exact():
+    """At normal incidence through a glass slab onto an emitter, the split
+    estimator (src/render.py:121-153 contract) is DETERMINISTIC — radiance
+    is independent of the uniforms — and equals the closed-form multiple-
+    reflection series E*(1-R)^2*(1+R^2+...) truncated at max_depth."""
+    from light_transport_tpu.integrators.path_tracer import trace_paths_split
+    from light_transport_tpu.ops.sampling import schlick_r0
+
+    scene = glass_slab_scene()
+    cfg = RenderConfig(max_depth=6, rr_start=10, emission_mode="nee")
+    n = 8
+    o, d = _slab_rays(n)
+    u1 = rng.path_uniforms(jax.random.key(1), n, cfg.max_depth)
+    u2 = rng.path_uniforms(jax.random.key(2), n, cfg.max_depth)
+    r1 = np.asarray(trace_paths_split(scene, cfg, o, d, u1))
+    r2 = np.asarray(trace_paths_split(scene, cfg, o, d, u2))
+    np.testing.assert_allclose(r1, r2, atol=1e-6)  # uniform-independent
+
+    R = float(schlick_r0(jnp.asarray(1.0), jnp.asarray(1.5)))
+    # depth 6 admits the direct chain (3 bounces) and one internal
+    # double-reflection (5 bounces); the R^4 term needs 7
+    expected = 5.0 * (1.0 - R) ** 2 * (1.0 + R ** 2)
+    np.testing.assert_allclose(r1.mean(axis=0), expected, rtol=2e-3)
+
+
+def test_fresnel_split_variance_and_mean_parity():
+    """Same-mean, lower-variance vs the stochastic one-branch rule (the
+    split is a conditional-expectation / Rao-Blackwell step)."""
+    from light_transport_tpu.integrators.path_tracer import trace_paths_split
+
+    scene = glass_slab_scene()
+    cfg = RenderConfig(max_depth=6, rr_start=10, emission_mode="nee")
+    n = 2048
+    o, d = _slab_rays(n)
+    u = rng.path_uniforms(jax.random.key(3), n, cfg.max_depth)
+    r_split = np.asarray(trace_paths_split(scene, cfg, o, d, u))[:, 1]
+    r_stoch = np.asarray(trace_paths(scene, cfg, o, d, u)[0])[:, 1]
+    se = r_stoch.std() / np.sqrt(n)
+    assert abs(r_split.mean() - r_stoch.mean()) < 4 * se + 1e-3
+    assert r_split.std() < 0.1 * r_stoch.std()  # ~0 vs Bernoulli spread
+
+
+def test_fresnel_split_reduces_to_stochastic_without_glass():
+    """No transmissive surfaces -> no splits: the split driver must produce
+    the stochastic tracer's radiance exactly (same uniforms)."""
+    from light_transport_tpu.integrators.path_tracer import trace_paths_split
+
+    scene = single_emitter_scene()
+    cfg = RenderConfig(max_depth=3)
+    n = 64
+    o = jnp.tile(jnp.asarray([[0.0, 2.5, 0.0]]), (n, 1))
+    d = lm.normalize(jnp.tile(jnp.asarray([[0.05, -1.0, 0.02]]), (n, 1)))
+    u = rng.path_uniforms(jax.random.key(4), n, cfg.max_depth)
+    r_split = np.asarray(trace_paths_split(scene, cfg, o, d, u))
+    r_stoch = np.asarray(trace_paths(scene, cfg, o, d, u)[0])
+    np.testing.assert_allclose(r_split, r_stoch, atol=1e-6)
+
+
+def test_fresnel_split_render_cornell_parity():
+    """End-to-end: fresnel_mode='split' through the public API on the glass
+    Cornell scene agrees with the flagship render at the image-mean level."""
+    import dataclasses
+
+    import light_transport_tpu as lt
+
+    scene, cfg = cornell_box_scene(width=16, height=16, spp=8, max_depth=4)
+    img = np.asarray(lt.render(scene, cfg, seed=0))
+    cfg_s = dataclasses.replace(cfg, fresnel_mode="split")
+    img_s = np.asarray(lt.render(scene, cfg_s, seed=0))
+    assert np.all(np.isfinite(img_s)) and img_s.max() > 0.1
+    assert abs(img.mean() - img_s.mean()) < 0.02, (img.mean(), img_s.mean())
