@@ -37,7 +37,13 @@ def _medium():
     )
 
 
-def bench_pallas_engine(trials: int = 5):
+def bench_pallas_engine(trials: int = 5,
+                        tiles: int = 32, k_steps: int = 96,
+                        blocks: int = 384):
+    # r3 asymptote sweep (PERF.md §block-count asymptote): throughput climbs
+    # with blocks-per-dispatch until per-call overhead amortizes out —
+    # (tiles=8,k=64,blocks=32) measured 2.2e9 while the same kernel at
+    # (32,96,384) sustains ~10e9; k=128 fails to compile over the tunnel.
     from light_transport_tpu.ops.pallas.photon_kernel import (
         LANES,
         ROWS,
@@ -46,7 +52,6 @@ def bench_pallas_engine(trials: int = 5):
 
     medium = _medium()
     cfg = PhotonRunConfig(nr=64, nz=64, dr=0.01, dz=0.01)
-    tiles, k_steps, blocks = 8, 64, 32
     lanes = ROWS * LANES * tiles
 
     from light_transport_tpu.tally.tallies import counter_value
@@ -154,14 +159,18 @@ def main():
 
     best = prov = None
     # the axon tunnel fails compiles/transfers transiently (CLAUDE.md);
-    # falling back to the 4x-slower XLA engine on a flake would record a
-    # misleading number, so retry the Pallas bench first
-    for attempt in range(3):
+    # falling back to the ~15x-slower XLA engine on a flake would record a
+    # misleading number, so retry the Pallas bench first — the asymptote
+    # config twice, then a mid-size config (measured ~8.8e9) whose smaller
+    # executable is less compile-helper-hungry
+    for attempt, shape in enumerate([(32, 96, 384), (32, 96, 384),
+                                     (16, 96, 96)]):
         try:
-            best, prov = bench_pallas_engine()
+            best, prov = bench_pallas_engine(
+                tiles=shape[0], k_steps=shape[1], blocks=shape[2])
             break
         except Exception as e:
-            print(f"pallas bench attempt {attempt + 1} failed "
+            print(f"pallas bench attempt {attempt + 1} {shape} failed "
                   f"({type(e).__name__}: {e})", file=sys.stderr)
             time.sleep(20)
     if best is None:
