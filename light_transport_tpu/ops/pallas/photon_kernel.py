@@ -97,10 +97,54 @@ def _n_draws(k_steps: int, bench_mode: bool, vol_phase: bool = False) -> int:
     return 5 * k_steps + 1 + (1 if vol_phase else 0)
 
 
+def _onehot_pair_flush(acc_ref, ib, jb, vals, ni: int, nj_pad: int,
+                       scratch=None):
+    """acc_ref[(ni, nj_pad)] += 2-D histogram of per-lane (ib, jb, vals).
+
+    The scatter that XLA would emit costs ~10 ns/entry (PERF.md fold
+    attribution); here each (ROWS, LANES) tile row becomes two one-hot
+    factors contracted on the MXU: ``acc += onehot_i(ib_row) @
+    (vals_row * onehot_j(jb_row))^T`` — nr*LANES*nz MACs per row, ~40x
+    cheaper than the scatter at full-scale grids.  bf16 one-hots are
+    exact; the value factor is split hi/lo into two bf16 passes so the
+    product is accurate to ~2^-16 relative (the f32 VMEM accumulator
+    then carries exact sums).  Lanes with vals == 0 contribute nothing,
+    so unset/pending-empty lanes need no masking.
+    """
+    si_ref, sj_ref, sv_ref = scratch
+    si_ref[:], sj_ref[:], sv_ref[:] = ib, jb, vals
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (ni, LANES), 0)
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (nj_pad, LANES), 0)
+    dn = (((1,), (1,)), ((), ()))  # contract the lane dim of both factors
+    group = 8  # f32/i32 sublane tile height — keeps dynamic slices aligned
+
+    def row_group(g, acc):
+        ib_g = si_ref[pl.ds(g * group, group), :]
+        jb_g = sj_ref[pl.ds(g * group, group), :]
+        v_g = sv_ref[pl.ds(g * group, group), :]
+        for r in range(group):
+            a = (iota_i == ib_g[r:r + 1, :]).astype(jnp.bfloat16)
+            v = jnp.where(iota_j == jb_g[r:r + 1, :], v_g[r:r + 1, :], 0.0)
+            v_hi = v.astype(jnp.bfloat16)
+            v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            p = jax.lax.dot_general(a, v_hi, dn,
+                                    preferred_element_type=jnp.float32)
+            p = p + jax.lax.dot_general(a, v_lo, dn,
+                                        preferred_element_type=jnp.float32)
+            acc = acc + p
+        return acc
+
+    acc = jax.lax.fori_loop(0, ROWS // group, row_group,
+                            jnp.zeros((ni, nj_pad), jnp.float32))
+    acc_ref[:] = acc_ref[:] + acc
+
+
 def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
                  k_steps: int = K_STEPS, stride: int = 1,
                  vol_stride: int = 0, hw_prng: bool = True,
-                 unroll: int = 1):
+                 unroll: int = 1,
+                 rz_mm: bool = False, nz_pad: int = 0,
+                 det_mm: bool = False, det_pad: int = 0):
     """Bake the (tiny, static) medium tables into the kernel as constants.
 
     ``hw_prng=False`` is the off-TPU fallback (VERDICT.md r2 item 1): the
@@ -147,10 +191,36 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
                     ow, otau, olayer,
                     exit_bin_ref, exit_val_ref, det_bin_ref, det_val_ref,
                     rz_bins_ref, rz_vals_ref, vol_bins_ref, vol_vals_ref,
-                    counters_ref):
+                    *tail_refs):
+        # trailing refs: optional MXU-histogram accumulators, counters,
+        # then (in mm mode) 3 VMEM scratch rows shared by the flushes —
+        # Mosaic can't dynamic_slice values, so the flush row loop reads
+        # its 8-row groups back out of a ref
+        t_i = 0
+        rz_acc_ref = det_acc_ref = mm_scratch = None
+        if rz_mm:
+            rz_acc_ref = tail_refs[t_i]
+            t_i += 1
+        if det_mm:
+            det_acc_ref = tail_refs[t_i]
+            t_i += 1
+        counters_ref = tail_refs[t_i]
+        if rz_mm or det_mm:
+            mm_scratch = tail_refs[t_i + 1:t_i + 4]
         pid = pl.program_id(0)
         if hw_prng:
             pltpu.prng_seed(seed_ref[0] + pid * 7919)
+        # the in-VMEM histogram accumulators are shared by every grid
+        # program (constant index_map -> the block is revisited, staying
+        # resident across programs); program 0 owns the zero-init
+        if rz_mm:
+            @pl.when(pid == 0)
+            def _zero_rz():
+                rz_acc_ref[:] = jnp.zeros((nr, nz_pad), jnp.float32)
+        if det_mm:
+            @pl.when(pid == 0)
+            def _zero_det():
+                det_acc_ref[:] = jnp.zeros((nx_det, det_pad), jnp.float32)
 
         # the kernel consumes uniforms in a fixed static order, so the
         # fallback can hand them out from u_ref by a python counter (the
@@ -247,17 +317,29 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             else:
                 phase_v = phase
             # stream slots accumulate read-modify-write inside the step
-            # loop, so zero them up front (pallas outputs start undefined)
-            for s_i in range(k_steps // stride):
-                rz_bins_ref[s_i] = zero_i
-                rz_vals_ref[s_i] = zero_f
+            # loop, so zero them up front (pallas outputs start undefined);
+            # the MXU-histogram path replaces the rz stream with a 1-slot
+            # placeholder zeroed at the end
+            if not rz_mm:
+                for s_i in range(k_steps // stride):
+                    rz_bins_ref[s_i] = zero_i
+                    rz_vals_ref[s_i] = zero_f
             for s_i in range(k_steps // vol_stride if vol_on else 1):
                 vol_bins_ref[s_i] = zero_i
                 vol_vals_ref[s_i] = zero_f
 
-        def step_body(step, carry):
-            (x, y, z, ux, uy, uz, w, tau, layer, quota, launched, spec,
-             steps, absorbed, ex_bin, ex_val, de_bin, de_val) = carry
+        def step_body(step, carry, si=None):
+            # ``si`` = step index within the current stride window (only in
+            # rz_mm mode, where the loop is restructured into windows and
+            # the strided deposit is carried as a pending record instead of
+            # written to a stream slot)
+            if rz_mm:
+                (x, y, z, ux, uy, uz, w, tau, layer, quota, launched, spec,
+                 steps, absorbed, ex_bin, ex_val, de_bin, de_val,
+                 p_ir, p_iz, p_val) = carry
+            else:
+                (x, y, z, ux, uy, uz, w, tau, layer, quota, launched, spec,
+                 steps, absorbed, ex_bin, ex_val, de_bin, de_val) = carry
             if bench_mode:
                 # free respawn every step: occupancy stays at 100% so the
                 # throughput metric measures the superstep itself
@@ -387,13 +469,19 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
                 # (the absorbed scalar above stays exact regardless).  Slots
                 # were zeroed before the loop; writes are read-modify-write
                 # at a dynamic slot index.
-                sidx = step // stride
-                sel = scat if stride == 1 else (
-                    scat & (phase == (step % stride)))
-                rz_bins_ref[sidx] = jnp.where(sel, ir * nz + iz,
-                                              rz_bins_ref[sidx])
-                rz_vals_ref[sidx] = jnp.where(sel, dw * float(stride),
-                                              rz_vals_ref[sidx])
+                if rz_mm:
+                    sel = scat & (phase == si)
+                    p_ir = jnp.where(sel, ir, p_ir)
+                    p_iz = jnp.where(sel, iz, p_iz)
+                    p_val = jnp.where(sel, dw * float(stride), p_val)
+                else:
+                    sidx = step // stride
+                    sel = scat if stride == 1 else (
+                        scat & (phase == (step % stride)))
+                    rz_bins_ref[sidx] = jnp.where(sel, ir * nz + iz,
+                                                  rz_bins_ref[sidx])
+                    rz_vals_ref[sidx] = jnp.where(sel, dw * float(stride),
+                                                  rz_vals_ref[sidx])
                 if vol_on:
                     # independent (usually coarser) stride for the 2M-bin
                     # volume: its fold is scatter-bound at ~10 ns/event
@@ -418,15 +506,41 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
 
             # nudge off the interface
             z = jnp.where(hits_b & (w > 0.0), z + jnp.sign(uz) * 1e-6, z)
-            return (x, y, z, ux, uy, uz, w, tau, layer, quota, launched,
-                    spec, steps, absorbed, ex_bin, ex_val, de_bin, de_val)
+            out = (x, y, z, ux, uy, uz, w, tau, layer, quota, launched,
+                   spec, steps, absorbed, ex_bin, ex_val, de_bin, de_val)
+            if rz_mm:
+                out = out + (p_ir, p_iz, p_val)
+            return out
 
+        carry0 = (x, y, z, ux, uy, uz, w, tau, layer, quota, launched, spec,
+                  steps, absorbed, ex_bin, ex_val, de_bin, de_val)
+        if rz_mm:
+            # windowed loop: each window of ``stride`` steps carries one
+            # pending (ir, iz, val) record per lane (a lane's phase matches
+            # exactly one step per window — the same once-per-window
+            # semantics as the stream slot it replaces), flushed into the
+            # shared VMEM histogram via MXU one-hot contractions.  RNG draw
+            # order is identical to the flat loop (no draws in the flush).
+            def window_body(wi, carry):
+                carry = carry[:18] + (zero_i, zero_i, zero_f)
+
+                def inner(si, c):
+                    return step_body(wi * stride + si, c, si)
+
+                carry = jax.lax.fori_loop(0, stride, inner, carry,
+                                          unroll=unroll)
+                _onehot_pair_flush(rz_acc_ref, carry[18], carry[19],
+                                   carry[20], nr, nz_pad, mm_scratch)
+                return carry
+
+            carry = jax.lax.fori_loop(
+                0, k_steps // stride, window_body,
+                carry0 + (zero_i, zero_i, zero_f))
+        else:
+            carry = jax.lax.fori_loop(0, k_steps, step_body, carry0,
+                                      unroll=unroll)
         (x, y, z, ux, uy, uz, w, tau, layer, quota, launched, spec,
-         steps, absorbed, ex_bin, ex_val, de_bin, de_val) = jax.lax.fori_loop(
-            0, k_steps, step_body,
-            (x, y, z, ux, uy, uz, w, tau, layer, quota, launched, spec,
-             steps, absorbed, ex_bin, ex_val, de_bin, de_val),
-            unroll=unroll)
+         steps, absorbed, ex_bin, ex_val, de_bin, de_val) = carry[:18]
 
         opx[:] = x
         opy[:] = y
@@ -441,12 +555,22 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
         exit_val_ref[:] = ex_val
         det_bin_ref[:] = de_bin
         det_val_ref[:] = de_val
+        if det_mm:
+            # exit records are once-per-lane-per-block, so the detector
+            # image accumulates with a single MXU flush per program
+            de_ix = de_bin // nx_det
+            de_iy = de_bin - de_ix * nx_det
+            _onehot_pair_flush(det_acc_ref, de_ix, de_iy, de_val,
+                               nx_det, det_pad, mm_scratch)
         if bench_mode:
             # streams unused: emit zeros into the 1-step placeholders
             rz_bins_ref[0] = zero_i
             rz_vals_ref[0] = zero_f
             vol_bins_ref[0] = zero_i
             vol_vals_ref[0] = zero_f
+        elif rz_mm:
+            rz_bins_ref[0] = zero_i
+            rz_vals_ref[0] = zero_f
         counters_ref[pid, 0] = launched
         counters_ref[pid, 1] = spec
         counters_ref[pid, 2] = steps
@@ -479,8 +603,15 @@ def _hist(bins, vals, n_bins: int):
             return (oh0 * vals[:, None]).sum(axis=0)
         i1 = bins - i0 * n1
         oh1 = (i1[:, None] == jnp.arange(n1)[None, :]).astype(jnp.float32)
-        return jnp.dot(oh0.T, oh1 * vals[:, None],
-                       preferred_element_type=jnp.float32).reshape(-1)
+        # TPU f32 matmuls round operands to bf16 by default; a hi/lo split
+        # of the value factor recovers ~2^-16 relative accuracy (measured:
+        # single-pass was 8.7e-4 off the exact scatter fold, split 9e-6)
+        v = oh1 * vals[:, None]
+        v_hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+        out = jnp.dot(oh0.T, v_hi, preferred_element_type=jnp.float32)
+        out = out + jnp.dot(oh0.T, v - v_hi,
+                            preferred_element_type=jnp.float32)
+        return out.reshape(-1)
     return jnp.zeros((n_bins,), jnp.float32).at[bins].add(vals)
 
 
@@ -490,7 +621,8 @@ class PallasPhotonEngine:
     def __init__(self, medium: LayeredMedium, cfg: PhotonRunConfig,
                  lanes: int, bench_mode: bool = True,
                  k_steps: int = K_STEPS, hw_prng: bool | None = None,
-                 unroll: int = 1):
+                 unroll: int = 1,
+                 rz_mm: bool | None = None, det_mm: bool | None = None):
         assert lanes % (ROWS * LANES) == 0, (lanes, ROWS * LANES)
         self.cfg = cfg
         self.lanes = lanes
@@ -510,6 +642,24 @@ class PallasPhotonEngine:
         self.sep_vol_phase = (cfg.vol_nx > 0
                               and self.vol_stride != self.stride
                               and not bench_mode)
+        # MXU-histogram accumulation (VERDICT.md r2 item 2): fold the
+        # strided (r,z) deposits and the once-per-block detector records
+        # into shared VMEM grids inside the kernel instead of streaming
+        # (bin, val) events to an XLA scatter-add (~10 ns/entry).  The rz
+        # flush costs nr*LANES*nz_pad MACs per window per row — worth it
+        # when windows are long (stride >= 8) and the grid fits VMEM.
+        self.nz_pad = ((cfg.nz + LANES - 1) // LANES) * LANES
+        self.det_pad = ((cfg.detector_nx + LANES - 1) // LANES) * LANES \
+            if cfg.detector_nx > 0 else 0
+        if rz_mm is None:
+            rz_mm = (not bench_mode and self.stride >= 8
+                     and cfg.nr * self.nz_pad * 4 <= (4 << 20))
+        if det_mm is None:
+            det_mm = (not bench_mode and 0 < cfg.detector_nx
+                      and cfg.detector_nx * self.det_pad * 4 <= (4 << 20))
+        self.rz_mm = bool(rz_mm) and not bench_mode
+        self.det_mm = (bool(det_mm) and not bench_mode
+                       and cfg.detector_nx > 0)
         med = {
             "mu_t": np.asarray(medium.mu_t), "mu_a": np.asarray(medium.mu_a),
             "g": np.asarray(medium.g), "n": np.asarray(medium.n),
@@ -524,7 +674,10 @@ class PallasPhotonEngine:
                                    stride=self.stride,
                                    vol_stride=self.vol_stride,
                                    hw_prng=self.hw_prng,
-                                   unroll=min(unroll, k_steps))
+                                   unroll=min(unroll, k_steps),
+                                   rz_mm=self.rz_mm, nz_pad=self.nz_pad,
+                                   det_mm=self.det_mm,
+                                   det_pad=self.det_pad)
 
     def zero_state(self):
         shape = (self.n_tiles * ROWS, LANES)
@@ -542,7 +695,8 @@ class PallasPhotonEngine:
         px, py, pz, dx, dy, dz, w, tau, layer = state
         row_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
-        n_stream = (self.k_steps // self.stride) if not self.bench_mode else 1
+        n_stream = ((self.k_steps // self.stride)
+                    if not (self.bench_mode or self.rz_mm) else 1)
         n_vol = ((self.k_steps // self.vol_stride)
                  if (self.cfg.vol_nx > 0 and not self.bench_mode) else 1)
 
@@ -551,12 +705,29 @@ class PallasPhotonEngine:
                                 memory_space=pltpu.VMEM)
 
         f32, i32 = jnp.float32, jnp.int32
+        # the MXU-histogram accumulators map every grid program to the same
+        # block (constant index_map), so the VMEM block is revisited and
+        # carries the running sum across tiles; program 0 zeroes it
+        acc_specs, acc_shapes = [], []
+        if self.rz_mm:
+            acc_specs.append(pl.BlockSpec((self.cfg.nr, self.nz_pad),
+                                          lambda i: (0, 0),
+                                          memory_space=pltpu.VMEM))
+            acc_shapes.append(
+                jax.ShapeDtypeStruct((self.cfg.nr, self.nz_pad), f32))
+        if self.det_mm:
+            acc_specs.append(pl.BlockSpec(
+                (self.cfg.detector_nx, self.det_pad), lambda i: (0, 0),
+                memory_space=pltpu.VMEM))
+            acc_shapes.append(jax.ShapeDtypeStruct(
+                (self.cfg.detector_nx, self.det_pad), f32))
         out_specs = (
             [row_spec] * 8
             + [row_spec]  # layer
             + [row_spec] * 4  # exit_bin/exit_val/det_bin/det_val
             + [stream_spec(n_stream), stream_spec(n_stream),
                stream_spec(n_vol), stream_spec(n_vol)]
+            + acc_specs
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]
         )
         out_shape = (
@@ -570,6 +741,7 @@ class PallasPhotonEngine:
                jax.ShapeDtypeStruct((n_stream, n_rows, LANES), f32),
                jax.ShapeDtypeStruct((n_vol, n_rows, LANES), i32),
                jax.ShapeDtypeStruct((n_vol, n_rows, LANES), f32)]
+            + acc_shapes
             + [jax.ShapeDtypeStruct((self.n_tiles, 5), f32)]
         )
         in_specs = (
@@ -599,12 +771,18 @@ class PallasPhotonEngine:
                 key, (_n_draws(self.k_steps, self.bench_mode,
                                self.sep_vol_phase), n_rows, LANES),
                 jnp.float32),)
+        scratch_shapes = []
+        if self.rz_mm or self.det_mm:
+            scratch_shapes = [pltpu.VMEM((ROWS, LANES), i32),
+                              pltpu.VMEM((ROWS, LANES), i32),
+                              pltpu.VMEM((ROWS, LANES), f32)]
         outs = pl.pallas_call(
             self.kernel,
             grid=(self.n_tiles,),
             in_specs=in_specs,
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),
+            scratch_shapes=scratch_shapes,
             interpret=not self.hw_prng,
         )(
             jnp.asarray([seed], jnp.int32),
@@ -613,15 +791,19 @@ class PallasPhotonEngine:
             px, py, pz, dx, dy, dz, w, tau, layer,
         )
         new_state = outs[:9]
-        return new_state, outs[9:17], outs[17]
+        return new_state, outs[9:-1], outs[-1]
 
     def accumulate(self, tallies: PhotonTallies, outs, counters):
         (exit_bin, exit_val, det_bin, det_val,
-         rz_bins, rz_vals, vol_bins, vol_vals) = outs
+         rz_bins, rz_vals, vol_bins, vol_vals) = outs[:8]
+        accs = list(outs[8:])
         cfg = self.cfg
         if not self.bench_mode:
             ex = _hist(exit_bin, exit_val, 2 * cfg.nr)
-            rz = _hist(rz_bins, rz_vals, cfg.nr * cfg.nz)
+            if self.rz_mm:
+                rz = accs.pop(0)[:, :cfg.nz].reshape(-1)
+            else:
+                rz = _hist(rz_bins, rz_vals, cfg.nr * cfg.nz)
             tallies = tallies.replace(
                 refl_r=tallies.refl_r + ex[:cfg.nr],
                 trans_r=tallies.trans_r + ex[cfg.nr:],
@@ -629,7 +811,10 @@ class PallasPhotonEngine:
             )
             if cfg.detector_nx > 0:
                 nx = cfg.detector_nx
-                det = _hist(det_bin, det_val, nx * nx)
+                if self.det_mm:
+                    det = accs.pop(0)[:, :nx].reshape(-1)
+                else:
+                    det = _hist(det_bin, det_val, nx * nx)
                 tallies = tallies.replace(
                     detector_xy=tallies.detector_xy + det.reshape(nx, nx))
             if cfg.vol_nx > 0:

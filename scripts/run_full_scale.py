@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--tiles", type=int, default=64,
                     help="lane tiles (8192 lanes each)")
     ap.add_argument("--k-steps", type=int, default=128)
-    ap.add_argument("--chunk-blocks", type=int, default=4)
+    ap.add_argument("--chunk-blocks", type=int, default=16)
     ap.add_argument("--out", default="artifacts/full_scale_run.json")
     args = ap.parse_args()
 
@@ -55,6 +55,16 @@ def main():
           f"k_steps={args.k_steps} stride={cfg.tally_stride}",
           file=sys.stderr)
 
+    # the tunnel's stall bursts (CLAUDE.md) land on a process's first
+    # device transfers and cost 0-600 s with no code change (measured:
+    # identical runs at 46/154/626 s wall with identical 1.64e9 steady);
+    # force that tax before the timed region and record it separately
+    t_init0 = time.perf_counter()
+    import jax.numpy as jnp
+    float(jnp.arange(1024.0).sum())  # first compile + execute + host fetch
+    backend_init_s = time.perf_counter() - t_init0
+    print(f"backend warmup {backend_init_s:.1f}s", file=sys.stderr)
+
     # retry once: the tunnel intermittently fails compiles/transfers
     # (CLAUDE.md); a blip must not fail the round artifact
     for attempt in range(2):
@@ -65,8 +75,15 @@ def main():
                                       lanes=lanes, k_steps=args.k_steps,
                                       chunk_blocks=args.chunk_blocks,
                                       timings=timings)
+            t_sim = time.perf_counter() - t0
             jax.block_until_ready(tallies)
             dt = time.perf_counter() - t0
+            # the tunnel's multi-minute stall bursts (CLAUDE.md) land in
+            # the final sync; record where the wall time went
+            timings["simulate_return_s"] = t_sim
+            timings["final_sync_s"] = dt - t_sim
+            print(f"simulate {t_sim:.1f}s, final sync {dt - t_sim:.1f}s",
+                  file=sys.stderr)
             break
         except Exception as e:
             if attempt:
@@ -91,6 +108,9 @@ def main():
         "steady_steps_per_sec": timings.get("steady_steps_per_sec"),
         "compile_plus_first_chunk_s": timings.get(
             "compile_plus_first_chunk_s"),
+        "simulate_return_s": timings.get("simulate_return_s"),
+        "final_sync_s": timings.get("final_sync_s"),
+        "backend_init_s": backend_init_s,
         "R_sp": tallies.specular_reflectance(),
         "R_d": tallies.total_reflectance(),
         "A": tallies.total_absorption(),
@@ -113,7 +133,13 @@ def main():
     if not args.photons or args.photons >= 10_000_000:
         np.save("artifacts/full_scale_detector.npy",
                 np.asarray(tallies.detector_xy, np.float32))
-        np.save("artifacts/full_scale_volume.npy", vol.astype(np.float16))
+        # peak bins exceed float16 max (~6.5e4); store normalized f16 with
+        # the scale recorded in the JSON so the artifact stays small
+        scale = max(vol.max(), 1e-30)
+        rec["volume_scale"] = scale
+        out.write_text(json.dumps(rec, indent=1))
+        np.save("artifacts/full_scale_volume.npy",
+                (vol / scale).astype(np.float16))
     print(json.dumps(rec, indent=1))
 
 

@@ -184,3 +184,51 @@ def test_drain_compaction_equivalent():
                                 abs_floor=1e-3)
     # the main phases are identical; only re-laned tail photons differ
     assert abs(a.total_reflectance() - b.total_reflectance()) < 5e-3
+
+
+def test_mxu_histogram_accumulation_equivalent():
+    """In-kernel MXU histogram accumulation (rz_mm/det_mm) must reproduce
+    the stream+scatter fold: same RNG draw order, same once-per-window
+    deposit semantics, so grids agree to bf16-hi/lo-split precision
+    (~2^-16 relative) and the exact counters agree bitwise.  Runs the
+    threefry-fed interpret kernel on CPU (the TPU Mosaic path is covered
+    by the full-scale artifact run and parity chi2 in bench.py)."""
+    import jax.numpy as jnp
+
+    from light_transport_tpu.ops.pallas.photon_kernel import (
+        LANES, ROWS, PallasPhotonEngine,
+    )
+    from light_transport_tpu.tally.tallies import PhotonTallies, counter_value
+
+    medium = LayeredMedium.build(
+        [MediumConfig(mu_a=1.0, mu_s=9.0, g=0.7, n=1.37)], n_above=1.0)
+    cfg = PhotonRunConfig(n_photons=8192, nr=48, nz=40, dr=0.02, dz=0.02,
+                          tally_stride=8, detector_nx=24,
+                          detector_extent=0.5,
+                          vol_nx=8, vol_ny=8, vol_nz=8, vol_stride=16)
+
+    def run_engine(rz_mm, det_mm):
+        eng = PallasPhotonEngine(medium, cfg, ROWS * LANES,
+                                 bench_mode=False, k_steps=32,
+                                 hw_prng=False, rz_mm=rz_mm, det_mm=det_mm)
+        assert eng.rz_mm == rz_mm and eng.det_mm == det_mm
+        state = eng.zero_state()
+        tallies = PhotonTallies.zeros(cfg)
+        quota = jnp.full((1, 1), float(cfg.n_photons), jnp.float32)
+        for b in range(3):
+            state, outs, counters = eng.run_block(state, 123 + b * 65537,
+                                                  quota)
+            tallies = eng.accumulate(tallies, outs, counters)
+            quota = counters[:, 3:4]
+        return tallies
+
+    t0 = run_engine(False, False)
+    t1 = run_engine(True, True)
+    for name in ("absorb_rz", "detector_xy", "refl_r", "trans_r",
+                 "absorb_xyz"):
+        a = np.asarray(getattr(t0, name), np.float64)
+        b = np.asarray(getattr(t1, name), np.float64)
+        assert np.abs(a - b).max() <= 2e-4 * max(a.max(), 1e-12), name
+    for c in ("launched", "steps"):
+        assert counter_value(getattr(t0, c)) == counter_value(
+            getattr(t1, c)), c
