@@ -20,11 +20,14 @@ import jax.numpy as jnp
 from light_transport_tpu.ops import intersect
 from light_transport_tpu.scene.scene import Scene
 
-# Crossover vs the roped BVH walk, re-measured with the scalar-prefetch
-# gather kernel + coherence ray sorting (PERF.md): at 998k tris the MXU
-# path still wins 2.2x (4.15 s vs 9.03 s for 1.6M mixed rays), so the cap
-# sits at 1M; beyond that SMEM chunking (ids lists scale with cluster
-# count) shrinks ray chunks enough that the BVH walk is competitive.
+# Crossover vs the roped BVH walk (PERF.md §mesh-scale crossover): at 998k
+# tris the MXU path wins 2.2x on mixed rays, so the cap sits at 1M.  The
+# r3 A_MAX id-list cap removed the old SMEM cliff — the kernel now RUNS at
+# 4.2M tris and wins 3.2x on coherent camera primaries — but cull-overflow
+# tiles brute-force all clusters, losing 5.6x on sorted-but-spread bounce
+# rays (scripts/bench_mesh_scale.py).  Render traffic past depth 0 is
+# bounce-dominated and dispatch cannot see ray provenance, so >1M routes
+# to the BVH.
 MXU_MAX_TRIS = 1_048_576
 
 
