@@ -645,14 +645,16 @@ class PallasPhotonEngine:
         # MXU-histogram accumulation (VERDICT.md r2 item 2): fold the
         # strided (r,z) deposits and the once-per-block detector records
         # into shared VMEM grids inside the kernel instead of streaming
-        # (bin, val) events to an XLA scatter-add (~10 ns/entry).  The rz
-        # flush costs nr*LANES*nz_pad MACs per window per row — worth it
-        # when windows are long (stride >= 8) and the grid fits VMEM.
+        # (bin, val) events to an XLA scatter-add.  Measured cheaper per
+        # stride window than the scatter it replaces (PERF.md) and frees
+        # the stream's VMEM slots, so it is on whenever the grid fits and
+        # deposits are strided; stride 1 keeps the stream path (the MCML
+        # every-step bit-convention used by small parity runs).
         self.nz_pad = ((cfg.nz + LANES - 1) // LANES) * LANES
         self.det_pad = ((cfg.detector_nx + LANES - 1) // LANES) * LANES \
             if cfg.detector_nx > 0 else 0
         if rz_mm is None:
-            rz_mm = (not bench_mode and self.stride >= 8
+            rz_mm = (not bench_mode and self.stride >= 2
                      and cfg.nr * self.nz_pad * 4 <= (4 << 20))
         if det_mm is None:
             det_mm = (not bench_mode and 0 < cfg.detector_nx
