@@ -292,9 +292,42 @@ def render_whitted(
         u_aa = jnp.zeros((n, 2), scene.camera.dtype)
         o, d = camera_rays(scene, cfg1, u_aa)
         color = trace_whitted_queue(scene, o, d, cfg.max_depth, ray_chunk)
+        if indirect_samples > 0:
+            # same hemisphere-sampled indirect-diffuse term as the
+            # unrolled path, with the queue tracer for the (deep)
+            # secondary bounces — previously dropped silently here
+            color = color + _indirect_diffuse(
+                scene, o, d, key, indirect_samples,
+                lambda oo, dd: trace_whitted_queue(
+                    scene, oo, dd, cfg.max_depth - 1, ray_chunk),
+                ray_chunk)
         return jnp.clip(color.reshape(cfg.height, cfg.width, 3), 0.0, 1.0)
     return _render_whitted_unrolled(scene, cfg, key, ray_chunk,
                                     indirect_samples)
+
+
+def _indirect_diffuse(scene, o, d, key, indirect_samples, trace_fn,
+                      ray_chunk):
+    """Reference render_old's 10-sample hemisphere indirect-diffuse term
+    at the primary hit (src/render_old.py:186-194, incl. the 0.1 factor),
+    parameterized over the secondary tracer so the unrolled and queue
+    paths share it."""
+    from light_transport_tpu.scene.analytic import surface_attrs
+
+    n = o.shape[0]
+    hit = _hit(scene, o, d, ray_chunk)
+    hp = o + d * hit.t[:, None]
+    n_geo, mat_id, _ = surface_attrs(scene, hit, hp)
+    n_s = jnp.where((lm.dot(n_geo, d) > 0)[:, None], -n_geo, n_geo)
+    o_dif = scene.materials.diffuse[mat_id]
+    acc = jnp.zeros((n, 3), o.dtype)
+    for s in range(indirect_samples):
+        u = jax.random.uniform(jax.random.fold_in(key, s), (n, 2))
+        gdir, _ = sampling.uniform_hemisphere(n_s, u[:, 0], u[:, 1])
+        cos = jnp.maximum(lm.dot(gdir, n_s), 0.0)
+        raw = trace_fn(hp + 1e-4 * n_s, gdir)
+        acc = acc + o_dif * raw * cos[:, None] * 0.1  # :193 (0.1 factor)
+    return jnp.where(hit.valid[:, None], acc / indirect_samples, 0.0)
 
 
 @partial(jax.jit, static_argnums=(1, 3, 4))
@@ -317,24 +350,12 @@ def _render_whitted_unrolled(
     color = trace_whitted(scene, o, d, cfg.max_depth, ray_chunk)
 
     if indirect_samples > 0:
-        hit = _hit(scene, o, d, ray_chunk)
-        hp = o + d * hit.t[:, None]
-        from light_transport_tpu.scene.analytic import surface_attrs
-
-        n_geo, mat_id, _ = surface_attrs(scene, hit, hp)
-        n_s = jnp.where((lm.dot(n_geo, d) > 0)[:, None], -n_geo, n_geo)
-        o_dif = scene.materials.diffuse[mat_id]
-        acc = jnp.zeros_like(color)
-        for s in range(indirect_samples):
-            u = jax.random.uniform(jax.random.fold_in(key, s), (n, 2))
-            gdir, _ = sampling.uniform_hemisphere(n_s, u[:, 0], u[:, 1])
-            cos = jnp.maximum(lm.dot(gdir, n_s), 0.0)
-            raw = trace_whitted(scene, hp + 1e-4 * n_s, gdir,
-                                max(cfg.max_depth - 1, 0), ray_chunk)
-            acc = acc + o_dif * raw * cos[:, None] * 0.1  # :193 (0.1 factor)
-        color = color + jnp.where(
-            hit.valid[:, None], acc / indirect_samples, 0.0
-        )
+        color = color + _indirect_diffuse(
+            scene, o, d, key, indirect_samples,
+            lambda oo, dd: trace_whitted(scene, oo, dd,
+                                         max(cfg.max_depth - 1, 0),
+                                         ray_chunk),
+            ray_chunk)
 
     img = jnp.clip(color.reshape(cfg.height, cfg.width, 3), 0.0, 1.0)
     return img

@@ -220,8 +220,12 @@ def scene_transmittance(scene: Scene, origins, directions, max_dist,
     Approximations (documented in README §Deviations): the segment is not
     refracted (a bent shadow path cannot reach the sampled light point),
     interface Fresnel loss is ignored, and nested transmissive media
-    attribute each span to the material exited.  Segments still inside
-    glass after ``max_hits`` crossings keep their accumulated attenuation.
+    attribute each span to the material exited.  Segments still marching
+    after ``max_hits`` crossings are closed out with one any-hit query:
+    a clear tail keeps the accumulated attenuation, anything ahead —
+    opaque or transmissive — blocks (conservatively dark for stacks of
+    more than ``max_hits`` interfaces, never light-leaking past an
+    uncounted opaque occluder).
 
     Returns (N, 3) transmittance in [0, 1].
     """
@@ -259,6 +263,15 @@ def scene_transmittance(scene: Scene, origins, directions, max_dist,
         return (cur_o, remaining, trans, marching), None
 
     trans0 = jnp.ones((n, 3), dtype)
-    (_, _, trans, _), _ = jax.lax.scan(
+    (cur_o, remaining, trans, marching), _ = jax.lax.scan(
         body, (origins, md, trans0, marching), None, length=max_hits)
+    # conservative close-out: a lane still marching after max_hits
+    # transmissive crossings may have unexamined surfaces — including
+    # opaque blockers — before the light.  One any-hit query decides:
+    # anything ahead blocks.  This biases >max_hits-interface stacks dark
+    # instead of leaking full direct light past an uncounted occluder.
+    still = marching & (remaining > 0.0)
+    occ_tail = scene_occluded(scene, cur_o, directions, remaining,
+                              ray_chunk=ray_chunk, active=still)
+    trans = jnp.where((still & occ_tail)[:, None], 0.0, trans)
     return jax.lax.stop_gradient(trans)

@@ -924,8 +924,12 @@ def simulate_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
     prev_more = None
     prev_tallies = tallies
     for c in range(0, max_blocks, chunk_blocks):
+        # mask the python-int seed into int32 range: at c >= 32768 the
+        # unwrapped product exceeds 2^31-1 and jnp.asarray would raise
+        # OverflowError mid-run (in-kernel b*65537 arithmetic wraps as
+        # int32 silently, which is fine for a seed)
         state, tallies, quota, more = chunk(
-            state, tallies, quota, seed + c * 65537)
+            state, tallies, quota, (seed + c * 65537) & 0x7FFFFFFF)
         if prev_more is not None:
             done = not bool(prev_more)  # syncs chunk c-1 only
         else:

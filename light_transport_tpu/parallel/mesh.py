@@ -236,8 +236,11 @@ def simulate_pallas_sharded(
     # extra all-dead chunk after drain contributes an exactly-zero delta
     prev_more = None
     for c in range(0, max_blocks, chunk_blocks):
+        # mask into int32 range: unwrapped, c >= 32768 overflows the
+        # jnp.asarray int32 conversion and crashes a long run mid-flight
         state, delta, quota, more = chunk(
-            state, quota, jnp.asarray(seed + c * 65_537, jnp.int32))
+            state, quota,
+            jnp.asarray((seed + c * 65_537) & 0x7FFFFFFF, jnp.int32))
         tallies = merge(tallies, delta)
         if prev_more is not None and not bool(prev_more):
             break

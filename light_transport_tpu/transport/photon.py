@@ -318,14 +318,19 @@ def simulate_photons(
         for _ in range(rounds_per_sync):
             state, tallies, quota, step = _run_rounds(
                 key, state, tallies, quota, step, medium, cfg_key,
-                drain_len)
+                drain_len, jnp.asarray(max_supersteps, jnp.int32))
     return tallies
 
 
 @partial(jax.jit, static_argnames=("cfg", "length"))
-def _run_rounds(key, state, tallies, quota, step, medium, cfg, length):
+def _run_rounds(key, state, tallies, quota, step, medium, cfg, length,
+                cap):
     """``length`` supersteps under one dispatch (uniforms keyed on the
     global step index, so round granularity never changes the stream).
+
+    ``cap`` (traced): the run's ``max_supersteps`` — steps past it are
+    no-ops (state/tallies/quota passed through), so the documented hard
+    cap holds exactly even though round length is a static multiple.
 
     Module-level jit: repeated ``simulate_photons`` calls at the same
     shapes reuse the compiled executable (per-call closures used to
@@ -339,16 +344,22 @@ def _run_rounds(key, state, tallies, quota, step, medium, cfg, length):
             jax.random.fold_in(key, s), (n_lanes, _NUM_U),
             dtype=state.w.dtype,
         )
-        state, tallies, quota = superstep(
+        new_state, new_tallies, new_quota = superstep(
             state, tallies, u, medium, cfg, quota
         )
+        do = s < cap
+        state = jax.tree.map(lambda a, b: jnp.where(do, a, b),
+                             new_state, state)
+        tallies = jax.tree.map(lambda a, b: jnp.where(do, a, b),
+                               new_tallies, tallies)
+        quota = jnp.where(do, new_quota, quota)
         return (state, tallies, quota), None
 
     (state, tallies, quota), _ = jax.lax.scan(
         one, (state, tallies, quota),
         step + jnp.arange(length, dtype=jnp.int32),
     )
-    return state, tallies, quota, step + length
+    return state, tallies, quota, jnp.minimum(step + length, cap)
 
 
 @partial(jax.jit,
@@ -365,7 +376,8 @@ def _main_phase(key, medium, quota0, cfg, lanes, round_len,
     def round_body(carry):
         state, tallies, quota, step = carry
         return _run_rounds.__wrapped__(
-            key, state, tallies, quota, step, medium, cfg, round_len)
+            key, state, tallies, quota, step, medium, cfg, round_len,
+            jnp.asarray(max_supersteps, jnp.int32))
 
     return jax.lax.while_loop(
         cond, round_body,

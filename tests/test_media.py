@@ -226,3 +226,63 @@ def test_anisotropy_forward_bias():
     fwd = _trace(_slab_scene(sigma_s=2.0, g=0.9), n=8192,
                  max_depth=16).mean()
     assert fwd > iso + 0.02, (iso, fwd)
+
+
+def test_transmittance_nee_no_double_count():
+    """advisor r3: with shadow_mode='transmittance' + emission_mode='nee',
+    direct light through glass used to be scored twice — once by the
+    attenuated NEE and again when the diffuse bounce's BSDF chain crossed
+    the slab and hit the light with emit_ok granted by the transmissive
+    hit.  An ior=1, sigma=0 slab is a physical no-op, so the full-depth
+    render with the slab must equal the slab-free render (same seeds).
+    Pre-fix the slab render's floor was measurably brighter."""
+    cfg = RenderConfig(width=1, height=1, spp=1, max_depth=4,
+                       shadow_mode="transmittance", emission_mode="nee")
+    n = 8192
+
+    def run(scene, seed=3):
+        origins = jnp.tile(jnp.asarray([[0.0, 0.8, 0.0]], jnp.float32),
+                           (n, 1))
+        directions = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32),
+                              (n, 1))
+        uniforms = rng.path_uniforms(jax.random.key(seed), n, cfg.max_depth)
+        radiance, _ = trace_paths(scene, cfg, origins, directions, uniforms)
+        return float(np.asarray(radiance).mean())
+
+    with_slab = run(_shadow_scene())
+    no_slab = run(_shadow_scene(slab=False))
+    assert no_slab > 0
+    # MC noise at 8k lanes is ~1%; the double count was a >5% brightening
+    assert abs(with_slab - no_slab) / no_slab < 0.04, (with_slab, no_slab)
+
+
+def test_transmittance_max_hits_closeout_blocks():
+    """advisor r3: shadow segments still marching after ``max_hits``
+    transmissive crossings used to stop testing surfaces entirely, so an
+    occluder behind >max_hits interfaces leaked full direct light.  Now a
+    final any-hit query blocks conservatively."""
+    from light_transport_tpu.ops.dispatch import scene_transmittance
+
+    # two stacked ior-1 slabs -> 4 interfaces > max_hits=3 crossings
+    half = 50.0
+    quads = []
+    for y0, y1 in ((1.0, 1.5), (1.8, 2.3)):
+        quads.append(quad_triangles((-half, y0, -half), (half, y0, -half),
+                                    (half, y0, half), (-half, y0, half)))
+        quads.append(quad_triangles((-half, y1, -half), (-half, y1, half),
+                                    (half, y1, half), (half, y1, -half)))
+    mesh = TriangleMesh.build(
+        np.concatenate(quads), np.zeros(8, np.int32), np.zeros(8, bool))
+    glass = Material(color=_WHITE, ior=1.0, transmission=1.0,
+                     is_diffuse=False, is_mirror=False)
+    scene = Scene.build(mesh, MaterialTable.build([glass]),
+                        camera=[0.0, 5.0, 0.0])
+    o = jnp.asarray([[0.0, 0.5, 0.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32)
+    # segment ending above the 4th interface: the 4th crossing is beyond
+    # the max_hits=3 march, so the close-out must block (conservative)
+    t_long = np.asarray(scene_transmittance(scene, o, d, 3.0))
+    np.testing.assert_allclose(t_long, 0.0, atol=1e-7)
+    # segment ending between the slabs: 2 crossings, fully transmitted
+    t_short = np.asarray(scene_transmittance(scene, o, d, 1.65))
+    np.testing.assert_allclose(t_short, 1.0, atol=1e-6)

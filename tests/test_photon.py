@@ -232,3 +232,24 @@ def test_mxu_histogram_accumulation_equivalent():
     for c in ("launched", "steps"):
         assert counter_value(getattr(t0, c)) == counter_value(
             getattr(t1, c)), c
+
+
+def test_max_supersteps_is_exact():
+    """The superstep budget is a hard cap (advisor r3): rounds past it are
+    masked no-ops, so a non-scattering, non-absorbing population (every
+    lane alive every step) executes exactly lanes * max_supersteps live
+    steps even though dispatch rounds come in static multiples of
+    steps_per_batch (and the drain loop batches 4x4 rounds per sync)."""
+    import dataclasses
+
+    from light_transport_tpu.transport.photon import simulate_photons
+
+    # a quota far larger than the cap can consume keeps every lane alive
+    # (immediate respawn) -> live steps == lanes * cap exactly
+    m = LayeredMedium.build(
+        [MediumConfig(mu_a=0.0, mu_s=50.0, g=0.0, n=1.0, thickness=1e6)])
+    cfg = PhotonRunConfig(n_photons=512_000, nr=8, nz=8, dr=0.1, dz=0.1)
+    cfg = dataclasses.replace(cfg, steps_per_batch=8)
+    t = simulate_photons(m, cfg, jax.random.key(0), lanes=512,
+                         max_supersteps=21)  # not a multiple of any round
+    assert t.n_steps == 512 * 21, t.n_steps
