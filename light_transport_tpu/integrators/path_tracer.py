@@ -464,15 +464,7 @@ def trace_paths_split(
     nodes = sum(math.comb(depth, k) for k in range(min(S, depth) + 1))
     iters = max_iters or 2 * nodes + 1
 
-    def push(stack, top, lane_mask, o_, d_, tp_, b_):
-        s_o, s_d, s_tp, s_b = stack
-        idx = jnp.clip(top, 0, S - 1)
-        onehot = (jnp.arange(S)[None, :] == idx[:, None]) & lane_mask[:, None]
-        s_o = jnp.where(onehot[..., None], o_[:, None, :], s_o)
-        s_d = jnp.where(onehot[..., None], d_[:, None, :], s_d)
-        s_tp = jnp.where(onehot[..., None], tp_[:, None, :], s_tp)
-        s_b = jnp.where(onehot, b_[:, None], s_b)
-        return (s_o, s_d, s_tp, s_b), top + lane_mask.astype(jnp.int32)
+    from light_transport_tpu.ops import lanestack
 
     @jax.jit
     def step(state, bounce_v, stack, top):
@@ -486,20 +478,15 @@ def trace_paths_split(
         new_state, _, defer = _bounce(scene, cfg, state, u, bounce_v,
                                       ray_chunk, split_ok=split_ok)
         d_mask, d_o, d_d, d_tp = defer
-        stack, top = push(stack, top, d_mask, d_o, d_d, d_tp, bounce_v + 1)
+        stack, top = lanestack.push(stack, top, d_mask,
+                                    (d_o, d_d, d_tp, bounce_v + 1), S)
 
         new_bounce = bounce_v + 1
         alive = new_state.alive & (new_bounce < depth)
 
         # dead lanes resume their most recent deferred branch
-        s_o, s_d, s_tp, s_b = stack
         can_pop = ~alive & (top > 0)
-        pidx = jnp.clip(top - 1, 0, S - 1)
-        onehot = jnp.arange(S)[None, :] == pidx[:, None]
-        p_o = jnp.sum(jnp.where(onehot[..., None], s_o, 0.0), axis=1)
-        p_d = jnp.sum(jnp.where(onehot[..., None], s_d, 0.0), axis=1)
-        p_tp = jnp.sum(jnp.where(onehot[..., None], s_tp, 0.0), axis=1)
-        p_b = jnp.sum(jnp.where(onehot, s_b, 0), axis=1)
+        p_o, p_d, p_tp, p_b = lanestack.peek(stack, top, S)
         top = top - can_pop.astype(jnp.int32)
 
         res_state = PathState(
@@ -514,7 +501,7 @@ def trace_paths_split(
             emit_ok=jnp.where(can_pop, True, new_state.emit_ok),
         )
         res_bounce = jnp.where(can_pop, p_b, new_bounce)
-        return res_state, res_bounce, (s_o, s_d, s_tp, s_b), top, \
+        return res_state, res_bounce, stack, top, \
             jnp.any(res_state.alive)
 
     state = PathState(
@@ -526,8 +513,10 @@ def trace_paths_split(
         emit_ok=jnp.ones((n,), dtype=bool),
     )
     bounce_v = jnp.zeros((n,), jnp.int32)
-    stack = (jnp.zeros((n, S, 3), dtype), jnp.zeros((n, S, 3), dtype),
-             jnp.zeros((n, S, 3), dtype), jnp.zeros((n, S), jnp.int32))
+    from light_transport_tpu.ops import lanestack
+
+    stack = lanestack.zeros(
+        (origins, directions, jnp.zeros((n, 3), dtype), bounce_v), S)
     top = jnp.zeros((n,), jnp.int32)
     for _ in range(iters):
         state, bounce_v, stack, top, any_alive = step(

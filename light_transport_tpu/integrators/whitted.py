@@ -176,19 +176,11 @@ def trace_whitted_queue(
     Same physics as ``trace_whitted`` — identical shading per node; images
     differ only by the dropped sub-cutoff subtrees (<= cutoff in radiance).
     """
+    from light_transport_tpu.ops import lanestack
+
     n = o.shape[0]
     dtype = o.dtype
     S = depth + 1  # stack capacity: one deferred branch per level
-
-    def push(stack, top, lane_mask, o_, d_, w_, dep_):
-        s_o, s_d, s_w, s_dep = stack
-        idx = jnp.clip(top, 0, S - 1)
-        onehot = (jnp.arange(S)[None, :] == idx[:, None]) & lane_mask[:, None]
-        s_o = jnp.where(onehot[..., None], o_[:, None, :], s_o)
-        s_d = jnp.where(onehot[..., None], d_[:, None, :], s_d)
-        s_w = jnp.where(onehot, w_[:, None], s_w)
-        s_dep = jnp.where(onehot, dep_[:, None], s_dep)
-        return (s_o, s_d, s_w, s_dep), top + lane_mask.astype(jnp.int32)
 
     @jax.jit
     def step(color, cur, stack, top):
@@ -214,10 +206,11 @@ def trace_whitted_queue(
         both = refl_sig & refr_sig
         push_refr = both & refl_first
         push_refl = both & ~refl_first
-        stack, top = push(stack, top, push_refr, t_o, t_dir, w_refr,
-                          cur_dep - 1)
-        stack, top = push(stack, top, push_refl, shifted, r_dir, w_refl,
-                          cur_dep - 1)
+        stack, top = lanestack.push(stack, top, push_refr,
+                                    (t_o, t_dir, w_refr, cur_dep - 1), S)
+        stack, top = lanestack.push(stack, top, push_refl,
+                                    (shifted, r_dir, w_refl, cur_dep - 1),
+                                    S)
 
         take_refl = refl_sig & (refl_first | ~refr_sig)
         take_refr = refr_sig & ~take_refl
@@ -227,14 +220,8 @@ def trace_whitted_queue(
         nxt_w = jnp.where(take_refl, w_refl, w_refr)
 
         # lanes without a child pop their deferred branch (if any)
-        s_o, s_d, s_w, s_dep = stack
         can_pop = ~has_child & (top > 0)
-        pidx = jnp.clip(top - 1, 0, S - 1)
-        onehot = jnp.arange(S)[None, :] == pidx[:, None]
-        p_o = jnp.sum(jnp.where(onehot[..., None], s_o, 0.0), axis=1)
-        p_d = jnp.sum(jnp.where(onehot[..., None], s_d, 0.0), axis=1)
-        p_w = jnp.sum(jnp.where(onehot, s_w, 0.0), axis=1)
-        p_dep = jnp.sum(jnp.where(onehot, s_dep, 0), axis=1)
+        p_o, p_d, p_w, p_dep = lanestack.peek(stack, top, S)
         top = top - can_pop.astype(jnp.int32)
 
         new_o = jnp.where(has_child[:, None], nxt_o, p_o)
@@ -244,13 +231,13 @@ def trace_whitted_queue(
         new_act = has_child | can_pop
         any_act = jnp.any(new_act)
         return color, (new_o, new_d, new_w, new_dep, new_act), \
-            (s_o, s_d, s_w, s_dep), top, any_act
+            stack, top, any_act
 
     color = jnp.zeros((n, 3), dtype)
     cur = (o, d, jnp.ones((n,), dtype),
            jnp.full((n,), depth, jnp.int32), jnp.ones((n,), bool))
-    stack = (jnp.zeros((n, S, 3), dtype), jnp.zeros((n, S, 3), dtype),
-             jnp.zeros((n, S), dtype), jnp.zeros((n, S), jnp.int32))
+    stack = lanestack.zeros(
+        (o, d, jnp.zeros((n,), dtype), jnp.zeros((n,), jnp.int32)), S)
     top = jnp.zeros((n,), jnp.int32)
     # significant tree nodes are bounded by 2^depth but in practice by the
     # weight cutoff; the hard cap only guards against degenerate scenes
