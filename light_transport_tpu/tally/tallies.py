@@ -47,12 +47,21 @@ def counter_add(c: jnp.ndarray, inc) -> jnp.ndarray:
 def counter_from_sum(vals: jnp.ndarray) -> jnp.ndarray:
     """Exact counter from per-tile integer-valued f32 partials.
 
-    Each partial may be up to 2^24; a direct f32 sum of ~128 of them rounds.
-    Split each into (hi, lo) words first — the word sums stay below 2^24.
+    Each partial may be up to 2^24; a direct f32 sum of ~128 of them
+    rounds.  Split each into (hi, lo) words and sum the words as int32 —
+    exact to 2^31, so the count stays exact past the ~256-partial point
+    where an f32 lo-word sum (256 x 2^16 = 2^24) would start rounding
+    (advisor r3; reachable at >= 2M lanes).  The carry keeps the returned
+    lo word < 2^16, preserving every counter invariant downstream.
     """
     hi = jnp.floor(vals / COUNTER_BASE)
     lo = vals - hi * COUNTER_BASE
-    return jnp.stack([jnp.sum(hi), jnp.sum(lo)])
+    lo_sum = jnp.sum(lo.astype(jnp.int32))
+    hi_sum = jnp.sum(hi.astype(jnp.int32))
+    base = jnp.int32(COUNTER_BASE)
+    carry = lo_sum // base
+    return jnp.stack([(hi_sum + carry).astype(jnp.float32),
+                      (lo_sum - carry * base).astype(jnp.float32)])
 
 
 def counter_merge(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -113,3 +113,18 @@ def test_volume_tally_shard_invariant():
     # different RNG partitioning -> statistical agreement per cell
     assert np.abs(v2 - v8).max() < 0.01
     assert abs(v2.sum() - v8.sum()) < 3e-3
+
+
+def test_counter_from_sum_many_partials_exact():
+    """advisor r3: with >= 256 partials the old f32 lo-word sum exceeded
+    2^24 and rounded; the int32 word sums stay exact."""
+    import numpy as np
+
+    from light_transport_tpu.tally.tallies import (
+        counter_from_sum, counter_value)
+
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 2 ** 24, size=1024).astype(np.float32)
+    got = counter_value(counter_from_sum(jnp.asarray(vals)))
+    want = float(np.sum(vals.astype(np.int64)))
+    assert got == want, (got, want)
