@@ -17,9 +17,18 @@ the capability it sketched, TPU-natively:
   src/bdpt.py:298-359 attempted the same recursion per-ray).
 
 Scope notes (documented):
-- strategies with t=1 (light tracing splatted straight onto the film) are
-  not sampled, and correspondingly excluded from MIS denominators, so the
-  sampled strategies' weights still partition unity (unbiased);
+- with ``light_tracing=False`` the t=1 strategies (light tracing splatted
+  straight onto the film) are not sampled and are correspondingly excluded
+  from every MIS denominator, so the sampled strategies' weights still
+  partition unity (unbiased) in either mode;
+- depth-cap contract: at equal ``max_depth`` the estimator targets exactly
+  the path tracer's transport — paths with up to max_depth+1 surface
+  vertices where the deepest ones are reachable only through NEE at a
+  diffuse light-adjacent vertex.  At the cap the s'=0 alternative (camera
+  walk hits the light) is excluded from MIS denominators (unreachable:
+  the walk holds max_depth vertices), and cap paths whose light-adjacent
+  vertex is specular are excluded from the light-side strategies
+  (PT-unreachable transport; raise max_depth to include it);
 - subpath walks do not Russian-roulette (depth is statically bounded);
 - emitted radiance is ``emission * light diffuse color`` on both subpath
   ends for internal consistency (the reference mixes ``emission`` scalar at
@@ -263,14 +272,14 @@ def _camera_pdf_dir(scene, cfg, directions):
     return r_s * r_s / (a_samp * cos_c)
 
 
-def _diffuse_pdf_area(v_ns, v_diffuse_unused, from_pos, to_pos, to_ns):
-    """Area density of a cosine-sampled diffuse bounce from ``from`` scatter
-    at vertex (pos implied by from) toward ``to``."""
+def _diffuse_pdf_area(v_ns, from_pos, to_pos, to_ns):
+    """Area density of a cosine-sampled diffuse bounce scattered at
+    ``from_pos`` (shading normal ``v_ns``) toward ``to_pos``."""
     w = to_pos - from_pos
     d2 = jnp.maximum(lm.dot(w, w), 1e-20)
     wn = w / jnp.sqrt(d2)[..., None]
-    pdf_solid = jnp.abs(lm.dot(v_ns, wn)) * INV_PI
-    return pdf_solid * jnp.abs(lm.dot(to_ns, wn)) / d2
+    return _to_area(jnp.abs(lm.dot(v_ns, wn)) * INV_PI, from_pos, to_pos,
+                    to_ns)
 
 
 def cam_side_mis(cam: Vertices, j: int, pt_rev, ptm_rev,
@@ -302,7 +311,7 @@ def cam_side_mis(cam: Vertices, j: int, pt_rev, ptm_rev,
 
 
 def light_side_mis(lv: Vertices, l0: dict, pdf_area_light, end: int,
-                   qs_rev, qsm_rev):
+                   qs_rev, qsm_rev, skip_s0: bool = False):
     """Balance-heuristic denominator terms from light-side alternative
     strategies.
 
@@ -310,7 +319,12 @@ def light_side_mis(lv: Vertices, l0: dict, pdf_area_light, end: int,
     origin point on the light, index k>=1 = walk vertex k-1); the sampled
     strategy has s = end+1 light vertices, and the loop enumerates
     s' = end .. 0.  ``qs_rev``/``qsm_rev`` override pdf_rev at indices
-    ``end`` and ``end-1``."""
+    ``end`` and ``end-1``.
+
+    ``skip_s0`` excludes the s'=0 term (camera walk hits the light): for
+    paths at the depth cap that alternative would need a camera walk of
+    max_depth+1 vertices, which ``random_walk`` never produces, so it is
+    never sampled and must not enter the partition."""
     n = lv.pos.shape[0]
     ri = jnp.ones((n,))
     total = jnp.zeros((n,))
@@ -325,7 +339,7 @@ def light_side_mis(lv: Vertices, l0: dict, pdf_area_light, end: int,
             diff0 = ~lv.is_delta[:, 0]
             rev = jnp.where(
                 diff0,
-                _diffuse_pdf_area(lv.ns[:, 0], None, lv.pos[:, 0],
+                _diffuse_pdf_area(lv.ns[:, 0], lv.pos[:, 0],
                                   l0["pos"], l0["ns"]),
                 0.0,
             )
@@ -336,6 +350,8 @@ def light_side_mis(lv: Vertices, l0: dict, pdf_area_light, end: int,
             if k == 0 else lv.pdf_fwd[:, k - 1]
         )
         ri = ri * _remap(rev) / _remap(fwd)
+        if k == 0 and skip_s0:
+            continue
         d_k = jnp.zeros((n,), bool) if k == 0 else lv.is_delta[:, k - 1]
         d_km = jnp.zeros((n,), bool) if k <= 1 else lv.is_delta[:, k - 2]
         total = total + jnp.where(~d_k & ~d_km, ri, 0.0)
@@ -389,7 +405,7 @@ def render_bdpt(
             w = jnp.ones((n,))  # only strategy for a directly seen light
         else:
             ptm_rev = _diffuse_pdf_area(
-                cam.ns[:, j], None, cam.pos[:, j], cam.pos[:, j - 1],
+                cam.ns[:, j], cam.pos[:, j], cam.pos[:, j - 1],
                 cam.ns[:, j - 1],
             )  # cosine emission: same |cos|/pi shape
             denom_cam = cam_side_mis(cam, j, pdf_area_light, ptm_rev, light_tracing)
@@ -401,8 +417,6 @@ def render_bdpt(
     # ---- s = 1: connect camera vertex to a fresh light sample --------------
     ul = jax.random.uniform(k_nee, (n, max_d, 3))
     for j in range(max_d):
-        if 1 + (j + 1) > max_d + 1:
-            break
         ok = cam.valid[:, j] & ~cam.is_delta[:, j]
         lp, ln, lrad, pdf_pos = sample_light_points(
             scene.lights, ul[:, j, 0], ul[:, j, 1], ul[:, j, 2]
@@ -425,20 +439,24 @@ def render_bdpt(
         # MIS
         # qs (sampled light vertex) rev: density of cam[j] scattering toward
         # the light point, area measure at the light
-        qs_rev = _diffuse_pdf_area(cns, None, cp, lp, ln)
+        qs_rev = _diffuse_pdf_area(cns, cp, lp, ln)
         # pt (= cam[j]) rev: light emitting toward it
-        pt_rev = _diffuse_pdf_area(ln, None, lp, cp, cns)
+        pt_rev = _diffuse_pdf_area(ln, lp, cp, cns)
         # ptMinus rev: cam[j] scattering backward given incoming from light
         if j > 0:
-            ptm_rev = _diffuse_pdf_area(cns, None, cp, cam.pos[:, j - 1],
+            ptm_rev = _diffuse_pdf_area(cns, cp, cam.pos[:, j - 1],
                                         cam.ns[:, j - 1])
         else:
             ptm_rev = jnp.zeros((n,))
         denom_cam = cam_side_mis(cam, j, pt_rev, ptm_rev, light_tracing)
-        # light side: single vertex (s'=0 alternative): ri = remap(qs_rev)/
-        # remap(pdf_pos); term counted (light not delta)
-        ri_l = _remap(qs_rev) / _remap(pdf_pos)
-        denom_light = ri_l
+        # light side: the only alternative is s'=0 (camera walk continues
+        # into the light), ri = remap(qs_rev)/remap(pdf_pos) — but at
+        # j = max_d-1 that walk would need max_d+1 vertices, which
+        # random_walk never produces, so the term leaves the partition
+        if j == max_d - 1:
+            denom_light = jnp.zeros((n,))
+        else:
+            denom_light = _remap(qs_rev) / _remap(pdf_pos)
         w = 1.0 / (1.0 + denom_cam + denom_light)
         radiance = radiance + jnp.where(
             ok[:, None], contrib * w[:, None], 0.0
@@ -456,6 +474,15 @@ def render_bdpt(
                 cam.valid[:, j] & ~cam.is_delta[:, j]
                 & lv.valid[:, i] & ~lv.is_delta[:, i]
             )
+            if (i + 1) + (j + 1) == max_d and i > 0:
+                # depth-cap coverage contract: at the cap the path has
+                # max_d+1 surface vertices, which the path tracer reaches
+                # only via NEE at a *diffuse* light-adjacent vertex; paths
+                # whose light-adjacent vertex lv[0] is specular are outside
+                # the equal-depth transport both integrators target, so
+                # they are excluded here (not re-weighted) to keep
+                # PT<->BDPT parity exact at any max_depth
+                ok = ok & ~lv.is_delta[:, 0]
             cp, cns = cam.pos[:, j], cam.ns[:, j]
             lp_, lns = lv.pos[:, i], lv.ns[:, i]
             to_l = lp_ - cp
@@ -474,10 +501,10 @@ def render_bdpt(
             ok = ok & ~blocked
 
             # junction rev densities
-            pt_rev = _diffuse_pdf_area(lns, None, lp_, cp, cns)
-            qs_rev = _diffuse_pdf_area(cns, None, cp, lp_, lns)
+            pt_rev = _diffuse_pdf_area(lns, lp_, cp, cns)
+            qs_rev = _diffuse_pdf_area(cns, cp, lp_, lns)
             if j > 0:
-                ptm_rev = _diffuse_pdf_area(cns, None, cp, cam.pos[:, j - 1],
+                ptm_rev = _diffuse_pdf_area(cns, cp, cam.pos[:, j - 1],
                                             cam.ns[:, j - 1])
             else:
                 ptm_rev = jnp.zeros((n,))
@@ -485,10 +512,14 @@ def render_bdpt(
                 qsm_pos, qsm_ns = lv.pos[:, i - 1], lv.ns[:, i - 1]
             else:
                 qsm_pos, qsm_ns = l0["pos"], l0["ns"]
-            qsm_rev = _diffuse_pdf_area(lns, None, lp_, qsm_pos, qsm_ns)
+            qsm_rev = _diffuse_pdf_area(lns, lp_, qsm_pos, qsm_ns)
 
             denom_cam = cam_side_mis(cam, j, pt_rev, ptm_rev, light_tracing)
-            denom_light = light_side_mis(lv, l0, pdf_area_light, i + 1, qs_rev, qsm_rev)
+            # at the cap ((i+1)+(j+1) == max_d) the s'=0 alternative would
+            # need a camera walk of max_d+1 vertices — never sampled
+            denom_light = light_side_mis(
+                lv, l0, pdf_area_light, i + 1, qs_rev, qsm_rev,
+                skip_s0=(i + 1) + (j + 1) == max_d)
             w = 1.0 / (1.0 + denom_cam + denom_light)
             radiance = radiance + jnp.where(
                 ok[:, None], contrib * w[:, None], 0.0
@@ -503,9 +534,13 @@ def render_bdpt(
         a_samp = (1.0 / cfg.width) * (1.0 / cfg.height)
         cam_pos = scene.camera
         for i in range(max_d):
-            if (i + 1) + 1 > max_d + 1:
-                break
             ok = lv.valid[:, i] & ~lv.is_delta[:, i]
+            if i == max_d - 1 and i > 0:
+                # same depth-cap coverage contract as the s>=2 block: at
+                # i = max_d-1 the splat path has max_d+1 surface vertices
+                # and is inside the equal-depth transport only when the
+                # light-adjacent vertex is diffuse (NEE-representable)
+                ok = ok & ~lv.is_delta[:, 0]
             p_pos = lv.pos[:, i]
             p_ns = lv.ns[:, i]
             to_c = cam_pos - p_pos
@@ -551,8 +586,11 @@ def render_bdpt(
                 qsm_pos, qsm_ns = lv.pos[:, i - 1], lv.ns[:, i - 1]
             else:
                 qsm_pos, qsm_ns = l0["pos"], l0["ns"]
-            qsm_rev = _diffuse_pdf_area(p_ns, None, p_pos, qsm_pos, qsm_ns)
-            denom = light_side_mis(lv, l0, pdf_area_light, i + 1, qs_rev, qsm_rev)
+            qsm_rev = _diffuse_pdf_area(p_ns, p_pos, qsm_pos, qsm_ns)
+            # at i = max_d-1 the splat path has max_d+1 surface vertices;
+            # the s'=0 alternative is unreachable for the camera walk
+            denom = light_side_mis(lv, l0, pdf_area_light, i + 1, qs_rev,
+                                   qsm_rev, skip_s0=i == max_d - 1)
             w_mis = 1.0 / (1.0 + denom)
 
             add = jnp.where(ok[:, None], contrib * w_mis[:, None], 0.0)

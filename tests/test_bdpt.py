@@ -155,8 +155,8 @@ def test_mis_partition_of_unity():
     zeros = jnp.zeros((n,))
     pdf_area_light = 1.0 / float(scene.lights.total_area)
 
-    qs_rev = _diffuse_pdf_area(v1ns, None, v1, lp, ln)  # v1 scatters -> L
-    pt_rev = _diffuse_pdf_area(ln, None, lp, v1, v1ns)  # L emits -> v1
+    qs_rev = _diffuse_pdf_area(v1ns, v1, lp, ln)  # v1 scatters -> L
+    pt_rev = _diffuse_pdf_area(ln, lp, v1, v1ns)  # L emits -> v1
 
     # A: s=1, t=2 (same denominators the s=1 block of render_bdpt builds)
     denom_a = cam_side_mis(cam, 0, pt_rev, zeros, True) \
@@ -256,11 +256,11 @@ def test_mis_partition_of_unity_s2():
     # blocks recompute (loose: independent f32 evaluation orders)
     np.testing.assert_allclose(
         np.asarray(cam.pdf_fwd[:, 1])[usable],
-        np.asarray(_diffuse_pdf_area(ns1, None, v1, m, nsm))[usable],
+        np.asarray(_diffuse_pdf_area(ns1, v1, m, nsm))[usable],
         rtol=5e-3)
     np.testing.assert_allclose(
         np.asarray(cam.pdf_rev[:, 0])[usable],
-        np.asarray(_diffuse_pdf_area(nsm, None, m, v1, ns1))[usable],
+        np.asarray(_diffuse_pdf_area(nsm, m, v1, ns1))[usable],
         rtol=5e-3)
 
     # shared pairwise densities (area measure) — v1<->m taken from the
@@ -268,8 +268,8 @@ def test_mis_partition_of_unity_s2():
     # the partition is exact
     p_m = cam.pdf_fwd[:, 1]                             # v1 -> m
     p_mv1 = cam.pdf_rev[:, 0]                           # m -> v1
-    p_mL = _diffuse_pdf_area(nsm, None, m, lp, ln)      # m -> L
-    p_Lm = _diffuse_pdf_area(ln, None, lp, m, nsm)      # L emits -> m
+    p_mL = _diffuse_pdf_area(nsm, m, lp, ln)      # m -> L
+    p_Lm = _diffuse_pdf_area(ln, lp, m, nsm)      # L emits -> m
 
     # A: s=2, t=2 — mirror of the s>=2 connection block at j=0, i=0
     lv_a = Vertices(
@@ -327,6 +327,115 @@ def test_mis_partition_of_unity_s2():
     w_d = 1.0 / (1.0 + denom_d)
 
     total = np.asarray(w_a + w_b + w_c + w_d)[usable]
+    assert usable.sum() > 20, usable.sum()
+    np.testing.assert_allclose(total, 1.0, rtol=1e-4)
+
+
+def test_mis_partition_of_unity_at_depth_cap():
+    """Partition of unity for a path at the depth cap (advisor r3): with
+    max_depth=2 the path camera -> v1 -> m -> L has max_depth+1 surface
+    vertices, so the s'=0 strategy (camera walk hits the light) can never
+    sample it — random_walk only produces max_depth vertices.  Exactly
+    three strategies remain with light tracing on:
+
+      A: s=1, t=3  (camera walk reaches m at j = max_d-1, NEE connect to L)
+      B: s=2, t=2  (connect v1 <-> m at the (i+1)+(j+1) == max_d cap)
+      D: s=3, t=1  (light walk L -> m -> v1, film splat at i = max_d-1)
+
+    Before the skip_s0 fix every denominator also carried the unreachable
+    s'=0 ratio, so the weights summed to < 1 and deepest-bounce radiance
+    was systematically under-weighted."""
+    import jax.numpy as jnp
+
+    from light_transport_tpu.integrators.bdpt import (
+        Vertices,
+        _camera_pdf_dir,
+        _diffuse_pdf_area,
+        _to_area,
+        cam_side_mis,
+        light_side_mis,
+    )
+    from light_transport_tpu.scene.lights import sample_light_points
+
+    scene, cfg = cornell_box_scene(width=8, height=8, spp=1, max_depth=2,
+                                   include_cone=False)
+    n = 64
+    key = jax.random.key(13)
+    u_aa = jax.random.uniform(key, (n, 2))
+    o, d = camera_rays(scene, cfg, u_aa)
+    cam_u = jax.random.uniform(jax.random.fold_in(key, 1), (n, 2, 2))
+    cam = generate_camera_subpaths(scene, cfg, o[:n], d[:n], cam_u)
+
+    ul = jax.random.uniform(jax.random.fold_in(key, 2), (n, 3))
+    lp, ln, _, pdf_pos = sample_light_points(scene.lights, ul[:, 0],
+                                             ul[:, 1], ul[:, 2])
+    pdf_area_light = 1.0 / float(scene.lights.total_area)
+
+    v1, ns1 = cam.pos[:, 0], cam.ns[:, 0]
+    m, nsm = cam.pos[:, 1], cam.ns[:, 1]
+    usable = np.asarray(
+        cam.valid[:, 0] & cam.valid[:, 1]
+        & ~cam.is_delta[:, 0] & ~cam.is_delta[:, 1]
+        & ~cam.is_light[:, 0] & ~cam.is_light[:, 1]
+    )
+    zeros = jnp.zeros((n,))
+
+    # with max_len == 2 the walk never fills pdf_rev[0] (the continuation
+    # sample that would set it is skipped at the last step), so chain the
+    # closed form everywhere instead of the stored value
+    p_v1 = cam.pdf_fwd[:, 0]
+    p_m = cam.pdf_fwd[:, 1]
+    p_mv1 = _diffuse_pdf_area(nsm, m, v1, ns1)
+    p_mL = _diffuse_pdf_area(nsm, m, lp, ln)
+    p_Lm = _diffuse_pdf_area(ln, lp, m, nsm)
+
+    # A: s=1 at j = max_d-1 — the s=1 block with the s'=0 term excluded
+    denom_a = cam_side_mis(cam, 1, p_Lm, p_mv1, True)
+    w_a = 1.0 / (1.0 + denom_a)
+
+    # B: s=2, i=0, j=0 — the s>=2 block at the (i+1)+(j+1) == max_d cap
+    lv_b = Vertices(
+        pos=(cam.pos * 0.0).at[:, 0].set(m),
+        ns=(cam.ns * 0.0).at[:, 0].set(nsm),
+        diffuse=cam.diffuse * 0.0,
+        beta=cam.beta * 0.0,
+        pdf_fwd=(cam.pdf_fwd * 0.0).at[:, 0].set(p_Lm),
+        pdf_rev=cam.pdf_rev * 0.0,
+        valid=(cam.valid & False).at[:, 0].set(cam.valid[:, 1]),
+        is_light=cam.is_light & False,
+        is_delta=cam.is_delta & False,
+        emit=cam.emit * 0.0,
+    )
+    l0 = dict(pos=lp, ns=ln)
+    denom_b = cam_side_mis(cam, 0, p_mv1, zeros, True) \
+        + light_side_mis(lv_b, l0, pdf_area_light, 1, p_m, p_mL,
+                         skip_s0=True)
+    w_b = 1.0 / (1.0 + denom_b)
+
+    # D: s=3, t=1 — splat at i = max_d-1
+    dir_cp = (v1 - scene.camera) / jnp.linalg.norm(
+        v1 - scene.camera, axis=-1, keepdims=True)
+    cam_area_v1 = _to_area(_camera_pdf_dir(scene, cfg, dir_cp),
+                           jnp.broadcast_to(scene.camera, v1.shape),
+                           v1, ns1)
+    lv_d = Vertices(
+        pos=(cam.pos * 0.0).at[:, 0].set(m).at[:, 1].set(v1),
+        ns=(cam.ns * 0.0).at[:, 0].set(nsm).at[:, 1].set(ns1),
+        diffuse=cam.diffuse * 0.0,
+        beta=cam.beta * 0.0,
+        pdf_fwd=(cam.pdf_fwd * 0.0).at[:, 0].set(p_Lm).at[:, 1].set(p_mv1),
+        pdf_rev=cam.pdf_rev * 0.0,
+        valid=(cam.valid & False).at[:, 0].set(cam.valid[:, 1])
+                                 .at[:, 1].set(cam.valid[:, 1]),
+        is_light=cam.is_light & False,
+        is_delta=cam.is_delta & False,
+        emit=cam.emit * 0.0,
+    )
+    denom_d = light_side_mis(lv_d, l0, pdf_area_light, 2, cam_area_v1,
+                             p_m, skip_s0=True)
+    w_d = 1.0 / (1.0 + denom_d)
+
+    total = np.asarray(w_a + w_b + w_d)[usable]
     assert usable.sum() > 20, usable.sum()
     np.testing.assert_allclose(total, 1.0, rtol=1e-4)
 
