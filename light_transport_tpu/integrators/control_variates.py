@@ -75,11 +75,14 @@ def grad_log_pdf_exact(scene: Scene, cfg: RenderConfig, origins, directions,
 
     def total_logpdf(x):
         u = _with_bsdf_logits(uniforms, x)
-        _, rec = trace_paths(scene, cfg, origins, directions, u)
-        return rec.log_pdf.sum(), rec
+        radiance, rec = trace_paths(scene, cfg, origins, directions, u)
+        return rec.log_pdf.sum(), (radiance, rec)
 
-    (_, rec), grads = jax.value_and_grad(total_logpdf, has_aux=True)(x0)
-    radiance, _ = trace_paths(scene, cfg, origins, directions, uniforms)
+    # radiance rides along as aux — the graded forward pass already computes
+    # it (at sigmoid(logit(u)), ulp-identical statistics), so a separate
+    # trace at the raw uniforms would double the forward cost for nothing
+    (_, (radiance, rec)), grads = jax.value_and_grad(
+        total_logpdf, has_aux=True)(x0)
     g = jnp.concatenate([grads[:, :, 0], grads[:, :, 1]], axis=-1)  # (N, 2D)
     return radiance, rec.log_pdf, g
 
