@@ -36,7 +36,6 @@ from light_transport_tpu.scene.geometry import TriangleMesh
 N_BUCKETS = 12
 TRAVERSAL_COST = 1.0
 INTERSECT_COST = 1.0
-STACK_DEPTH = 64
 
 
 @struct.dataclass
@@ -55,17 +54,11 @@ class BVH:
     first: jnp.ndarray  # (M,) int32: first prim (leaf) / unused
     count: jnp.ndarray  # (M,) int32: prim count (leaf) or 0 (interior)
     axis: jnp.ndarray  # (M,) int32 split axis (interior)
-    skip: jnp.ndarray  # (M,) int32 rope: next DFS node outside this subtree
-    # (M = sentinel "done"); enables the stackless lockstep traversal
-    # packed per-node records so the traversal loop gathers one row per
-    # table instead of 6-8 scattered columns (TPU gathers are the hot cost):
-    packed_f: jnp.ndarray  # (M, 8) f32 [min xyz, max xyz, pad, pad]
-    packed_i: jnp.ndarray  # (M, 4) i32 [first, count, skip, pad]
-    tri_packed: jnp.ndarray  # (T, 16) f32 [v0, e1, e2, pad...] of the
-    # reordered mesh — single-row gather per leaf-prim test
-    # fully fused per-iteration records (2 gathers per traversal step):
+    # fused per-iteration records (the only arrays the traversal gathers —
+    # one row per table per step instead of 6-8 scattered columns, which is
+    # what the TPU gather path wants):
     node_rec: jnp.ndarray  # (M, 16) f32 [min3, max3, first:i32, count:i32,
-    # skip:i32 (bitcast), pad...]
+    # skip:i32 (bitcast rope: next DFS node outside this subtree), pad...]
     leaf_rec: jnp.ndarray  # (M, 8 + 9*max_leaf) f32: per-node copy of its
     # leaf triangles [v0,e1,e2]*max_leaf (zeros for interior nodes)
     max_leaf: int = struct.field(pytree_node=False, default=4)
@@ -226,25 +219,19 @@ def build(mesh: TriangleMesh, max_leaf: int = 4,
     eps = 1e-5 * np.maximum(1.0, np.abs(nmax - nmin).max())
     skip = _compute_skip(nright, ncount)
     m = len(ncount)
-    packed_f = np.zeros((m, 8), np.float32)
-    packed_f[:, 0:3] = nmin - eps
-    packed_f[:, 3:6] = nmax + eps
-    packed_i = np.zeros((m, 4), np.int32)
-    packed_i[:, 0] = nfirst
-    packed_i[:, 1] = ncount
-    packed_i[:, 2] = skip
     t_count = reordered.v0.shape[0]
-    tri_packed = np.zeros((t_count, 16), np.float32)
-    tri_packed[:, 0:3] = h_v0[order]
-    tri_packed[:, 3:6] = h_e1[order]
-    tri_packed[:, 6:9] = h_e2[order]
+    tri_flat = np.concatenate(
+        [h_v0[order], h_e1[order], h_e2[order]], axis=1
+    ).astype(np.float32)  # (T, 9) host staging for the leaf records
 
     # fused records: one 16-wide node row (ints bitcast into f32 lanes) and
-    # one leaf row holding all of a leaf's triangles
+    # one leaf row holding all of a leaf's triangles — the only arrays the
+    # traversal touches; the scalar SoA columns above stay host-inspectable
+    ints = np.stack([nfirst, ncount, skip], axis=1).astype(np.int32)
     node_rec = np.zeros((m, 16), np.float32)
-    node_rec[:, 0:3] = packed_f[:, 0:3]
-    node_rec[:, 3:6] = packed_f[:, 3:6]
-    node_rec[:, 6:9] = packed_i[:, 0:3].view(np.float32)
+    node_rec[:, 0:3] = nmin - eps
+    node_rec[:, 3:6] = nmax + eps
+    node_rec[:, 6:9] = ints.view(np.float32)
     width = 9 * max_leaf
     pad_w = int(np.ceil((width) / 8.0) * 8)
     leaf_rec = np.zeros((m, pad_w), np.float32)
@@ -252,8 +239,8 @@ def build(mesh: TriangleMesh, max_leaf: int = 4,
     for k in range(max_leaf):
         pi = np.clip(nfirst + k, 0, t_count - 1)
         valid = is_leaf_node & (k < ncount)
-        block = tri_packed[pi, 0:9]
-        leaf_rec[:, 9 * k: 9 * k + 9] = np.where(valid[:, None], block, 0.0)
+        leaf_rec[:, 9 * k: 9 * k + 9] = np.where(
+            valid[:, None], tri_flat[pi], 0.0)
     bvh = BVH(
         bounds_min=jnp.asarray((nmin - eps).astype(np.float32)),
         bounds_max=jnp.asarray((nmax + eps).astype(np.float32)),
@@ -261,10 +248,6 @@ def build(mesh: TriangleMesh, max_leaf: int = 4,
         first=jnp.asarray(nfirst),
         count=jnp.asarray(ncount),
         axis=jnp.asarray(naxis),
-        skip=jnp.asarray(skip),
-        packed_f=jnp.asarray(packed_f),
-        packed_i=jnp.asarray(packed_i),
-        tri_packed=jnp.asarray(tri_packed),
         node_rec=jnp.asarray(node_rec),
         leaf_rec=jnp.asarray(leaf_rec),
         max_leaf=max_leaf,
@@ -303,27 +286,6 @@ def _slab(o, inv_d, bmin, bmax, t_min, t_max):
     tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
     tn = jnp.maximum(tn, t_min * 0.0)  # boxes behind origin still count from 0
     return (tn <= tf) & (tn <= t_max) & (tf >= 0.0)
-
-
-def _leaf_test(o, d, mesh, first, count, max_leaf, t_min, t_max,
-               best_t, best_tri, tri_packed=None):
-    """Test up to max_leaf prims per lane (masked), update best hit."""
-    n_tris = mesh.v0.shape[0]
-    for k in range(max_leaf):
-        pi = jnp.clip(first + k, 0, n_tris - 1)
-        active = k < count
-        if tri_packed is not None:
-            rec = tri_packed[pi]  # one 16-wide row gather
-            v0, e1, e2 = rec[:, 0:3], rec[:, 3:6], rec[:, 6:9]
-        else:
-            v0 = mesh.v0[pi]
-            e1 = mesh.e1[pi]
-            e2 = mesh.e2[pi]
-        t, valid = _mt_single(o, d, v0, e1, e2, t_min, jnp.minimum(t_max, best_t))
-        take = active & valid & (t < best_t)
-        best_t = jnp.where(take, t, best_t)
-        best_tri = jnp.where(take, pi, best_tri)
-    return best_t, best_tri
 
 
 def _mt_single(o, d, v0, e1, e2, t_min, t_max):
@@ -457,98 +419,6 @@ def intersect_bvh(
         )
     _, best_t, best_tri = state
 
-    valid = best_tri >= 0
-    return Hit(
-        t=jnp.where(valid, best_t, jnp.inf),
-        tri=best_tri,
-        valid=valid,
-    )
-
-
-def intersect_bvh_stack(
-    origins: jnp.ndarray,
-    directions: jnp.ndarray,
-    mesh: TriangleMesh,
-    bvh: BVH,
-    t_min=T_EPS,
-    t_max=jnp.inf,
-    max_leaf: int = None,
-    any_hit: bool = False,
-):
-    """Stack-based ordered traversal (front-to-back via the split-axis sign —
-    the reference's dir_is_neg trick, src/bvh_new.py:424-435).  Kept for
-    cross-checking the roped walk; the stack scatter makes it slower on TPU.
-    """
-    if max_leaf is None:
-        max_leaf = bvh.max_leaf
-    n = origins.shape[0]
-    dtype = origins.dtype
-    t_min = jnp.broadcast_to(jnp.asarray(t_min, dtype), (n,))
-    t_max = jnp.broadcast_to(jnp.asarray(t_max, dtype), (n,))
-    inv_d = 1.0 / jnp.where(jnp.abs(directions) < 1e-20,
-                            jnp.where(directions < 0, -1e-20, 1e-20),
-                            directions)
-
-    stack = jnp.zeros((n, STACK_DEPTH), jnp.int32)
-    sp = jnp.ones((n,), jnp.int32)  # stack holds root (=0) at slot 0
-    best_t = t_max
-    best_tri = jnp.full((n,), -1, jnp.int32)
-    done = jnp.zeros((n,), bool)
-
-    def cond(carry):
-        _, sp, _, _, done = carry
-        return jnp.any((sp > 0) & ~done)
-
-    def body(carry):
-        stack, sp, best_t, best_tri, done = carry
-        active = (sp > 0) & ~done
-        sp_new = jnp.where(active, sp - 1, sp)
-        node = stack[jnp.arange(n), jnp.clip(sp_new, 0, STACK_DEPTH - 1)]
-        node = jnp.where(active, node, 0)
-
-        bmin = bvh.bounds_min[node]
-        bmax = bvh.bounds_max[node]
-        hit_box = _slab(origins, inv_d, bmin, bmax, t_min, best_t) & active
-
-        count = bvh.count[node]
-        is_leaf = (count > 0) & hit_box
-        first = bvh.first[node]
-        lt, ltri = _leaf_test(
-            origins, directions, mesh,
-            jnp.where(is_leaf, first, 0), jnp.where(is_leaf, count, 0),
-            max_leaf, t_min, best_t, best_t, best_tri,
-        )
-        best_t = jnp.where(is_leaf, lt, best_t)
-        best_tri = jnp.where(is_leaf, ltri, best_tri)
-        if any_hit:
-            done = done | (is_leaf & (best_tri >= 0))
-
-        # interior: push children, near one on top (front-to-back via the
-        # split-axis direction sign — reference dir_is_neg trick,
-        # src/bvh_new.py:424-435)
-        is_interior = hit_box & (count == 0)
-        left = node + 1
-        right = bvh.right[node]
-        ax = bvh.axis[node]
-        d_ax = jnp.take_along_axis(directions, ax[:, None], axis=1)[:, 0]
-        near = jnp.where(d_ax >= 0, left, right)
-        far = jnp.where(d_ax >= 0, right, left)
-        lane = jnp.arange(n)
-        s0 = jnp.clip(sp_new, 0, STACK_DEPTH - 1)
-        s1 = jnp.clip(sp_new + 1, 0, STACK_DEPTH - 1)
-        stack = stack.at[lane, s0].set(
-            jnp.where(is_interior, far, stack[lane, s0])
-        )
-        stack = stack.at[lane, s1].set(
-            jnp.where(is_interior, near, stack[lane, s1])
-        )
-        sp_new = jnp.where(is_interior, jnp.minimum(sp_new + 2, STACK_DEPTH),
-                           sp_new)
-        return stack, sp_new, best_t, best_tri, done
-
-    _, _, best_t, best_tri, _ = jax.lax.while_loop(
-        cond, body, (stack, sp, best_t, best_tri, done)
-    )
     valid = best_tri >= 0
     return Hit(
         t=jnp.where(valid, best_t, jnp.inf),
