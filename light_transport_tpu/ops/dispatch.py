@@ -120,21 +120,28 @@ def _merge_analytic(scene: Scene, hit, origins, directions):
 BVH_LANE_CHUNK = 1 << 18
 
 
-def _chunked_bvh(fn, origins, directions):
+def _chunked_bvh(fn, origins, directions, *extras):
+    """Pad to a BVH_LANE_CHUNK multiple and lax.map ``fn`` over chunks.
+
+    ``extras`` are additional per-ray (N, ...) arrays (zero-padded; the
+    pad rays get direction [0,0,1] so aabb_intersect never divides by 0)."""
     n = origins.shape[0]
     if n <= BVH_LANE_CHUNK:
-        return fn(origins, directions)
+        return fn(origins, directions, *extras)
     pad = (-n) % BVH_LANE_CHUNK
     if pad:
         origins = jnp.concatenate(
             [origins, jnp.zeros((pad, 3), origins.dtype)])
         dz = jnp.zeros((pad, 3), directions.dtype).at[:, 2].set(1.0)
         directions = jnp.concatenate([directions, dz])
+        extras = tuple(
+            jnp.concatenate([e, jnp.zeros((pad,) + e.shape[1:], e.dtype)])
+            for e in extras)
     total = origins.shape[0]
     out = jax.lax.map(
         lambda args: fn(*args),
-        (origins.reshape(-1, BVH_LANE_CHUNK, 3),
-         directions.reshape(-1, BVH_LANE_CHUNK, 3)),
+        tuple(x.reshape((-1, BVH_LANE_CHUNK) + x.shape[1:])
+              for x in (origins, directions) + extras),
     )
     return jax.tree.map(lambda x: x.reshape(total, *x.shape[2:])[:n], out)
 
@@ -170,24 +177,11 @@ def scene_occluded(scene: Scene, origins, directions, max_dist,
 
         n = origins.shape[0]
         md = jnp.broadcast_to(jnp.asarray(max_dist, origins.dtype), (n,))
-        if n <= BVH_LANE_CHUNK:
-            occ = bvh_mod.occluded_bvh(origins, directions, scene.mesh,
-                                       scene.bvh, md)
-        else:
-            pad = (-n) % BVH_LANE_CHUNK
-            o_p = jnp.concatenate(
-                [origins, jnp.zeros((pad, 3), origins.dtype)])
-            dz = jnp.zeros((pad, 3), directions.dtype).at[:, 2].set(1.0)
-            d_p = jnp.concatenate([directions, dz])
-            md_p = jnp.concatenate([md, jnp.zeros((pad,), md.dtype)])
-            total = o_p.shape[0]
-            occ = jax.lax.map(
-                lambda args: bvh_mod.occluded_bvh(
-                    args[0], args[1], scene.mesh, scene.bvh, args[2]),
-                (o_p.reshape(-1, BVH_LANE_CHUNK, 3),
-                 d_p.reshape(-1, BVH_LANE_CHUNK, 3),
-                 md_p.reshape(-1, BVH_LANE_CHUNK)),
-            ).reshape(total)[:n]
+        occ = _chunked_bvh(
+            lambda o, d, m: bvh_mod.occluded_bvh(o, d, scene.mesh,
+                                                 scene.bvh, m),
+            origins, directions, md,
+        )
     else:
         occ = intersect.occluded(origins, directions, scene.mesh, max_dist,
                                  ray_chunk=ray_chunk)
@@ -198,7 +192,12 @@ def scene_occluded(scene: Scene, origins, directions, max_dist,
         t_a, _, _ = intersect_analytic(
             prims, jax.lax.stop_gradient(origins),
             jax.lax.stop_gradient(directions))
-        occ = occ | (t_a < max_dist)
+        a_occ = t_a < max_dist
+        if active is not None:
+            # honor the contract: inactive lanes report unoccluded (the
+            # triangle paths already skip them via their -inf max_dist)
+            a_occ = a_occ & active
+        occ = occ | a_occ
     return jax.lax.stop_gradient(occ)
 
 
@@ -240,10 +239,19 @@ def scene_transmittance(scene: Scene, origins, directions, max_dist,
     marching = jnp.ones((n,), bool) if active is None else active
 
     def body(carry, _):
-        cur_o, remaining, trans, marching = carry
+        cur_o, remaining, trans, marching, pend_sig = carry
         hit = scene_intersect(scene, cur_o, directions, ray_chunk=ray_chunk,
                               active=marching)
         hit_in = hit.valid & (hit.t < remaining) & marching
+        # march ends here with no in-range surface: if the lane entered a
+        # transmissive object it never exited, the sampled light point lies
+        # *inside* it, and the closing span is interior — attenuate by the
+        # carried extinction (zero when the lane is in free space), which
+        # keeps the estimator symmetric with the exit-attributed spans below
+        end_now = marching & ~hit_in
+        trans = jnp.where(
+            end_now[:, None],
+            trans * jnp.exp(-pend_sig * remaining[:, None]), trans)
         hit_p = cur_o + directions * hit.t[:, None]
         n_geo, mat_id, _ = surface_attrs(scene, hit, hit_p)
         is_trans = mats.bsdf[mat_id] == BSDF_TRANSMISSIVE
@@ -251,20 +259,25 @@ def scene_transmittance(scene: Scene, origins, directions, max_dist,
         trans = jnp.where(blocked[:, None], 0.0, trans)
         # a backface crossing exits the hit object: the span just marched
         # was its interior — attenuate by its extinction
-        exiting = hit_in & is_trans & (
-            jnp.sum(n_geo * directions, axis=-1) > 0.0)
+        cos_d = jnp.sum(n_geo * directions, axis=-1)
+        exiting = hit_in & is_trans & (cos_d > 0.0)
+        entering = hit_in & is_trans & (cos_d <= 0.0)
         sig_t = mats.sigma_a[mat_id] + mats.sigma_s[mat_id][:, None]
         att = jnp.exp(-sig_t * hit.t[:, None])
         trans = jnp.where(exiting[:, None], trans * att, trans)
+        pend_sig = jnp.where(
+            hit_in[:, None],
+            jnp.where(entering[:, None], sig_t, 0.0), pend_sig)
         step = hit.t + eps
         cur_o = jnp.where(hit_in[:, None], hit_p + eps * directions, cur_o)
         remaining = jnp.where(hit_in, remaining - step, remaining)
         marching = hit_in & is_trans
-        return (cur_o, remaining, trans, marching), None
+        return (cur_o, remaining, trans, marching, pend_sig), None
 
     trans0 = jnp.ones((n, 3), dtype)
-    (cur_o, remaining, trans, marching), _ = jax.lax.scan(
-        body, (origins, md, trans0, marching), None, length=max_hits)
+    pend0 = jnp.zeros((n, 3), dtype)
+    (cur_o, remaining, trans, marching, pend_sig), _ = jax.lax.scan(
+        body, (origins, md, trans0, marching, pend0), None, length=max_hits)
     # conservative close-out: a lane still marching after max_hits
     # transmissive crossings may have unexamined surfaces — including
     # opaque blockers — before the light.  One any-hit query decides:
@@ -274,4 +287,9 @@ def scene_transmittance(scene: Scene, origins, directions, max_dist,
     occ_tail = scene_occluded(scene, cur_o, directions, remaining,
                               ray_chunk=ray_chunk, active=still)
     trans = jnp.where((still & occ_tail)[:, None], 0.0, trans)
+    # a clear tail that ends inside an entered-but-not-exited medium still
+    # attenuates over the remaining interior span
+    trans = jnp.where(
+        (still & ~occ_tail)[:, None],
+        trans * jnp.exp(-pend_sig * remaining[:, None]), trans)
     return jax.lax.stop_gradient(trans)

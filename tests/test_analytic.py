@@ -160,3 +160,22 @@ def test_mirror_sphere_reflects_floor():
     assert np.all(np.isfinite(img))
     # lower sphere region reflects the lit grey floor -> non-trivially bright
     assert img[22:27, 17:23].mean() > 0.02
+
+
+def test_scene_occluded_inactive_lanes_skip_analytic():
+    """advisor r3: the analytic-primitive OR-term in scene_occluded ignored
+    ``active``, so inactive lanes (documented to report unoccluded) came
+    back occluded whenever an analytic prim crossed their ray.  The
+    triangle paths already honored the mask via their -inf max_dist."""
+    from light_transport_tpu.ops.dispatch import scene_occluded
+
+    prims = AnalyticPrims.build(spheres=[(_C, _R, 2)])
+    scene, _ = _base(analytic=prims)
+    # rays straight through the sphere center
+    o = jnp.asarray([[0.0, 0.0, 4.0]] * 2, jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, -1.0]] * 2, jnp.float32)
+    md = jnp.asarray([10.0, 10.0], jnp.float32)
+    active = jnp.asarray([True, False])
+    occ = np.asarray(scene_occluded(scene, o, d, md, active=active))
+    assert occ[0]          # live lane: the sphere occludes
+    assert not occ[1]      # dead lane: must report unoccluded

@@ -217,6 +217,35 @@ def test_scene_transmittance_op():
     np.testing.assert_allclose(tr2, 0.0, atol=1e-7)
 
 
+def test_transmittance_segment_ending_inside_medium():
+    """advisor r3 follow-up: a shadow segment whose endpoint (the sampled
+    light) lies *inside* a transmissive object used to skip the closing
+    interior span entirely — Beer-Lambert was only applied on backface
+    exits, so a light embedded in absorbing glass received full unattenuated
+    direct light while the mirrored geometry (shading point inside, light
+    outside) attenuated correctly.  The entered-but-not-exited extinction is
+    now carried and applied over the closing span."""
+    from light_transport_tpu.ops.dispatch import scene_transmittance
+
+    sa, ss = (1.0, 2.0, 4.0), 0.5
+    scene = _shadow_scene(sigma_a=sa, sigma_s=ss)  # slab spans y in [1, 1.5]
+    o = jnp.asarray([[0.0, 0.01, 0.0]] * 2, jnp.float32)
+    d = jnp.asarray([[0.0, 1.0, 0.0]] * 2, jnp.float32)
+    # endpoints 0.20 and 0.25 into the slab interior (y = 1.20 / 1.25)
+    md = jnp.asarray([1.20, 1.25], jnp.float32) - 0.01
+    tr = np.asarray(scene_transmittance(scene, o, d, md))
+    sig_t = np.asarray(sa) + ss
+    np.testing.assert_allclose(tr[0], np.exp(-sig_t * 0.20), rtol=2e-3)
+    np.testing.assert_allclose(tr[1], np.exp(-sig_t * 0.25), rtol=2e-3)
+    # the mirrored case (start inside, exit through the top face) was
+    # already exit-attributed; pin it too so the estimator stays symmetric
+    o2 = jnp.asarray([[0.0, 1.2, 0.0]], jnp.float32)
+    tr2 = np.asarray(scene_transmittance(
+        scene, o2, jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32),
+        jnp.asarray([1.0], jnp.float32)))
+    np.testing.assert_allclose(tr2[0], np.exp(-sig_t * 0.3), rtol=2e-3)
+
+
 @pytest.mark.slow
 def test_anisotropy_forward_bias():
     """g -> 1 scatters forward: transmission through the slab increases
