@@ -691,7 +691,11 @@ class PallasPhotonEngine:
         """One block = block-start respawn + k_steps supersteps.
 
         Returns (state, outs, counters) where outs = (exit_bin, exit_val,
-        det_bin, det_val, rz_bins, rz_vals, vol_bins).
+        det_bin, det_val, rz_bins, rz_vals, vol_bins, vol_vals) followed by
+        the optional MXU-histogram accumulator grids — the (nr, nz_pad) rz
+        grid when ``rz_mm`` and the (detector_nx, det_pad) detector grid
+        when ``det_mm`` — which ``accumulate`` pops positionally in that
+        order.
         """
         n_rows = self.n_tiles * ROWS
         px, py, pz, dx, dy, dz, w, tau, layer = state

@@ -102,13 +102,16 @@ def simulate_sharded(
     return fn(keys)
 
 
-def _simulate_dynamic_quota(medium, cfg, key, quota, lanes):
-    """simulate_photons with a traced (dynamic) quota — used per-shard."""
-    from light_transport_tpu.transport.photon import (
-        PhotonState,
-        superstep,
-        _NUM_U,
-    )
+def _simulate_dynamic_quota(medium, cfg, key, quota, lanes,
+                            max_supersteps: int = 100_000):
+    """simulate_photons with a traced (dynamic) quota — used per-shard.
+
+    Runs entirely device-side (it executes under ``shard_map``, so the
+    host-driven drain compaction of ``simulate_photons`` is unavailable);
+    the round body is ``transport.photon._run_rounds`` itself, so the
+    superstep loop contract (global-step uniform keying, the exact
+    ``max_supersteps`` cap masking) lives in one place."""
+    from light_transport_tpu.transport.photon import PhotonState, _run_rounds
 
     lanes = min(lanes, cfg.n_photons)
     round_len = max(1, cfg.steps_per_batch)
@@ -116,29 +119,16 @@ def _simulate_dynamic_quota(medium, cfg, key, quota, lanes):
     state = PhotonState.dead(lanes)
     tallies = PhotonTallies.zeros(cfg)
     quota = quota.astype(jnp.int32)
+    cap = jnp.asarray(max_supersteps, jnp.int32)
 
     def cond(carry):
         state, _, quota, step = carry
-        return ((quota > 0) | jnp.any(state.alive)) & (step < 1_000_000)
+        return ((quota > 0) | jnp.any(state.alive)) & (step < cap)
 
     def round_body(carry):
-        def one(carry2, step):
-            state, tallies, quota = carry2
-            u = jax.random.uniform(
-                jax.random.fold_in(key, step), (lanes, _NUM_U),
-                dtype=state.w.dtype,
-            )
-            state, tallies, quota = superstep(
-                state, tallies, u, medium, cfg, quota
-            )
-            return (state, tallies, quota), None
-
         state, tallies, quota, step = carry
-        (state, tallies, quota), _ = jax.lax.scan(
-            one, (state, tallies, quota),
-            step + jnp.arange(round_len, dtype=jnp.int32),
-        )
-        return state, tallies, quota, step + round_len
+        return _run_rounds.__wrapped__(
+            key, state, tallies, quota, step, medium, cfg, round_len, cap)
 
     _, tallies, _, _ = jax.lax.while_loop(
         cond, round_body, (state, tallies, quota, jnp.asarray(0, jnp.int32))
@@ -169,8 +159,6 @@ def simulate_pallas_sharded(
     mesh (tests/test_sharding.py) and in the driver dryrun, in addition to
     bench.py's on-chip parity check every round.
     """
-    import jax.numpy as jnp
-
     from light_transport_tpu.ops.pallas.photon_kernel import (
         K_STEPS,
         LANES,
@@ -195,8 +183,6 @@ def simulate_pallas_sharded(
     assert base + 1 < 2 ** 24, "per-tile quota must stay exact in f32"
     quota = np.full((total_tiles, 1), base, np.float32)
     quota[:rem, 0] += 1.0
-
-    n_rows = eng.n_tiles * ROWS
 
     def per_device(state, quota, seed0):
         idx = jax.lax.axis_index(BATCH)
