@@ -26,6 +26,7 @@ Deviations (documented):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -63,13 +64,18 @@ def trace_whitted(
     depth: int,
     ray_chunk: Optional[int] = None,
     active=None,
+    hit=None,
 ) -> jnp.ndarray:
     """Shade a ray batch Whitted-style; returns (N, 3) color.
 
     ``active``: lanes whose color the caller will actually use — dead or
     zero-weight recursion branches are culled inside dispatch (their color
-    is already masked to 0 by the weights below)."""
-    hit = _hit(scene, o, d, ray_chunk, active=active)
+    is already masked to 0 by the weights below).  ``hit``: optional
+    precomputed nearest-hit record for (o, d) so a caller that already
+    intersected the batch (e.g. to share it with the indirect-diffuse
+    term) doesn't pay the sweep twice."""
+    if hit is None:
+        hit = _hit(scene, o, d, ray_chunk, active=active)
     (color, hit_ok, hp, n_s, shifted, refl_coef, transmission,
      t_dir, tir) = _shade_local(scene, o, d, hit, ray_chunk, active)
 
@@ -182,74 +188,79 @@ def trace_whitted_queue(
     dtype = o.dtype
     S = depth + 1  # stack capacity: one deferred branch per level
 
-    @jax.jit
-    def step(color, cur, stack, top):
-        cur_o, cur_d, cur_w, cur_dep, cur_act = cur
-        hit = _hit(scene, cur_o, cur_d, ray_chunk, active=cur_act)
-        (local, hit_ok, hp, n_s, shifted, refl_coef, transmission,
-         t_dir, tir) = _shade_local(scene, cur_o, cur_d, hit, ray_chunk,
-                                    cur_act)
-        color = color + cur_w[:, None] * local
-
-        can_recurse = hit_ok & (cur_dep > 0)
-        w_refl = jnp.where(can_recurse, cur_w * refl_coef, 0.0)
-        w_refr = jnp.where(can_recurse & ~tir & (transmission > 0),
-                           cur_w * (1.0 - refl_coef) * transmission, 0.0)
-        refl_sig = w_refl > weight_cutoff
-        refr_sig = w_refr > weight_cutoff
-
-        r_dir = lm.reflect(cur_d, n_s)
-        t_o = hp - 1e-3 * n_s
-
-        # follow the heavier branch, push the other if also significant
-        refl_first = w_refl >= w_refr
-        both = refl_sig & refr_sig
-        push_refr = both & refl_first
-        push_refl = both & ~refl_first
-        stack, top = lanestack.push(stack, top, push_refr,
-                                    (t_o, t_dir, w_refr, cur_dep - 1), S)
-        stack, top = lanestack.push(stack, top, push_refl,
-                                    (shifted, r_dir, w_refl, cur_dep - 1),
-                                    S)
-
-        take_refl = refl_sig & (refl_first | ~refr_sig)
-        take_refr = refr_sig & ~take_refl
-        has_child = take_refl | take_refr
-        nxt_o = jnp.where(take_refl[:, None], shifted, t_o)
-        nxt_d = jnp.where(take_refl[:, None], r_dir, t_dir)
-        nxt_w = jnp.where(take_refl, w_refl, w_refr)
-
-        # lanes without a child pop their deferred branch (if any)
-        can_pop = ~has_child & (top > 0)
-        p_o, p_d, p_w, p_dep = lanestack.peek(stack, top, S)
-        top = top - can_pop.astype(jnp.int32)
-
-        new_o = jnp.where(has_child[:, None], nxt_o, p_o)
-        new_d = jnp.where(has_child[:, None], nxt_d, p_d)
-        new_w = jnp.where(has_child, nxt_w, p_w)
-        new_dep = jnp.where(has_child, cur_dep - 1, p_dep)
-        new_act = has_child | can_pop
-        any_act = jnp.any(new_act)
-        return color, (new_o, new_d, new_w, new_dep, new_act), \
-            stack, top, any_act
-
     color = jnp.zeros((n, 3), dtype)
     cur = (o, d, jnp.ones((n,), dtype),
            jnp.full((n,), depth, jnp.int32), jnp.ones((n,), bool))
     stack = lanestack.zeros(
         (o, d, jnp.zeros((n,), dtype), jnp.zeros((n,), jnp.int32)), S)
     top = jnp.zeros((n,), jnp.int32)
-    # significant tree nodes are bounded by 2^depth but in practice by the
-    # weight cutoff; the hard cap only guards against degenerate scenes
-    iters = max_iters or min(2 ** depth + 1, 64 * (depth + 1))
+    # a lane shades one tree node per superstep, so the full reflect+refract
+    # tree needs at most 2^(depth+1)-1 supersteps; the any_act early break
+    # ends typical runs far sooner (the weight cutoff prunes the tree)
+    iters = max_iters if max_iters is not None else 2 ** (depth + 1) - 1
     for _ in range(iters):
-        color, cur, stack, top, any_act = step(color, cur, stack, top)
+        color, cur, stack, top, any_act = _queue_step(
+            scene, color, cur, stack, top, ray_chunk, weight_cutoff, S)
         if not bool(any_act):
             break
     return color
 
 
-from functools import partial
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def _queue_step(scene, color, cur, stack, top, ray_chunk, weight_cutoff, S):
+    """One queue superstep (module-level jit: repeated renders at the same
+    shapes/settings reuse the compiled executable instead of recompiling
+    the whole intersector pipeline per trace_whitted_queue call)."""
+    from light_transport_tpu.ops import lanestack
+
+    cur_o, cur_d, cur_w, cur_dep, cur_act = cur
+    hit = _hit(scene, cur_o, cur_d, ray_chunk, active=cur_act)
+    (local, hit_ok, hp, n_s, shifted, refl_coef, transmission,
+     t_dir, tir) = _shade_local(scene, cur_o, cur_d, hit, ray_chunk,
+                                cur_act)
+    color = color + cur_w[:, None] * local
+
+    can_recurse = hit_ok & (cur_dep > 0)
+    w_refl = jnp.where(can_recurse, cur_w * refl_coef, 0.0)
+    w_refr = jnp.where(can_recurse & ~tir & (transmission > 0),
+                       cur_w * (1.0 - refl_coef) * transmission, 0.0)
+    refl_sig = w_refl > weight_cutoff
+    refr_sig = w_refr > weight_cutoff
+
+    r_dir = lm.reflect(cur_d, n_s)
+    t_o = hp - 1e-3 * n_s
+
+    # follow the heavier branch, push the other if also significant
+    refl_first = w_refl >= w_refr
+    both = refl_sig & refr_sig
+    push_refr = both & refl_first
+    push_refl = both & ~refl_first
+    stack, top = lanestack.push(stack, top, push_refr,
+                                (t_o, t_dir, w_refr, cur_dep - 1), S)
+    stack, top = lanestack.push(stack, top, push_refl,
+                                (shifted, r_dir, w_refl, cur_dep - 1),
+                                S)
+
+    take_refl = refl_sig & (refl_first | ~refr_sig)
+    take_refr = refr_sig & ~take_refl
+    has_child = take_refl | take_refr
+    nxt_o = jnp.where(take_refl[:, None], shifted, t_o)
+    nxt_d = jnp.where(take_refl[:, None], r_dir, t_dir)
+    nxt_w = jnp.where(take_refl, w_refl, w_refr)
+
+    # lanes without a child pop their deferred branch (if any)
+    can_pop = ~has_child & (top > 0)
+    p_o, p_d, p_w, p_dep = lanestack.peek(stack, top, S)
+    top = top - can_pop.astype(jnp.int32)
+
+    new_o = jnp.where(has_child[:, None], nxt_o, p_o)
+    new_d = jnp.where(has_child[:, None], nxt_d, p_d)
+    new_w = jnp.where(has_child, nxt_w, p_w)
+    new_dep = jnp.where(has_child, cur_dep - 1, p_dep)
+    new_act = has_child | can_pop
+    any_act = jnp.any(new_act)
+    return color, (new_o, new_d, new_w, new_dep, new_act), \
+        stack, top, any_act
 
 
 def render_whitted(
@@ -294,15 +305,18 @@ def render_whitted(
 
 
 def _indirect_diffuse(scene, o, d, key, indirect_samples, trace_fn,
-                      ray_chunk):
+                      ray_chunk, hit=None):
     """Reference render_old's 10-sample hemisphere indirect-diffuse term
     at the primary hit (src/render_old.py:186-194, incl. the 0.1 factor),
     parameterized over the secondary tracer so the unrolled and queue
-    paths share it."""
+    paths share it.  ``hit``: optional precomputed primary-hit record —
+    the callers already intersect the same rays, so passing it avoids a
+    redundant full-scene sweep."""
     from light_transport_tpu.scene.analytic import surface_attrs
 
     n = o.shape[0]
-    hit = _hit(scene, o, d, ray_chunk)
+    if hit is None:
+        hit = _hit(scene, o, d, ray_chunk)
     hp = o + d * hit.t[:, None]
     n_geo, mat_id, _ = surface_attrs(scene, hit, hp)
     n_s = jnp.where((lm.dot(n_geo, d) > 0)[:, None], -n_geo, n_geo)
@@ -334,15 +348,18 @@ def _render_whitted_unrolled(
     cfg1 = dataclasses.replace(cfg, spp=1)
     u_aa = jnp.zeros((n, 2), scene.camera.dtype)
     o, d = camera_rays(scene, cfg1, u_aa)
-    color = trace_whitted(scene, o, d, cfg.max_depth, ray_chunk)
+    hit0 = _hit(scene, o, d, ray_chunk)
+    color = trace_whitted(scene, o, d, cfg.max_depth, ray_chunk, hit=hit0)
 
-    if indirect_samples > 0:
+    # the reference adds the hemisphere term only when depth > 0
+    # (src/render_old.py:186 'if depth > 0')
+    if indirect_samples > 0 and cfg.max_depth > 0:
         color = color + _indirect_diffuse(
             scene, o, d, key, indirect_samples,
             lambda oo, dd: trace_whitted(scene, oo, dd,
-                                         max(cfg.max_depth - 1, 0),
+                                         cfg.max_depth - 1,
                                          ray_chunk),
-            ray_chunk)
+            ray_chunk, hit=hit0)
 
     img = jnp.clip(color.reshape(cfg.height, cfg.width, 3), 0.0, 1.0)
     return img

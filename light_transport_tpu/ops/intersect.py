@@ -333,7 +333,12 @@ def aabb_intersect(origins, directions, box_min, box_max, t_max=jnp.inf):
 
     Returns (hit mask, t_near, t_far).
     """
-    inv_d = 1.0 / directions  # IEEE inf for zero components is correct here
+    # guard zero components: plain 1/0 = inf breaks when an origin
+    # coordinate sits exactly on a slab plane (0 * inf = NaN propagates
+    # through min/max and reports a false miss on axis-parallel rays)
+    inv_d = 1.0 / jnp.where(jnp.abs(directions) < 1e-20,
+                            jnp.where(directions < 0, -1e-20, 1e-20),
+                            directions)
     t1 = (jnp.asarray(box_min) - origins) * inv_d
     t2 = (jnp.asarray(box_max) - origins) * inv_d
     t_near = jnp.max(jnp.minimum(t1, t2), axis=-1)

@@ -79,7 +79,13 @@ def _kernel(mask_ref, feat_ref, w_ref, tminmax_ref, best_t_ref,
     # The mask is flattened to 1D: a 2D (tiles, C) SMEM array pads every
     # row to 128 lanes (512 B), which blows the 1 MB SMEM budget for
     # many-ray-tile few-cluster scenes.
-    @pl.when(mask_ref[i * n_clusters + j] != 0)
+    work = mask_ref[i * n_clusters + j] != 0
+    if any_hit:
+        # occlusion early-out: once every lane in the ray tile has a hit,
+        # the remaining cluster steps have nothing left to decide
+        work = work & jnp.any(best_col_ref[:] < 0)
+
+    @pl.when(work)
     def _():
         feats = feat_ref[:]  # (R, 16)
         w = w_ref[0]  # (16, 4*tri_tile)
@@ -256,8 +262,14 @@ def cluster_bounds(mesh: TriangleMesh):
     if t_pad != t:
         lo = jnp.concatenate([lo, jnp.tile(lo[-1:], (t_pad - t, 1))])
         hi = jnp.concatenate([hi, jnp.tile(hi[-1:], (t_pad - t, 1))])
-    c_lo = lo.reshape(-1, TRI_TILE, 3).min(axis=1) - 1e-5
-    c_hi = hi.reshape(-1, TRI_TILE, 3).max(axis=1) + 1e-5
+    # scale-relative pad: the f32 slab test in _tile_cluster_mask has
+    # coordinate-proportional rounding error, so an absolute 1e-5 pad
+    # under-covers scenes with coordinates >> 1 (a grazing ray-tile could
+    # be wrongly culled, a silhouette hole brute force would not have)
+    eps = 1e-5 * jnp.maximum(
+        1.0, jnp.maximum(jnp.abs(lo).max(), jnp.abs(hi).max()))
+    c_lo = lo.reshape(-1, TRI_TILE, 3).min(axis=1) - eps
+    c_hi = hi.reshape(-1, TRI_TILE, 3).max(axis=1) + eps
     return c_lo, c_hi
 
 

@@ -1,8 +1,10 @@
 """Coherence sorting for ray batches.
 
 The cluster-culled Pallas intersector (ops/pallas/intersect_kernel.py) culls
-at (ray tile x triangle cluster) granularity: a tile of 256 rays pays for
-the union of its rays' cluster footprints.  Camera rays arrive coherent and
+at (ray tile x triangle cluster) granularity: a tile of RAY_TILE=128 rays
+pays for the union of its rays' cluster footprints (cluster counts below
+were measured at the original 256-ray tiles).  Camera rays arrive coherent
+and
 cull to ~2 of 241 clusters/tile on the 123k-tri soft-shadow scene; bounce
 and shadow rays arrive in lane order (= pixel order after one scatter) and
 activate ~185/241, a ~10x compute blowup measured on TPU v5e.
@@ -85,5 +87,9 @@ def sorted_apply(fn, mesh, origins, directions, *per_ray, inactive=None):
         ray_sort_key(origins, directions, lo, hi, inactive=inactive))
     out = fn(origins[perm], directions[perm],
              *(a[perm] for a in per_ray))
-    inv = jnp.argsort(perm)
+    # invert the permutation with one O(n) scatter instead of a second
+    # O(n log n) argsort (the first one already costs ~34 ms at 1.6M lanes)
+    n = perm.shape[0]
+    inv = jnp.zeros((n,), perm.dtype).at[perm].set(
+        jnp.arange(n, dtype=perm.dtype))
     return jax.tree.map(lambda x: x[inv], out)

@@ -127,3 +127,39 @@ def test_indirect_samples_applied_on_deep_queue_path():
     d_unrl = (w4 - b4).mean()
     assert d_deep > 0 and d_unrl > 0
     assert abs(d_deep - d_unrl) < 0.5 * max(d_deep, d_unrl)
+
+
+def test_whitted_queue_full_tree_glass_depth5():
+    """advisor r3: the queue's default iteration cap (2^depth + 1) was
+    below the worst-case significant-node count 2^(depth+1) - 1, silently
+    dropping un-popped subtrees on glass-heavy scenes where every branch
+    weight stays above the cutoff (at depth 4: old cap 17 < 31 worst-case
+    nodes).  The glass scene exercises a
+    dense reflect/refract tree; queue and unrolled must now agree up to the
+    cutoff-bounded subtree drops."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from light_transport_tpu.integrators.path_tracer import camera_rays
+    from light_transport_tpu.integrators.whitted import (
+        trace_whitted,
+        trace_whitted_queue,
+    )
+    from light_transport_tpu.models.presets import glass_scene
+
+    scene, cfg = glass_scene(width=12, height=12, spp=1, max_depth=4)
+    n = cfg.height * cfg.width
+    cfg1 = dataclasses.replace(cfg, spp=1)
+    u_aa = jax.random.uniform(jax.random.key(9), (n, 2))
+    o, d = camera_rays(scene, cfg1, u_aa)
+    unrolled = np.asarray(jax.jit(
+        lambda o, d: trace_whitted(scene, o, d, 4))(o, d))
+    queued = np.asarray(trace_whitted_queue(scene, o, d, 4))
+    np.testing.assert_allclose(queued, unrolled, atol=2e-2)
+    # tight cutoff shrinks the gap (proves the residual is the documented
+    # sub-cutoff subtree drop, not lost stack entries)
+    queued_tight = np.asarray(
+        trace_whitted_queue(scene, o, d, 4, weight_cutoff=1e-5))
+    err = np.abs(queued_tight - unrolled).max()
+    assert err < 5e-3, err
