@@ -34,9 +34,8 @@ U_PICK = 4  # light triangle pick
 U_RR = 5  # Russian roulette
 U_MED = 6  # interior-medium free-flight distance (U_BSDF0/1 are reused for
 # the HG scattering cosine / azimuth on in-scatter events — the surface
-# BSDF is not consumed on those lanes)
-U_AA0 = 0  # anti-alias jitter reuses bounce-0 BSDF slots pre-trace? no —
-# AA jitter gets its own draw at camera-ray generation time.
+# BSDF is not consumed on those lanes).  AA jitter is NOT a slot here: it
+# gets its own draw at camera-ray generation time (path_tracer._camera_lanes)
 NUM_U = 7
 
 

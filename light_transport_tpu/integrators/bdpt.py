@@ -30,10 +30,10 @@ Scope notes (documented):
   vertex is specular are excluded from the light-side strategies
   (PT-unreachable transport; raise max_depth to include it);
 - subpath walks do not Russian-roulette (depth is statically bounded);
-- emitted radiance is ``emission * light diffuse color`` on both subpath
-  ends for internal consistency (the reference mixes ``emission`` scalar at
-  hits with ``emission * diffuse`` for NEE, src/path_tracing.py:60 vs
-  src/light_samples.py:55).
+- emitted radiance is ``Material.emission * emission_color`` on both
+  subpath ends, the same value NEE and the path tracer read (the reference
+  mixes an ``emission`` scalar at hits with ``emission * diffuse`` for
+  NEE, src/path_tracing.py:60 vs src/light_samples.py:55).
 """
 
 from __future__ import annotations
@@ -142,7 +142,7 @@ def random_walk(
         is_delta = (bsdf == BSDF_MIRROR) | (bsdf == BSDF_TRANSMISSIVE)
         is_diffuse = bsdf == BSDF_DIFFUSE
         is_light = hit_is_light & ok
-        emit = (mats.emission[mat_id][:, None] * mats.diffuse[mat_id])
+        emit = mats.emission_rgb[mat_id]
 
         pdf_fwd = _to_area(pdf_dir, o, hp, ns)
 

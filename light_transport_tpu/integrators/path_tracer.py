@@ -34,6 +34,7 @@ Documented deviations (all deliberate, SURVEY.md §7 hard-part 5):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -136,7 +137,6 @@ def _bounce(
     # (src/path_tracing.py:62-65)
     n_s = jnp.where(inside[:, None], -n_geo, n_geo)
 
-    emission = mats.emission[mat_id]
     bsdf = mats.bsdf[mat_id]
     diffuse_rgb = mats.diffuse[mat_id]
     ior = mats.ior[mat_id]
@@ -182,8 +182,13 @@ def _bounce(
     else:
         add_emit = hit_ok & is_light
     add_emit = add_emit & ~scatter_evt
+    # emitted radiance = emission * emission_color — the SAME value the
+    # NEE side reads (scene/lights.py LightTable.radiance); the reference
+    # scores the bare scalar at hits but a diffuse-tinted product through
+    # NEE (src/path_tracing.py:60 vs src/light_samples.py:55), splitting
+    # one light into two radiances (README §Deviations)
     radiance = state.radiance + jnp.where(
-        add_emit[:, None], emission[:, None] * tp_arr, 0.0
+        add_emit[:, None], mats.emission_rgb[mat_id] * tp_arr, 0.0
     )
 
     # --- diffuse branch: NEE + cosine bounce -------------------------------
@@ -317,8 +322,12 @@ def _bounce(
     )
 
     # --- Russian roulette (src/path_tracing.py:147-155) --------------------
+    # Deviation: survival keys on luminance, not the reference's green
+    # channel (`1-throughput[1]`, :149) — green-keying kills red/blue-only
+    # paths with probability 1 and no compensation, erasing their energy
+    # (e.g. all red inter-reflection past rr_start in the Cornell box)
     rr_active = alive & (bounce > cfg.rr_start)
-    r_r = jnp.maximum(cfg.rr_floor, 1.0 - new_tp[:, 1])
+    r_r = jnp.maximum(cfg.rr_floor, 1.0 - lm.luminance(new_tp))
     rr_kill = rr_active & (u[:, rng.U_RR] < r_r)
     rr_scale = jnp.where(rr_active & ~rr_kill, 1.0 / (1.0 - r_r), 1.0)
     new_tp = new_tp * rr_scale[:, None]
@@ -464,46 +473,6 @@ def trace_paths_split(
     nodes = sum(math.comb(depth, k) for k in range(min(S, depth) + 1))
     iters = max_iters or 2 * nodes + 1
 
-    from light_transport_tpu.ops import lanestack
-
-    @jax.jit
-    def step(state, bounce_v, stack, top):
-        u = jnp.take_along_axis(
-            uniforms, jnp.clip(bounce_v, 0, depth - 1)[:, None, None], axis=1
-        )[:, 0, :]
-        # a deferred branch starting at bounce_v+1 >= depth would be dead on
-        # arrival — don't split there (the depth cutoff, as in the reference
-        # recursion's depth guard)
-        split_ok = (top < S) & (bounce_v + 1 < depth)
-        new_state, _, defer = _bounce(scene, cfg, state, u, bounce_v,
-                                      ray_chunk, split_ok=split_ok)
-        d_mask, d_o, d_d, d_tp = defer
-        stack, top = lanestack.push(stack, top, d_mask,
-                                    (d_o, d_d, d_tp, bounce_v + 1), S)
-
-        new_bounce = bounce_v + 1
-        alive = new_state.alive & (new_bounce < depth)
-
-        # dead lanes resume their most recent deferred branch
-        can_pop = ~alive & (top > 0)
-        p_o, p_d, p_tp, p_b = lanestack.peek(stack, top, S)
-        top = top - can_pop.astype(jnp.int32)
-
-        res_state = PathState(
-            origin=jnp.where(can_pop[:, None], p_o, new_state.origin),
-            direction=jnp.where(can_pop[:, None], p_d, new_state.direction),
-            throughput=jnp.where(can_pop[:, None], p_tp,
-                                 new_state.throughput),
-            radiance=new_state.radiance,
-            alive=alive | can_pop,
-            # a popped branch leaves a specular (transmissive) vertex:
-            # emission on its next hit was unreachable by NEE
-            emit_ok=jnp.where(can_pop, True, new_state.emit_ok),
-        )
-        res_bounce = jnp.where(can_pop, p_b, new_bounce)
-        return res_state, res_bounce, stack, top, \
-            jnp.any(res_state.alive)
-
     state = PathState(
         origin=origins,
         direction=directions,
@@ -519,12 +488,60 @@ def trace_paths_split(
         (origins, directions, jnp.zeros((n, 3), dtype), bounce_v), S)
     top = jnp.zeros((n,), jnp.int32)
     for _ in range(iters):
-        state, bounce_v, stack, top, any_alive = step(
-            state, bounce_v, stack, top
+        state, bounce_v, stack, top, any_alive = _split_step(
+            scene, cfg, uniforms, state, bounce_v, stack, top, ray_chunk, S
         )
         if not bool(any_alive):
             break
     return state.radiance
+
+
+@partial(jax.jit, static_argnums=(1, 7, 8))
+def _split_step(scene, cfg, uniforms, state, bounce_v, stack, top,
+                ray_chunk, S):
+    """One split-tracer superstep (module-level jit: repeated renders reuse
+    the compiled executable, and the uniform tensor arrives as a traced
+    argument instead of being baked into the executable as a constant —
+    a per-call closure used to recompile every render and embed the full
+    (N, depth, NUM_U) array)."""
+    from light_transport_tpu.ops import lanestack
+
+    depth = cfg.max_depth
+    u = jnp.take_along_axis(
+        uniforms, jnp.clip(bounce_v, 0, depth - 1)[:, None, None], axis=1
+    )[:, 0, :]
+    # a deferred branch starting at bounce_v+1 >= depth would be dead on
+    # arrival — don't split there (the depth cutoff, as in the reference
+    # recursion's depth guard)
+    split_ok = (top < S) & (bounce_v + 1 < depth)
+    new_state, _, defer = _bounce(scene, cfg, state, u, bounce_v,
+                                  ray_chunk, split_ok=split_ok)
+    d_mask, d_o, d_d, d_tp = defer
+    stack, top = lanestack.push(stack, top, d_mask,
+                                (d_o, d_d, d_tp, bounce_v + 1), S)
+
+    new_bounce = bounce_v + 1
+    alive = new_state.alive & (new_bounce < depth)
+
+    # dead lanes resume their most recent deferred branch
+    can_pop = ~alive & (top > 0)
+    p_o, p_d, p_tp, p_b = lanestack.peek(stack, top, S)
+    top = top - can_pop.astype(jnp.int32)
+
+    res_state = PathState(
+        origin=jnp.where(can_pop[:, None], p_o, new_state.origin),
+        direction=jnp.where(can_pop[:, None], p_d, new_state.direction),
+        throughput=jnp.where(can_pop[:, None], p_tp,
+                             new_state.throughput),
+        radiance=new_state.radiance,
+        alive=alive | can_pop,
+        # a popped branch leaves a specular (transmissive) vertex:
+        # emission on its next hit was unreachable by NEE
+        emit_ok=jnp.where(can_pop, True, new_state.emit_ok),
+    )
+    res_bounce = jnp.where(can_pop, p_b, new_bounce)
+    return res_state, res_bounce, stack, top, \
+        jnp.any(res_state.alive)
 
 
 def render_image_split(
@@ -536,17 +553,32 @@ def render_image_split(
     """Render with ``fresnel_mode="split"`` (host-driven; see
     :func:`trace_paths_split`).  Same image contract as
     :func:`render_image`."""
+    origins, directions, uniforms = _camera_lanes(scene, cfg, key)
+    radiance = trace_paths_split(scene, cfg, origins, directions, uniforms,
+                                 ray_chunk=ray_chunk)
+    return _to_image(radiance, cfg)[0]
+
+
+def _camera_lanes(scene: Scene, cfg: RenderConfig, key: jax.Array):
+    """AA-jittered camera-ray lanes + path uniforms — the shared render
+    preamble, so the lane layout and key-split convention live in exactly
+    one place (render_image / render_with_detectors / render_image_split
+    used to carry three drifting copies)."""
     n = cfg.height * cfg.width * cfg.spp
     k_aa, k_u = jax.random.split(key)
     u_aa = jax.random.uniform(k_aa, (n, 2), dtype=scene.camera.dtype)
     uniforms = rng.path_uniforms(k_u, n, cfg.max_depth,
                                  dtype=scene.camera.dtype)
     origins, directions = camera_rays(scene, cfg, u_aa)
-    radiance = trace_paths_split(scene, cfg, origins, directions, uniforms,
-                                 ray_chunk=ray_chunk)
-    samples = radiance.reshape(cfg.spp, cfg.height, cfg.width, 3)
-    samples = jnp.moveaxis(samples, 0, 2)
-    return jnp.clip(jnp.mean(samples, axis=2), 0.0, 1.0)
+    return origins, directions, uniforms
+
+
+def _to_image(radiance: jnp.ndarray, cfg: RenderConfig):
+    """(N, 3) s-major lane radiance -> ((H, W, 3) clipped image,
+    (H, W, spp, 3) raw samples)."""
+    samples = jnp.moveaxis(
+        radiance.reshape(cfg.spp, cfg.height, cfg.width, 3), 0, 2)
+    return jnp.clip(jnp.mean(samples, axis=2), 0.0, 1.0), samples
 
 
 def camera_rays(scene: Scene, cfg: RenderConfig, u_aa: jnp.ndarray):
@@ -577,9 +609,6 @@ def camera_rays(scene: Scene, cfg: RenderConfig, u_aa: jnp.ndarray):
     return origin, direction
 
 
-from functools import partial
-
-
 @partial(jax.jit, static_argnums=(1, 3, 4))
 def render_image(
     scene: Scene,
@@ -594,17 +623,11 @@ def render_image(
 
     jitted end-to-end (cfg static) — one device dispatch per render.
     """
-    n = cfg.height * cfg.width * cfg.spp
-    k_aa, k_u = jax.random.split(key)
-    u_aa = jax.random.uniform(k_aa, (n, 2), dtype=scene.camera.dtype)
-    uniforms = rng.path_uniforms(k_u, n, cfg.max_depth, dtype=scene.camera.dtype)
-    origins, directions = camera_rays(scene, cfg, u_aa)
+    origins, directions, uniforms = _camera_lanes(scene, cfg, key)
     radiance, _ = trace_paths(
         scene, cfg, origins, directions, uniforms, ray_chunk=ray_chunk
     )
-    samples = radiance.reshape(cfg.spp, cfg.height, cfg.width, 3)
-    samples = jnp.moveaxis(samples, 0, 2)  # (H, W, spp, 3)
-    image = jnp.clip(jnp.mean(samples, axis=2), 0.0, 1.0)
+    image, samples = _to_image(radiance, cfg)
     if return_samples:
         return image, samples
     return image
@@ -619,20 +642,18 @@ def render_with_detectors(
 ):
     """Render + per-surface detectors (BASELINE config 4): returns
     ``(image, energy (T,), hits (T,))`` where energy/hits accumulate the
-    incident path power / hit count on every triangle."""
-    n = cfg.height * cfg.width * cfg.spp
-    k_aa, k_u = jax.random.split(key)
-    u_aa = jax.random.uniform(k_aa, (n, 2), dtype=scene.camera.dtype)
-    uniforms = rng.path_uniforms(k_u, n, cfg.max_depth, dtype=scene.camera.dtype)
-    origins, directions = camera_rays(scene, cfg, u_aa)
+    incident path power / hit count on every triangle.
+
+    Always uses the stochastic tracer: detectors need the TraceRecord,
+    which ``fresnel_mode="split"`` deliberately does not produce
+    (trace_paths_split docstring) — a split config is still rendered,
+    just with the one-branch estimator."""
+    origins, directions, uniforms = _camera_lanes(scene, cfg, key)
     radiance, record = trace_paths(
         scene, cfg, origins, directions, uniforms, ray_chunk=ray_chunk
     )
     energy, hits = surface_detector_tally(record, scene.mesh.num_triangles)
-    samples = jnp.moveaxis(
-        radiance.reshape(cfg.spp, cfg.height, cfg.width, 3), 0, 2
-    )
-    image = jnp.clip(jnp.mean(samples, axis=2), 0.0, 1.0)
+    image, _ = _to_image(radiance, cfg)
     return image, energy, hits
 
 
@@ -650,9 +671,12 @@ def render_progressive(
     pass uses a folded key, so re-running with more passes only adds
     samples.  Returns the running average image.
     """
+    # honor cfg.fresnel_mode the same way api.render does
+    render_one = (render_image_split if cfg.fresnel_mode == "split"
+                  else render_image)
     acc = None
     for p in range(n_passes):
-        img = render_image(scene, cfg, jax.random.fold_in(key, p),
-                           ray_chunk=ray_chunk)
+        img = render_one(scene, cfg, jax.random.fold_in(key, p),
+                         ray_chunk=ray_chunk)
         acc = img if acc is None else acc + img
     return acc / n_passes

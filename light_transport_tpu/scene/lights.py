@@ -35,7 +35,8 @@ class LightTable:
     e2: np.ndarray  # (L, 3)
     normal: np.ndarray  # (L, 3)
     area: np.ndarray  # (L,)
-    radiance: np.ndarray  # (L, 3) = emission * diffuse color of the light mat
+    radiance: np.ndarray  # (L, 3) = emission * emission_color of the light
+    # mat (one radiance for NEE and hit scoring — see Material.emission_color)
     cdf: np.ndarray  # (L,) area-weighted pick CDF (inclusive upper edges)
     total_area: np.ndarray  # () scalar
     mat_id: np.ndarray  # (L,) int32 material row of each light triangle
@@ -62,9 +63,7 @@ class LightTable:
         e2 = h_e2.astype(np.float64)[idx]
         area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
         mat = h_mat[idx]
-        emission = host_get(materials.emission).astype(np.float64)[mat]
-        diffuse = host_get(materials.diffuse).astype(np.float64)[mat]
-        radiance = emission[:, None] * diffuse
+        radiance = host_get(materials.emission_rgb).astype(np.float64)[mat]
         cdf = np.cumsum(area) / area.sum()
         return LightTable(
             v0=jnp.asarray(h_v0[idx].astype(dtype)),

@@ -51,6 +51,14 @@ class Material:
     reflection: float = 0.0
     ior: float = 1.0
     emission: float = 0.0
+    # emitted-radiance tint: L_e = emission * emission_color.  A separate
+    # spectrum from the reflectance ``color.diffuse`` — the reference ties
+    # NEE radiance to the diffuse color (src/light_samples.py:55) but
+    # scores the bare scalar at hits (src/path_tracing.py:60), splitting
+    # one light into two radiances; here both estimators read this product
+    # (README §Deviations), and emissive-but-non-reflective lights (black
+    # diffuse) keep emitting.
+    emission_color: tuple = (1.0, 1.0, 1.0)
     transmission: float = 0.0
     is_diffuse: bool = True
     is_mirror: bool = False
@@ -86,6 +94,7 @@ class MaterialTable:
     reflection: np.ndarray  # (M,)
     ior: np.ndarray  # (M,)
     emission: np.ndarray  # (M,)
+    emission_rgb: np.ndarray  # (M, 3) emitted radiance = emission * tint
     transmission: np.ndarray  # (M,)
     bsdf: np.ndarray  # (M,) int32 BSDF code
     sigma_a: np.ndarray  # (M, 3) interior RGB absorption coefficient
@@ -107,6 +116,8 @@ class MaterialTable:
             reflection=arr(lambda m: m.reflection),
             ior=arr(lambda m: m.ior),
             emission=arr(lambda m: m.emission),
+            emission_rgb=arr(
+                lambda m: tuple(m.emission * c for c in m.emission_color)),
             transmission=arr(lambda m: m.transmission),
             bsdf=jnp.asarray([m.bsdf for m in materials], dtype=jnp.int32),
             sigma_a=arr(lambda m: m.sigma_a),

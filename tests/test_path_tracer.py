@@ -302,3 +302,91 @@ def test_fresnel_split_render_cornell_parity():
     img_s = np.asarray(lt.render(scene, cfg_s, seed=0))
     assert np.all(np.isfinite(img_s)) and img_s.max() > 0.1
     assert abs(img.mean() - img_s.mean()) < 0.02, (img.mean(), img_s.mean())
+
+
+def test_rr_preserves_single_channel_energy():
+    """advisor r3 (README deviation 14): Russian roulette keyed on the
+    green channel (the reference's `1-throughput[1]`) killed red-only
+    paths with probability 1 and no compensation, so all red
+    inter-reflection past rr_start vanished.  In a closed all-red box the
+    only deep transport is red: deeper renders must keep adding energy
+    past the RR onset instead of flat-lining at the bounce-(rr_start+1)
+    image."""
+    import dataclasses
+
+    half = 1.0
+    quads = [
+        quad_triangles((-half, -half, -half), (-half, -half, half),
+                       (half, -half, half), (half, -half, -half)),   # floor
+        quad_triangles((-half, half, -half), (half, half, -half),
+                       (half, half, half), (-half, half, half)),     # ceil
+        quad_triangles((-half, -half, -half), (-half, half, -half),
+                       (-half, half, half), (-half, -half, half)),   # left
+        quad_triangles((half, -half, -half), (half, -half, half),
+                       (half, half, half), (half, half, -half)),     # right
+        quad_triangles((-half, -half, -half), (half, -half, -half),
+                       (half, half, -half), (-half, half, -half)),   # back
+    ]
+    s = 0.3
+    lq = quad_triangles((-s, half - 1e-3, -s), (s, half - 1e-3, -s),
+                        (s, half - 1e-3, s), (-s, half - 1e-3, s))
+    red = Material(color=presets.RED)   # diffuse (0.7, 0, 0)
+    src = Material(color=presets.WHITE, emission=8.0)
+    mesh = TriangleMesh.build(
+        np.concatenate(quads + [lq]),
+        np.asarray([0] * 10 + [1, 1], np.int32),
+        np.asarray([False] * 10 + [True, True]),
+    )
+    scene = Scene.build(mesh, MaterialTable.build([red, src]),
+                        camera=[0.0, 0.0, half - 0.05])
+    cfg = RenderConfig(width=12, height=12, spp=16, max_depth=5,
+                       f_distance=0.5)
+    shallow = float(np.asarray(
+        render_image(scene, cfg, jax.random.key(0)))[..., 0].mean())
+    deep_cfg = dataclasses.replace(cfg, max_depth=10)
+    deep = float(np.asarray(
+        render_image(scene, deep_cfg, jax.random.key(0)))[..., 0].mean())
+    # bounces 5-9 run under RR (rr_start=3); green-keyed RR killed every
+    # red path there, making deep == shallow up to the bounce-5 RR noise
+    assert deep > shallow * 1.02, (shallow, deep)
+
+
+def test_emission_color_consistent_across_estimators():
+    """README deviation 15: one light radiance (emission * emission_color)
+    for both the hit-scored and the NEE estimator.  A cyan-tinted emitter
+    must produce the same hue through a camera-direct view (emission at
+    hit) as through NEE on the floor; the reference convention gave the
+    direct view an untinted (white) light."""
+    tint = (0.2, 1.0, 1.0)
+    scene = single_emitter_scene(emission=10.0)
+    # rebuild with a tinted emitter
+    mats = MaterialTable.build([
+        Material(color=presets.WHITE_2),
+        Material(color=presets.WHITE, emission=10.0, emission_color=tint),
+    ])
+    scene = scene.replace(materials=mats)
+    from light_transport_tpu.scene.lights import LightTable
+
+    scene = scene.replace(lights=LightTable.build(scene.mesh, mats))
+    n = 256
+    cfg = RenderConfig(width=1, height=1, spp=1, max_depth=2,
+                       emission_mode="always")
+    # camera-direct: rays straight up into the emitter
+    o_up = jnp.tile(jnp.asarray([[0.0, 0.5, 0.0]], jnp.float32), (n, 1))
+    d_up = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32), (n, 1))
+    u = rng.path_uniforms(jax.random.key(1), n, cfg.max_depth)
+    rad_hit, _ = trace_paths(scene, cfg, o_up, d_up, u)
+    hit = np.asarray(rad_hit).mean(axis=0)
+    # NEE-lit: rays down at the floor (bounce-0 direct term dominates)
+    o_dn = jnp.tile(jnp.asarray([[0.0, 0.5, 0.0]], jnp.float32), (n, 1))
+    d_dn = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32), (n, 1))
+    cfg1 = RenderConfig(width=1, height=1, spp=1, max_depth=1)
+    rad_nee, _ = trace_paths(scene, cfg1, o_dn, d_dn, u[:, :1])
+    nee = np.asarray(rad_nee).mean(axis=0)
+    # both spectra must be proportional to the tint (hue equality)
+    np.testing.assert_allclose(hit / hit[1], np.asarray(tint) / tint[1],
+                               rtol=1e-4)
+    # floor reflectance WHITE_2 is grey (uniform), so the NEE spectrum is
+    # tint * grey — same hue
+    np.testing.assert_allclose(nee / nee[1], np.asarray(tint) / tint[1],
+                               rtol=1e-3)
