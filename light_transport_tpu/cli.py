@@ -56,8 +56,19 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     if args.cmd == "bench":
-        import bench  # repo-root bench.py
+        # repo-root bench.py is not a package module: resolve it relative
+        # to this file so `python -m light_transport_tpu.cli bench` works
+        # from any cwd (plain `import bench` only resolves with the repo
+        # root on sys.path)
+        import importlib.util
+        import os
 
+        bench_py = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench.py")
+        spec = importlib.util.spec_from_file_location("bench", bench_py)
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
         bench.main()
         return 0
 
@@ -75,6 +86,10 @@ def main(argv=None):
         }
         if overrides:
             cfg = dataclasses.replace(cfg, **overrides)
+        if args.sharded and args.integrator != "path":
+            parser.error(
+                f"--sharded renders with the path tracer only "
+                f"(got --integrator {args.integrator})")
         t0 = time.time()
         if args.integrator == "cv":
             from light_transport_tpu.integrators.control_variates import render_cv
@@ -97,14 +112,17 @@ def main(argv=None):
         print(f"rendered {img.shape[1]}x{img.shape[0]} in {dt:.2f}s "
               f"(integrator={args.integrator}, spp={cfg.spp}, "
               f"depth={cfg.max_depth})")
-        _save_png(args.out, img)
-        print(f"wrote {args.out}")
+        written = _save_png(args.out, img)
+        print(f"wrote {written}")
         return 0
 
     if args.cmd == "simulate":
         medium, cfg = P.PRESETS[args.preset]()
         if args.photons:
             cfg = dataclasses.replace(cfg, n_photons=args.photons)
+        if args.checkpoint and args.sharded:
+            parser.error("--checkpoint and --sharded are mutually "
+                         "exclusive (resumable runs are single-device)")
         t0 = time.time()
         if args.checkpoint:
             from light_transport_tpu.utils.checkpoint import simulate_resumable
@@ -138,6 +156,8 @@ def main(argv=None):
 
 
 def _save_png(path, img):
+    """Write the image; returns the path actually written (the numpy
+    fallback writes ``path + '.npy'`` when matplotlib is unavailable)."""
     import numpy as np
 
     try:
@@ -147,8 +167,10 @@ def _save_png(path, img):
         import matplotlib.pyplot as plt
 
         plt.imsave(path, np.clip(np.asarray(img), 0, 1))
+        return path
     except Exception:
         np.save(path + ".npy", np.asarray(img))
+        return path + ".npy"
 
 
 if __name__ == "__main__":

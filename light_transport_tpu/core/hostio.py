@@ -15,13 +15,18 @@ import numpy as np
 
 
 def host_get(x, retries: int = 5, delay: float = 2.0) -> np.ndarray:
-    """np.asarray(x) with retries on transient backend errors."""
-    last = None
-    for attempt in range(retries):
+    """np.asarray(x) with retries on transient backend errors.
+
+    Only runtime/transport errors are retried — a genuine programming
+    error (TypeError, ValueError from a non-array argument) surfaces
+    immediately instead of after the full retry ladder."""
+    from jax.errors import JaxRuntimeError
+
+    attempts = max(int(retries), 1)
+    for attempt in range(attempts):
         try:
             return np.asarray(x)
-        except Exception as e:  # jax.errors.JaxRuntimeError and friends
-            last = e
-            if attempt + 1 < retries:
-                time.sleep(delay * (attempt + 1))
-    raise last
+        except (JaxRuntimeError, RuntimeError, OSError):
+            if attempt + 1 >= attempts:
+                raise
+            time.sleep(delay * (attempt + 1))

@@ -5,7 +5,9 @@ progressive image accumulation across repeated render calls
 (src/path_tracing_fix1.py:166).  Here the complete checkpoint of a photon
 run is tiny and exact (SURVEY.md §5): the tally arrays + the RNG seed + the
 superstep/batch counters.  Snapshots are plain ``.npz`` files (orbax is
-overkill for a dict of small arrays and keeps us dependency-light).
+overkill for a dict of small arrays and keeps us dependency-light), written
+atomically (tmp file + ``os.replace``) so a crash mid-save never corrupts
+the previous snapshot.
 """
 
 from __future__ import annotations
@@ -18,26 +20,34 @@ import jax
 import numpy as np
 
 from light_transport_tpu.core.config import PhotonRunConfig
+from light_transport_tpu.core.hostio import host_get
 from light_transport_tpu.tally.tallies import PhotonTallies
+
+
+def _norm(path: str) -> str:
+    """np.savez appends '.npz' to suffix-less paths; normalize up front so
+    save, load, and the resume existence check all agree on one filename."""
+    return path if path.endswith(".npz") else path + ".npz"
 
 
 def save_tallies(path: str, tallies: PhotonTallies, seed: int,
                  batches_done: int) -> None:
+    path = _norm(path)
+    # one retried device->host fetch per field (the tunneled backend fails
+    # transfers transiently — core/hostio), staged once and reused
     arrays = {
-        f: np.asarray(getattr(tallies, f.name))
+        f.name: host_get(getattr(tallies, f.name))
         for f in dataclasses.fields(tallies)
     }
-    np.savez(
-        path,
-        seed=np.asarray(seed),
-        batches_done=np.asarray(batches_done),
-        **{f.name: np.asarray(getattr(tallies, f.name))
-           for f in dataclasses.fields(tallies)},
-    )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, seed=np.asarray(seed),
+                 batches_done=np.asarray(batches_done), **arrays)
+    os.replace(tmp, path)  # atomic: a crash mid-save leaves the old file
 
 
 def load_tallies(path: str) -> Tuple[PhotonTallies, int, int]:
-    with np.load(path) as z:
+    with np.load(_norm(path)) as z:
         import jax.numpy as jnp
 
         tallies = PhotonTallies(
@@ -51,8 +61,13 @@ def load_tallies(path: str) -> Tuple[PhotonTallies, int, int]:
 
 def accumulate(a: PhotonTallies, b: PhotonTallies) -> PhotonTallies:
     """Merge two tally partials (progressive refinement across runs —
-    the TPU-native form of fix1's ``image += 0.25*color`` accumulation)."""
-    return jax.tree.map(lambda x, y: x + y, a, b)
+    the TPU-native form of fix1's ``image += 0.25*color`` accumulation).
+
+    Uses the counter-aware ``PhotonTallies.merge``: the two-word exact
+    counters (launched, steps) need their lo-word carry normalized on
+    every merge — a plain elementwise add lets lo grow past 2^24 after
+    ~256 accumulations and silently rounds the photon count."""
+    return a.merge(b)
 
 
 def simulate_resumable(
@@ -75,7 +90,7 @@ def simulate_resumable(
     extra = cfg.n_photons - per_batch * n_batches
     start = 0
     total: Optional[PhotonTallies] = None
-    if os.path.exists(checkpoint_path):
+    if os.path.exists(_norm(checkpoint_path)):
         total, saved_seed, start = load_tallies(checkpoint_path)
         if saved_seed != seed:
             total, start = None, 0

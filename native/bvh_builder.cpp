@@ -64,8 +64,31 @@ struct Builder {
     return static_cast<int>(ncount.size()) - 1;
   }
 
-  int build(int64_t start, int64_t end) {
+  // Iterative DFS with an explicit work stack: recursion depth is O(tree
+  // depth), and adversarially unbalanced SAH splits (each split peeling a
+  // handful of prims) can make that O(T) — deep enough to overflow the C
+  // stack and segfault the host process.  Tasks carry the node whose
+  // `nright` must point at them; pushing right-then-left preserves the
+  // recursive version's exact emission order (left child = node + 1).
+  struct Task {
+    int64_t start, end;
+    int32_t fix_right;  // parent node whose nright = this task's node; -1 none
+  };
+
+  void build(int64_t root_start, int64_t root_end) {
+    std::vector<Task> work;
+    work.push_back({root_start, root_end, -1});
+    while (!work.empty()) {
+      const Task task = work.back();
+      work.pop_back();
+      build_node(task, work);
+    }
+  }
+
+  void build_node(const Task& task, std::vector<Task>& work) {
+    const int64_t start = task.start, end = task.end;
     const int node = emit();
+    if (task.fix_right >= 0) nright[task.fix_right] = node;
     const int64_t n = end - start;
     V3 b_lo = lo[order[start]];
     V3 b_hi = hi[order[start]];
@@ -88,7 +111,7 @@ struct Builder {
     if (n <= max_leaf) {
       nfirst[node] = static_cast<int32_t>(start);
       ncount[node] = static_cast<int32_t>(n);
-      return node;
+      return;
     }
     if (extent[ax] <= 1e-12) {
       // degenerate centroid cluster: median-split so no leaf exceeds
@@ -99,10 +122,10 @@ struct Builder {
                        });
       const int64_t mid = start + n / 2;
       naxis[node] = ax;
-      build(start, mid);
-      nright[node] = build(mid, end);
       ncount[node] = 0;
-      return node;
+      work.push_back({mid, end, node});
+      work.push_back({start, mid, -1});
+      return;
     }
 
     // binned SAH along ax
@@ -191,10 +214,9 @@ struct Builder {
     }
 
     naxis[node] = ax;
-    build(start, mid);  // left child = node + 1
-    nright[node] = build(mid, end);
     ncount[node] = 0;
-    return node;
+    work.push_back({mid, end, node});   // right child: fixes nright[node]
+    work.push_back({start, mid, -1});   // left child: emitted next = node+1
   }
 };
 

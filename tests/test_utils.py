@@ -105,3 +105,44 @@ def test_glass_geometry():
     np.testing.assert_allclose(r.max(), 7.0, atol=1e-6)
     assert v[..., 1].min() >= -0.5 - 1e-6
     assert v[..., 1].max() <= 12.5 + 1e-6
+
+
+def test_checkpoint_suffixless_path_resumes(tmp_path):
+    """advisor r3: np.savez appends '.npz' to suffix-less paths while the
+    resume existence check used the raw path, so `--checkpoint ckpt`
+    runs silently restarted from batch 0 every time.  Saves are also
+    atomic now (tmp + os.replace) — no stray tmp file remains."""
+    cfg = PhotonRunConfig(n_photons=2_000, nr=8, nz=8)
+    res = simulate_photons(medium(), cfg, jax.random.key(0), lanes=512)
+    p = str(tmp_path / "ckpt")  # no extension
+    save_tallies(p, res, seed=5, batches_done=2)
+    assert os.path.exists(p + ".npz")
+    assert not os.path.exists(p + ".npz.tmp")
+    loaded, seed, batches = load_tallies(p)  # raw path loads too
+    assert seed == 5 and batches == 2
+    # resumable run sees the checkpoint through the raw path: with
+    # batches_done == n_batches nothing re-runs and the result is the
+    # checkpointed tallies verbatim
+    out = simulate_resumable(medium(), cfg, seed=5, checkpoint_path=p,
+                             n_batches=2, lanes=512)
+    np.testing.assert_array_equal(np.asarray(out.absorb_rz),
+                                  np.asarray(loaded.absorb_rz))
+
+
+def test_accumulate_counters_exact_many_batches():
+    """advisor r3: accumulate() plain-added the two-word exact counters,
+    letting the lo word grow past 2^24 after ~256 merges and rounding the
+    photon count.  The counter-aware merge keeps it exact."""
+    import jax.numpy as jnp
+
+    from light_transport_tpu.tally.tallies import PhotonTallies
+
+    cfg = PhotonRunConfig(n_photons=0, nr=4, nz=4)
+    one = PhotonTallies.zeros(cfg)
+    # 60,000 launches per batch: 400 plain-added lo words would reach
+    # 2.4e7 > 2^24 and round
+    one = one.replace(launched=jnp.asarray([0.0, 60_000.0]))
+    total = PhotonTallies.zeros(cfg)
+    for _ in range(400):
+        total = accumulate(total, one)
+    assert total.n_launched == 400 * 60_000
