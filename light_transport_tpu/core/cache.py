@@ -14,9 +14,15 @@ from __future__ import annotations
 
 import os
 
+# Three dirnames up = the repo root for an in-tree checkout; for an
+# installed package that lands in site-packages' parent, which is usually
+# not writable — enable_compile_cache falls back to a per-user cache dir.
 DEFAULT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), ".jax_cache")
+USER_DIR = os.path.join(
+    os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+    "light_transport_tpu", "jax_cache")
 
 
 def enable_compile_cache(path: str | None = None) -> str:
@@ -26,7 +32,12 @@ def enable_compile_cache(path: str | None = None) -> str:
     calls still cache subsequent compiles."""
     import jax
 
-    path = path or DEFAULT_DIR
+    if path is None:
+        try:
+            os.makedirs(DEFAULT_DIR, exist_ok=True)
+            path = DEFAULT_DIR
+        except OSError:
+            path = USER_DIR
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

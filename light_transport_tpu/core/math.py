@@ -10,11 +10,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-# Matches reference EPSILON (src/constants.py:12); used for ray offsets.
+# Ray-offset epsilon.  Deliberately 100x the reference's EPSILON = 1e-6
+# (src/constants.py:12): the reference runs float64, we default to float32
+# on TPU, where 1e-6 offsets re-intersect the spawning surface
+# ("shadow acne").
 EPSILON = 1e-4
-# Reference uses 1e-6 with float64; we default to float32 on TPU, where
-# self-intersection ("shadow acne") needs a slightly larger offset.
-EPSILON_F64 = 1e-6
 
 INV_PI = 1.0 / jnp.pi
 INV_2PI = 0.5 / jnp.pi

@@ -85,9 +85,16 @@ def schlick_reflectance(r0, cos_i):
 
 
 def henyey_greenstein_pdf(cos_theta, g):
-    """HG phase function value (solid-angle pdf); contract:
-    src/medium_samples.py:14-16."""
-    denom = 1.0 + g * g + 2.0 * g * cos_theta
+    """HG phase function (solid-angle pdf) of the scattering cosine
+    ``cos_theta = dot(new_dir, old_dir)``: forward-peaked for g > 0,
+    p = (1-g^2) / (4 pi (1+g^2-2g cos)^{3/2}).
+
+    Deviation from the cited contract (src/medium_samples.py:14-16): the
+    reference's never-called stub uses ``+2g cos`` in the denominator —
+    the density of the *negated* cosine — which would make a pdf
+    evaluation disagree with what ``sample_henyey_greenstein`` +
+    ``scatter_direction`` actually draw (backward-peaked for g > 0)."""
+    denom = 1.0 + g * g - 2.0 * g * cos_theta
     denom = jnp.maximum(denom, 1e-12)
     return lm.INV_4PI * (1.0 - g * g) / (denom * jnp.sqrt(denom))
 
@@ -97,7 +104,11 @@ def sample_henyey_greenstein(g, u):
 
     cos(theta) = (1 + g^2 - ((1-g^2)/(1-g+2gu))^2) / (2g), with the
     isotropic limit cos = 2u - 1 taken branchlessly for |g| ~ 0.
+    ``g`` is clamped away from the +/-1 endpoints, where the inverse CDF
+    is 0/0 at the extreme uniforms (a delta phase function needs no
+    sampling anyway).
     """
+    g = jnp.clip(g, -0.999999, 0.999999)
     g_safe = jnp.where(jnp.abs(g) < 1e-3, 1.0, g)
     frac = (1.0 - g * g) / (1.0 - g + 2.0 * g * u)
     cos_aniso = (1.0 + g * g - frac * frac) / (2.0 * g_safe)

@@ -25,6 +25,11 @@ def chi2_counts(counts, expected, min_expected: float = 10.0):
     counts = np.asarray(counts, np.float64)
     expected = np.asarray(expected, np.float64)
     mask = expected >= min_expected
+    if int(mask.sum()) < 2:
+        raise ValueError(
+            f"chi2_counts: only {int(mask.sum())} bin(s) have expected >= "
+            f"{min_expected} — too few for a chi-squared test (the "
+            f"documented dof bound would be NaN or unsatisfiable)")
     chi2 = float(np.sum((counts[mask] - expected[mask]) ** 2 / expected[mask]))
     dof = int(mask.sum()) - 1
     return chi2, dof
@@ -40,6 +45,12 @@ def mc_parity_3sigma(estimate, truth, std_err, sigmas: float = 3.0,
 
 
 def binomial_stderr(p_hat: float, n: float) -> float:
-    """Standard error of a per-photon probability estimated from n photons."""
-    p = min(max(p_hat, 1e-12), 1 - 1e-12)
-    return float(np.sqrt(p * (1 - p) / max(n, 1.0)))
+    """Standard error of a per-photon probability estimated from n photons.
+
+    The estimate is floored at 1/n (one event), not a fixed tiny constant:
+    with zero observed events the plug-in sqrt(p(1-p)/n) collapses to ~0
+    and a 3-sigma parity test would spuriously reject rare-event truths
+    that are statistically consistent with seeing nothing."""
+    n = max(float(n), 1.0)
+    p = min(max(float(p_hat), 1.0 / n), 1.0 - 1.0 / n)
+    return float(np.sqrt(p * (1 - p) / n))

@@ -1,8 +1,8 @@
 """Profiling: step timers and throughput counters.
 
 The reference brackets renders with ``time.time()`` prints and per-row
-progress prints (SURVEY.md §5); here: a context-manager timer that
-block-until-ready's its result, steady-state throughput measurement split
+progress prints (SURVEY.md §5); here: a per-step wall timer, ``timed``
+(which block-until-ready's its result), steady-state throughput split
 from compile time (the reference notebooks do this split by hand —
 ray-tracing.ipynb cells 12/14), and an optional ``jax.profiler`` trace hook.
 """
@@ -17,7 +17,13 @@ import jax
 
 
 class StepTimer:
-    """Accumulates per-step wall times; reports steps/sec."""
+    """Accumulates per-step wall times; reports steps/sec.
+
+    JAX dispatch is asynchronous: ``step()`` times whatever runs inside
+    the with-block, so the caller must block on device work themselves
+    (``jax.block_until_ready(out)`` inside the block, or wrap the call in
+    :func:`timed`) — otherwise only enqueue latency is recorded and the
+    reported throughput is meaninglessly inflated."""
 
     def __init__(self):
         self.times = []

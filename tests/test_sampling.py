@@ -145,3 +145,44 @@ def test_scatter_direction_preserves_cos():
     got = np.asarray(lm.dot(new_d, d))
     np.testing.assert_allclose(got, np.asarray(cos_target), atol=1e-4)
     np.testing.assert_allclose(np.asarray(lm.norm(new_d)), 1.0, atol=1e-4)
+
+
+def test_hg_pdf_matches_sampler_convention():
+    """advisor r3: henyey_greenstein_pdf carried the reference stub's
+    +2g*cos denominator — the density of the *negated* cosine — so pairing
+    it with sample_henyey_greenstein/scatter_direction (forward-peaked for
+    g > 0) would mis-weight any phase-function MIS/NEE by up to ~180x near
+    the forward peak.  Pin pdf <-> sampler consistency directly: histogram
+    the sampled cosines against expectations integrated from the pdf."""
+    n_samples = 1 << 16
+    for g in (0.7, -0.5):
+        (u,) = uniforms(n_samples, seed=23 + int(g * 10), k=1)
+        cos = np.asarray(
+            sampling.sample_henyey_greenstein(jnp.asarray(g, jnp.float32), u)
+        ).astype(np.float64)
+        edges = np.linspace(-1, 1, 41)
+        counts, _ = np.histogram(cos, bins=edges)
+        # integrate the pdf over each bin (solid angle element 2*pi*dcos)
+        grid = np.linspace(-1, 1, 4001)
+        p = np.asarray(sampling.henyey_greenstein_pdf(
+            jnp.asarray(grid, jnp.float64), g)) * 2 * np.pi
+        cdf = np.concatenate([[0.0], np.cumsum(
+            0.5 * (p[1:] + p[:-1]) * np.diff(grid))])
+        expected = np.diff(np.interp(edges, grid, cdf)) * n_samples
+        mask = expected > 10
+        chi2 = np.sum((counts[mask] - expected[mask]) ** 2 / expected[mask])
+        dof = mask.sum() - 1
+        assert chi2 < dof + 4 * np.sqrt(2 * dof), (g, chi2, dof)
+        # forward-peaked for g > 0: pdf at the peak must dwarf the tail
+        fwd = float(sampling.henyey_greenstein_pdf(jnp.asarray(0.99), 0.7))
+        bwd = float(sampling.henyey_greenstein_pdf(jnp.asarray(-0.99), 0.7))
+        assert fwd > 50 * bwd, (fwd, bwd)
+
+
+def test_hg_sampler_finite_at_g_extremes():
+    """advisor r3: |g| = 1 with an extreme uniform hit 0/0 in the inverse
+    CDF; the sampler now clamps g away from the delta-function endpoints."""
+    for g, u in ((1.0, 0.0), (-1.0, 1.0), (1.0, 1.0), (-1.0, 0.0)):
+        c = float(sampling.sample_henyey_greenstein(
+            jnp.asarray(g, jnp.float32), jnp.asarray(u, jnp.float32)))
+        assert np.isfinite(c) and -1.0 <= c <= 1.0, (g, u, c)
