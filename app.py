@@ -37,7 +37,6 @@ def main() -> int:
     import numpy as np
 
     from light_transport_tpu.api import render
-    from light_transport_tpu.core.config import RenderConfig
     import dataclasses
 
     st.title("light_transport_tpu")
@@ -82,8 +81,6 @@ def main() -> int:
 
 
 def _build_scene(scene_name: str, uploaded):
-    import dataclasses
-
     import numpy as np
 
     from light_transport_tpu.models import presets as P
@@ -141,7 +138,7 @@ def _build_scene(scene_name: str, uploaded):
     from light_transport_tpu.scene.material import (
         Material, MaterialTable, presets as mats_p,
     )
-    from light_transport_tpu.scene.objio import load_obj, reference_obj_path
+    from light_transport_tpu.scene.objio import reference_obj_path
     from light_transport_tpu.scene.scene import Scene
     from light_transport_tpu.core.config import RenderConfig
     import numpy as np

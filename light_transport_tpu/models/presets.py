@@ -70,7 +70,7 @@ def full_scale():
     """BASELINE config 5: 1e8 photons into a 3D fluence volume + a 512x512
     detector image, photon batches sharded across the mesh.
 
-    The 3-D cartesian volume (128^3 cells, 2 mm pitch) covers +/-1.28 cm
+    The 3-D cartesian volume (128^3 cells, 0.2 mm pitch) covers +/-1.28 cm
     around the beam axis and 2.56 cm of depth — the same physical extent as
     the (r, z) MCML grid.  The spatial tallies are strided (unbiased
     stratified thinning, see PhotonRunConfig): the fold is scatter-bound at
@@ -166,25 +166,19 @@ def glass_scene(width=100, height=100, spp=4, max_depth=3):
     cfg = dataclasses.replace(cfg, emission_mode="nee")
     dim = 7.5
     # tumbler is 12.5 tall with radius 7: scale into the box and stand it
-    # on the floor (y = -dim), centered
-    glass = (design_glass(mat_offset=5)
-             .scaled(0.85)
-             .translated((0.0, -dim + 0.01, 0.0)))
-    # rebuild the material table: the 5 Cornell rows (ids 0-4 in base.mesh)
+    # on the floor (y = -dim), centered.  design_glass spans y in
+    # [-0.5, 12.5] around its origin (the 1-unit base cylinder is centered
+    # at y=0), so lift by the scaled base half-height too — translating
+    # the origin straight to the floor sinks the base through it
+    glass = design_glass(mat_offset=5).scaled(0.85)
+    y_min = float(glass.vertices()[..., 1].min())
+    glass = glass.translated((0.0, -dim + 0.01 - y_min, 0.0))
+    # rebuild the material table: the 5 Cornell rows (ids 0-4 in base.mesh,
+    # shared with cornell_box_scene so the definitions cannot drift)
     # followed by the 3 glass rows (mat_offset=5 above)
-    from light_transport_tpu.scene.material import Material, presets
+    from light_transport_tpu.scene.cornell import cornell_materials
 
-    surface = Material(color=presets.WHITE_2, shininess=30, reflection=0.1,
-                       ior=1.5210, transmission=1)
-    left = Material(color=presets.RED, shininess=30, reflection=0.1,
-                    ior=1.5210, transmission=1)
-    right = Material(color=presets.GREEN, shininess=30, reflection=0.1,
-                     ior=1.5210, transmission=1)
-    glass_cone = presets.GLASS_MAT
-    source = Material(color=presets.WHITE, shininess=1, reflection=0.9,
-                      ior=1.5, emission=200.0)
-    mats = MaterialTable.build(
-        [surface, left, right, glass_cone, source] + glass_materials())
+    mats = MaterialTable.build(cornell_materials() + glass_materials())
     mesh = concat_meshes([base.mesh, glass])
     scene = Scene.build(mesh, mats, camera=[0.0, 0.0, dim + 0.5]).with_bvh()
     return scene, cfg

@@ -47,6 +47,7 @@ and unbiased throughput):
 from __future__ import annotations
 
 import functools
+import math
 import time
 
 import jax
@@ -628,7 +629,6 @@ class PallasPhotonEngine:
         self.lanes = lanes
         self.n_tiles = lanes // (ROWS * LANES)
         self.bench_mode = bench_mode
-        self.k_steps = k_steps
         # hardware PRNG on a real TPU; threefry-fed interpret mode elsewhere
         # (same kernel body — lets the CPU mesh execute the full shard_map +
         # pallas_call composition, VERDICT.md r2 item 1)
@@ -636,8 +636,16 @@ class PallasPhotonEngine:
             hw_prng = jax.default_backend() in ("tpu", "axon")
         self.hw_prng = bool(hw_prng)
         self.stride = max(1, int(cfg.tally_stride))
-        assert k_steps % self.stride == 0, (k_steps, self.stride)
         self.vol_stride = max(1, int(cfg.vol_stride or self.stride))
+        # strided deposit windows must tile the block exactly; round the
+        # block up rather than assert so configs with strides above the
+        # default K_STEPS (e.g. the full_scale preset's vol_stride=64)
+        # run out of the box on every entry point
+        need = math.lcm(self.stride, self.vol_stride)
+        if k_steps % need:
+            k_steps = ((k_steps + need - 1) // need) * need
+        self.k_steps = k_steps
+        assert k_steps % self.stride == 0, (k_steps, self.stride)
         assert k_steps % self.vol_stride == 0, (k_steps, self.vol_stride)
         self.sep_vol_phase = (cfg.vol_nx > 0
                               and self.vol_stride != self.stride

@@ -22,7 +22,7 @@ from light_transport_tpu.scene.scene import Scene
 def cornell_box_triangles(dim: float):
     """The 5 walls (top wall as 4 panels with a 2x2 cutout).
 
-    Returns (verts (20,3,3), wall_kind (20,) with 0=surface,1=left,2=right).
+    Returns (verts (16,3,3), wall_kind (16,) with 0=surface,1=left,2=right).
     """
     d = float(dim)
     a = (-d, -d, -d)
@@ -131,6 +131,24 @@ def floor_triangles(x_dim, y_dim, z_dim):
     return quad_triangles(a, b, c, d)
 
 
+def cornell_materials(emission: float = 200.0, cone_material=None):
+    """The five LTS Cornell material rows in mesh-id order: surface, left
+    (red), right (green), cone glass, emissive source (LTS.ipynb cell 13).
+    Shared by the lts and glass presets so the definitions cannot drift."""
+    glass = cone_material if cone_material is not None else presets.GLASS_MAT
+    return [
+        Material(color=presets.WHITE_2, shininess=30, reflection=0.1,
+                 ior=1.5210, transmission=1),
+        Material(color=presets.RED, shininess=30, reflection=0.1,
+                 ior=1.5210, transmission=1),
+        Material(color=presets.GREEN, shininess=30, reflection=0.1,
+                 ior=1.5210, transmission=1),
+        glass,
+        Material(color=presets.WHITE, shininess=1, reflection=0.9,
+                 ior=1.5, emission=emission),
+    ]
+
+
 def cornell_box_scene(
     dim: float = 7.5,
     width: int = 150,
@@ -151,16 +169,8 @@ def cornell_box_scene(
 
     Returns ``(scene, render_config)``.
     """
-    surface = Material(color=presets.WHITE_2, shininess=30, reflection=0.1,
-                       ior=1.5210, transmission=1)
-    left = Material(color=presets.RED, shininess=30, reflection=0.1,
-                    ior=1.5210, transmission=1)
-    right = Material(color=presets.GREEN, shininess=30, reflection=0.1,
-                     ior=1.5210, transmission=1)
-    source = Material(color=presets.WHITE, shininess=1, reflection=0.9,
-                      ior=1.5, emission=emission)
     glass = cone_material if cone_material is not None else presets.GLASS_MAT
-    mats = MaterialTable.build([surface, left, right, glass, source], dtype=dtype)
+    mats = MaterialTable.build(cornell_materials(emission, glass), dtype=dtype)
     MAT_SURFACE, MAT_LEFT, MAT_RIGHT, MAT_GLASS, MAT_SOURCE = range(5)
 
     wall_verts, wall_kind = cornell_box_triangles(dim)

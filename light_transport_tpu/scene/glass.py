@@ -19,7 +19,12 @@ from light_transport_tpu.scene.material import Material, MaterialTable, presets
 
 def cylinder_triangles(radius, height, center, resolution=24, capped=True):
     """Capped cylinder around the y axis (the reference's
-    direction=[0,1,0] convention)."""
+    direction=[0,1,0] convention).  Wound so every normal points OUT of
+    the solid — the convention the tracer's inside/outside test
+    (path_tracer: ``inside = dot(n_geo, dir) > 0``) and the interior-media
+    logic rely on (advisor r3: these builders used to wind inward,
+    inverting the IOR ratio and Beer-Lambert attribution on every
+    glass-scene interface)."""
     cx, cy, cz = center
     ang = 2 * np.pi * np.arange(resolution) / resolution
     x = radius * np.cos(ang)
@@ -32,15 +37,15 @@ def cylinder_triangles(radius, height, center, resolution=24, capped=True):
         b = (cx + x[j], y0, cz + z[j])
         c = (cx + x[j], y1, cz + z[j])
         d = (cx + x[i], y1, cz + z[i])
-        tris.append([a, b, c])
-        tris.append([a, c, d])
+        tris.append([a, c, b])
+        tris.append([a, d, c])
     if capped:
         bot = (cx, y0, cz)
         top = (cx, y1, cz)
         for i in range(resolution):
             j = (i + 1) % resolution
-            tris.append([bot, (cx + x[j], y0, cz + z[j]), (cx + x[i], y0, cz + z[i])])
-            tris.append([top, (cx + x[i], y1, cz + z[i]), (cx + x[j], y1, cz + z[j])])
+            tris.append([bot, (cx + x[i], y0, cz + z[i]), (cx + x[j], y0, cz + z[j])])
+            tris.append([top, (cx + x[j], y1, cz + z[j]), (cx + x[i], y1, cz + z[i])])
     return np.asarray(tris, dtype=np.float64)
 
 
@@ -51,7 +56,9 @@ def tube_triangles(r_in, r_out, height, center, resolution=24):
     ang = 2 * np.pi * np.arange(resolution) / resolution
     y0, y1 = cy - height / 2.0, cy + height / 2.0
     tris = []
-    for r, flip in ((r_out, False), (r_in, True)):
+    # normals point OUT of the annular material: the outer wall radially
+    # out, the inner wall radially in (toward the axis, into the cavity)
+    for r, flip in ((r_out, True), (r_in, False)):
         x = r * np.cos(ang)
         z = r * np.sin(ang)
         for i in range(resolution):
@@ -64,19 +71,22 @@ def tube_triangles(r_in, r_out, height, center, resolution=24):
                 tris += [[a, c, b], [a, d, c]]
             else:
                 tris += [[a, b, c], [a, c, d]]
-    # annular rings top and bottom
+    # annular rings: bottom faces -y, top faces +y
     xi = r_in * np.cos(ang)
     zi = r_in * np.sin(ang)
     xo = r_out * np.cos(ang)
     zo = r_out * np.sin(ang)
-    for y in (y0, y1):
+    for y, down in ((y0, True), (y1, False)):
         for i in range(resolution):
             j = (i + 1) % resolution
             a = (cx + xi[i], y, cz + zi[i])
             b = (cx + xi[j], y, cz + zi[j])
             c = (cx + xo[j], y, cz + zo[j])
             d = (cx + xo[i], y, cz + zo[i])
-            tris += [[a, b, c], [a, c, d]]
+            if down:
+                tris += [[a, c, b], [a, d, c]]
+            else:
+                tris += [[a, b, c], [a, c, d]]
     return np.asarray(tris, dtype=np.float64)
 
 
@@ -91,8 +101,10 @@ def box_triangles(center, lengths):
     f = (cx - hx, cy + hy, cz + hz)
     g = (cx + hx, cy + hy, cz + hz)
     h = (cx + hx, cy + hy, cz - hz)
-    quads = [(a, b, c, d), (h, g, f, e), (a, e, f, b),
-             (d, c, g, h), (b, f, g, c), (a, d, h, e)]
+    # outward winding (see cylinder_triangles): reversed vertex order
+    # relative to the original inward quads
+    quads = [(d, c, b, a), (e, f, g, h), (b, f, e, a),
+             (h, g, c, d), (c, g, f, b), (e, h, d, a)]
     return np.concatenate([quad_triangles(*q) for q in quads])
 
 

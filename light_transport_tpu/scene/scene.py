@@ -53,7 +53,10 @@ class Scene:
         return Scene(
             mesh=ordered,
             materials=self.materials,
-            lights=LightTable.build(ordered, self.materials),
+            # keep the scene's dtype (a float64 scene must not silently
+            # get a float32 light table)
+            lights=LightTable.build(ordered, self.materials,
+                                    dtype=self.camera.dtype),
             camera=self.camera,
             bvh=bvh,
             analytic=self.analytic,

@@ -299,12 +299,19 @@ def simulate_photons(
     state, tallies, quota, step = _main_phase(
         key, medium, quota0, cfg_key, lanes, round_len, max_supersteps)
 
+    from light_transport_tpu.core.hostio import host_get
+
     n_lanes = lanes
     drain_len = round_len * 4  # uniforms key on the global step index, so
     # round granularity does not change the stream (bitwise-safe)
     rounds_per_sync = 4
-    while int(step) < max_supersteps:
-        n_alive = int(jnp.sum(state.alive))  # one host sync per batch
+    # host fetches go through the retried host_get (the tunneled backend
+    # fails transfers transiently — a long run must not die on one blip);
+    # the step counter advances deterministically (min(step+len, cap)), so
+    # it is mirrored host-side instead of fetched every iteration
+    step_h = int(host_get(step))
+    while step_h < max_supersteps:
+        n_alive = int(host_get(jnp.sum(state.alive)))  # one sync per batch
         if n_alive == 0:
             break
         if compact_drain:
@@ -319,6 +326,7 @@ def simulate_photons(
             state, tallies, quota, step = _run_rounds(
                 key, state, tallies, quota, step, medium, cfg_key,
                 drain_len, jnp.asarray(max_supersteps, jnp.int32))
+            step_h = min(step_h + drain_len, max_supersteps)
     return tallies
 
 

@@ -253,3 +253,24 @@ def test_max_supersteps_is_exact():
     t = simulate_photons(m, cfg, jax.random.key(0), lanes=512,
                          max_supersteps=21)  # not a multiple of any round
     assert t.n_steps == 512 * 21, t.n_steps
+
+
+def test_pallas_engine_rounds_k_steps_to_strides():
+    """advisor r3: the full_scale preset (vol_stride=64) crashed the
+    engine's `k_steps % vol_stride == 0` assert at the default K_STEPS=32;
+    the block length now rounds up to the stride lcm instead."""
+    from light_transport_tpu.models.presets import full_scale
+    from light_transport_tpu.ops.pallas.photon_kernel import (
+        LANES, ROWS, K_STEPS, PallasPhotonEngine,
+    )
+
+    medium, cfg = full_scale()
+    eng = PallasPhotonEngine(medium, cfg, ROWS * LANES, bench_mode=False,
+                             hw_prng=False)  # default k_steps
+    assert eng.k_steps == 64, eng.k_steps  # lcm(32, 64) rounded up from 32
+    assert eng.k_steps % eng.stride == 0
+    assert eng.k_steps % eng.vol_stride == 0
+    # explicit compatible k_steps passes through untouched
+    eng2 = PallasPhotonEngine(medium, cfg, ROWS * LANES, bench_mode=False,
+                              k_steps=128, hw_prng=False)
+    assert eng2.k_steps == 128

@@ -107,6 +107,42 @@ def test_glass_geometry():
     assert v[..., 1].max() <= 12.5 + 1e-6
 
 
+def test_glass_windings_outward():
+    """advisor r3: the glass builders wound their solids inward (cylinder,
+    box) or mixed (tube), inverting the tracer's geometric inside/outside
+    test — and with it the IOR ratio and interior Beer-Lambert attribution
+    — at every glass-scene interface.  Pin the outward convention: a ray
+    from far outside toward each solid's centroid must FIRST hit a
+    front-facing triangle (dot(n_geo, dir) < 0)."""
+    import jax.numpy as jnp
+
+    from light_transport_tpu.ops import intersect
+    from light_transport_tpu.scene.geometry import TriangleMesh
+    from light_transport_tpu.scene.glass import (
+        box_triangles,
+        cylinder_triangles,
+        tube_triangles,
+    )
+
+    solids = {
+        "cylinder": (cylinder_triangles(6.0, 8.0, (0, 4.5, 0)), (0, 4.5, 0)),
+        "box": (box_triangles((0, 3.0, 0), (5, 5, 5)), (0, 3.0, 0)),
+        "tube": (tube_triangles(6.0, 7.0, 12.0, (0, 6.5, 0)), (6.5, 6.5, 0)),
+    }
+    dirs = np.asarray([[1.0, 0.3, 0.2], [-0.5, -1.0, 0.4],
+                       [0.2, 0.1, -1.0], [-1.0, 0.5, -0.5]])
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    for name, (tris, target) in solids.items():
+        mesh = TriangleMesh.build(tris, np.zeros(len(tris), np.int32))
+        o = jnp.asarray(np.asarray(target) - 60.0 * dirs, jnp.float32)
+        d = jnp.asarray(dirs, jnp.float32)
+        hit = intersect.intersect_rays(o, d, mesh)
+        assert bool(hit.valid.all()), name
+        n_geo = np.asarray(mesh.normal)[np.asarray(hit.tri)]
+        cos = np.sum(n_geo * dirs, axis=1)
+        assert np.all(cos < 0), (name, cos)
+
+
 def test_checkpoint_suffixless_path_resumes(tmp_path):
     """advisor r3: np.savez appends '.npz' to suffix-less paths while the
     resume existence check used the raw path, so `--checkpoint ckpt`
