@@ -30,6 +30,10 @@ Scope notes (documented):
   vertex is specular are excluded from the light-side strategies
   (PT-unreachable transport; raise max_depth to include it);
 - subpath walks do not Russian-roulette (depth is statically bounded);
+- subpaths ignore interior participating media (no Beer-Lambert or HG
+  along segments) — media scenes belong to the path tracer, whose carried
+  medium state has no BDPT counterpart; on zero-sigma scenes (all parity
+  scenes here) the estimators remain identical;
 - emitted radiance is ``Material.emission * emission_color`` on both
   subpath ends, the same value NEE and the path tracer read (the reference
   mixes an ``emission`` scalar at hits with ``emission * diffuse`` for

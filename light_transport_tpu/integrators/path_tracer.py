@@ -68,6 +68,41 @@ class PathState(NamedTuple):
     # scatter.  Avoids both the double counting of "always" and the
     # specular-chain energy loss of "first_hit".
     emit_ok: jnp.ndarray  # (N,) bool
+    # Carried interior medium: the (sigma_a, sigma_s, g) of the medium the
+    # ray currently travels through, updated on refraction entry/exit, plus
+    # a one-level outer memory so exiting a nested object restores the
+    # enclosing medium (glass containing liquid/ice — exact to one nesting
+    # level, the README-documented approximation beyond that).  Segment
+    # attenuation and in-scattering read THESE, not the hit face's
+    # material, so spans that end on another object's front face attenuate
+    # correctly (previously only backface-terminated spans did).
+    med_sig_a: jnp.ndarray  # (N, 3)
+    med_sig_s: jnp.ndarray  # (N,)
+    med_g: jnp.ndarray  # (N,)
+    out_sig_a: jnp.ndarray  # (N, 3)
+    out_sig_s: jnp.ndarray  # (N,)
+    out_g: jnp.ndarray  # (N,)
+
+    @staticmethod
+    def initial(origins, directions):
+        """Fresh camera-lane state: full throughput, vacuum medium."""
+        n = origins.shape[0]
+        dtype = origins.dtype
+        z = jnp.zeros((n,), dtype)
+        return PathState(
+            origin=origins,
+            direction=directions,
+            throughput=jnp.ones((n, 3), dtype),
+            radiance=jnp.zeros((n, 3), dtype),
+            alive=jnp.ones((n,), bool),
+            emit_ok=jnp.ones((n,), bool),
+            med_sig_a=jnp.zeros((n, 3), dtype),
+            med_sig_s=z,
+            med_g=z,
+            out_sig_a=jnp.zeros((n, 3), dtype),
+            out_sig_s=z,
+            out_g=z,
+        )
 
 
 class TraceRecord(NamedTuple):
@@ -142,24 +177,28 @@ def _bounce(
     ior = mats.ior[mat_id]
 
     # --- interior participating medium ------------------------------------
-    # A backface hit means the segment [origin, hit_p] traversed the inside
-    # of the closed object whose surface was hit: Beer-Lambert absorption
-    # applies along it, and if the material scatters (sigma_s > 0) an
-    # in-scatter event may preempt the surface interaction.  Free flight is
-    # sampled against sigma_s alone (analog scattering), so the scattering
-    # transmittance cancels its own pdf exactly and absorption remains as a
-    # throughput weight — standard unbiased spectral-absorption estimator.
-    # (Completes the capability the reference stubbed with its Medium enum,
-    # src/constants.py:17-24, and unused HG, src/medium_samples.py:14-16.)
-    sig_a = mats.sigma_a[mat_id]  # (N, 3)
-    sig_s = mats.sigma_s[mat_id]
-    med_g = mats.medium_g[mat_id]
-    interior = hit_ok & inside
-    has_scat = interior & (sig_s > 0.0)
+    # The segment [origin, event] traverses the CARRIED medium (PathState
+    # med_*, set on refraction entry / cleared on exit below): Beer-Lambert
+    # absorption applies along it, and if the medium scatters (sigma_s > 0)
+    # an in-scatter event may preempt the surface interaction.  Free flight
+    # is sampled against sigma_s alone (analog scattering), so the
+    # scattering transmittance cancels its own pdf exactly and absorption
+    # remains as a throughput weight — standard unbiased spectral-
+    # absorption estimator.  Carrying the medium (instead of inferring it
+    # from backface hits) makes spans that end on a nested object's front
+    # face attenuate correctly.  (Completes the capability the reference
+    # stubbed with its Medium enum, src/constants.py:17-24, and unused HG,
+    # src/medium_samples.py:14-16.)
+    sig_a = state.med_sig_a  # (N, 3)
+    sig_s = state.med_sig_s
+    med_g = state.med_g
+    in_medium = hit_ok & jnp.any(sig_a + sig_s[:, None] > 0.0, axis=-1)
+    has_scat = hit_ok & (sig_s > 0.0)
     safe_ss = jnp.where(has_scat, sig_s, 1.0)
     d_scat = -jnp.log1p(-u[:, rng.U_MED]) / safe_ss
     scatter_evt = has_scat & (d_scat < hit.t)
-    seg_len = jnp.where(interior, jnp.where(scatter_evt, d_scat, hit.t), 0.0)
+    seg_len = jnp.where(in_medium,
+                        jnp.where(scatter_evt, d_scat, hit.t), 0.0)
     atten = jnp.exp(-sig_a * seg_len[:, None])
     tp_arr = state.throughput * atten  # throughput at this bounce's event
 
@@ -349,6 +388,30 @@ def _bounce(
         # block mode: shadow rays cannot cross glass, so the specular
         # chain is the only estimator for light behind it
         trans_emit = hit_ok & is_trans
+    # --- carried-medium update: refraction crosses an interface ------------
+    refracted = hit_ok & is_trans & do_refract & ~scatter_evt & state.alive
+    entering = refracted & ~inside
+    exiting = refracted & inside
+    hit_sig_a = mats.sigma_a[mat_id]
+    hit_sig_s = mats.sigma_s[mat_id]
+    hit_g = mats.medium_g[mat_id]
+
+    def sel(enter_v, exit_v, keep_v, vec=False):
+        e = entering[:, None] if vec else entering
+        x = exiting[:, None] if vec else exiting
+        return jnp.where(e, enter_v, jnp.where(x, exit_v, keep_v))
+
+    med_sig_a = sel(hit_sig_a, state.out_sig_a, state.med_sig_a, vec=True)
+    med_sig_s = sel(hit_sig_s, state.out_sig_s, state.med_sig_s)
+    new_med_g = sel(hit_g, state.out_g, state.med_g)
+    # one-level outer memory: push the enclosing medium on entry, pop to
+    # vacuum on exit (deeper nesting approximates — README deviation 16)
+    out_sig_a = sel(state.med_sig_a, jnp.zeros_like(state.out_sig_a),
+                    state.out_sig_a, vec=True)
+    out_sig_s = sel(state.med_sig_s, jnp.zeros_like(state.out_sig_s),
+                    state.out_sig_s)
+    out_g = sel(state.med_g, jnp.zeros_like(state.out_g), state.out_g)
+
     new_state = PathState(
         origin=new_o,
         direction=new_dir,
@@ -356,6 +419,12 @@ def _bounce(
         radiance=radiance,
         alive=alive,
         emit_ok=scatter_evt | (hit_ok & is_mirror) | trans_emit,
+        med_sig_a=med_sig_a,
+        med_sig_s=med_sig_s,
+        med_g=new_med_g,
+        out_sig_a=out_sig_a,
+        out_sig_s=out_sig_s,
+        out_g=out_g,
     )
     reached = hit_ok & ~scatter_evt  # path actually arrived at the surface
     per_bounce = (
@@ -370,11 +439,15 @@ def _bounce(
     # fresnel_mode="split": the reflected sibling of a followed refraction,
     # for the caller to push onto the lane's deferred-branch stack
     defer_mask = reached & is_trans & (~tir) & split_ok & state.alive
+    # the reflected sibling stays on the incoming side of the interface:
+    # it inherits the PRE-refraction medium state
     defer = (
         defer_mask,
         hit_p + eps * n_s,
         m_dir,
         tp_arr * refl_prob[:, None],
+        state.med_sig_a, state.med_sig_s, state.med_g,
+        state.out_sig_a, state.out_sig_s, state.out_g,
     )
     return new_state, per_bounce, defer
 
@@ -391,16 +464,7 @@ def trace_paths(
 
     Returns ``(radiance (N, 3), TraceRecord)``.
     """
-    n = origins.shape[0]
-    dtype = origins.dtype
-    state = PathState(
-        origin=origins,
-        direction=directions,
-        throughput=jnp.ones((n, 3), dtype=dtype),
-        radiance=jnp.zeros((n, 3), dtype=dtype),
-        alive=jnp.ones((n,), dtype=bool),
-        emit_ok=jnp.ones((n,), dtype=bool),
-    )
+    state = PathState.initial(origins, directions)
 
     def step(carry, xs):
         u_b, b = xs
@@ -473,19 +537,15 @@ def trace_paths_split(
     nodes = sum(math.comb(depth, k) for k in range(min(S, depth) + 1))
     iters = max_iters or 2 * nodes + 1
 
-    state = PathState(
-        origin=origins,
-        direction=directions,
-        throughput=jnp.ones((n, 3), dtype=dtype),
-        radiance=jnp.zeros((n, 3), dtype=dtype),
-        alive=jnp.ones((n,), dtype=bool),
-        emit_ok=jnp.ones((n,), dtype=bool),
-    )
+    state = PathState.initial(origins, directions)
     bounce_v = jnp.zeros((n,), jnp.int32)
     from light_transport_tpu.ops import lanestack
 
     stack = lanestack.zeros(
-        (origins, directions, jnp.zeros((n, 3), dtype), bounce_v), S)
+        (origins, directions, jnp.zeros((n, 3), dtype),
+         jnp.zeros((n, 3), dtype), jnp.zeros((n,), dtype),
+         jnp.zeros((n,), dtype), jnp.zeros((n, 3), dtype),
+         jnp.zeros((n,), dtype), jnp.zeros((n,), dtype), bounce_v), S)
     top = jnp.zeros((n,), jnp.int32)
     for _ in range(iters):
         state, bounce_v, stack, top, any_alive = _split_step(
@@ -516,28 +576,41 @@ def _split_step(scene, cfg, uniforms, state, bounce_v, stack, top,
     split_ok = (top < S) & (bounce_v + 1 < depth)
     new_state, _, defer = _bounce(scene, cfg, state, u, bounce_v,
                                   ray_chunk, split_ok=split_ok)
-    d_mask, d_o, d_d, d_tp = defer
-    stack, top = lanestack.push(stack, top, d_mask,
-                                (d_o, d_d, d_tp, bounce_v + 1), S)
+    (d_mask, d_o, d_d, d_tp,
+     d_ma, d_ms, d_mg, d_oa, d_os, d_og) = defer
+    stack, top = lanestack.push(
+        stack, top, d_mask,
+        (d_o, d_d, d_tp, d_ma, d_ms, d_mg, d_oa, d_os, d_og,
+         bounce_v + 1), S)
 
     new_bounce = bounce_v + 1
     alive = new_state.alive & (new_bounce < depth)
 
     # dead lanes resume their most recent deferred branch
     can_pop = ~alive & (top > 0)
-    p_o, p_d, p_tp, p_b = lanestack.peek(stack, top, S)
+    (p_o, p_d, p_tp, p_ma, p_ms, p_mg, p_oa, p_os, p_og,
+     p_b) = lanestack.peek(stack, top, S)
     top = top - can_pop.astype(jnp.int32)
 
+    def pick(pop_v, keep_v, vec=False):
+        c = can_pop[:, None] if vec else can_pop
+        return jnp.where(c, pop_v, keep_v)
+
     res_state = PathState(
-        origin=jnp.where(can_pop[:, None], p_o, new_state.origin),
-        direction=jnp.where(can_pop[:, None], p_d, new_state.direction),
-        throughput=jnp.where(can_pop[:, None], p_tp,
-                             new_state.throughput),
+        origin=pick(p_o, new_state.origin, vec=True),
+        direction=pick(p_d, new_state.direction, vec=True),
+        throughput=pick(p_tp, new_state.throughput, vec=True),
         radiance=new_state.radiance,
         alive=alive | can_pop,
         # a popped branch leaves a specular (transmissive) vertex:
         # emission on its next hit was unreachable by NEE
         emit_ok=jnp.where(can_pop, True, new_state.emit_ok),
+        med_sig_a=pick(p_ma, new_state.med_sig_a, vec=True),
+        med_sig_s=pick(p_ms, new_state.med_sig_s),
+        med_g=pick(p_mg, new_state.med_g),
+        out_sig_a=pick(p_oa, new_state.out_sig_a, vec=True),
+        out_sig_s=pick(p_os, new_state.out_sig_s),
+        out_g=pick(p_og, new_state.out_g),
     )
     res_bounce = jnp.where(can_pop, p_b, new_bounce)
     return res_state, res_bounce, stack, top, \

@@ -315,3 +315,55 @@ def test_transmittance_max_hits_closeout_blocks():
     # segment ending between the slabs: 2 crossings, fully transmitted
     t_short = np.asarray(scene_transmittance(scene, o, d, 1.65))
     np.testing.assert_allclose(t_short, 1.0, atol=1e-6)
+
+
+def test_nested_media_carried_state_exact():
+    """Carried-medium upgrade (README deviation 16, advisor r3): a span
+    that ends on a NESTED object's front face must attenuate by the
+    enclosing medium.  Outer absorbing slab z in [-1.2, 0] containing an
+    inner absorbing slab z in [-0.9, -0.3], ior=1 everywhere (straight
+    transmission), emissive wall behind: the closed-form transmission is
+    exp(-sigma_o * 0.6) * exp(-sigma_i * 0.6).  The old backface-exit
+    attribution missed the outer span that ends on the inner front face
+    (it scored exp(-sigma_o * 0.3) instead of 0.6)."""
+    half = 50.0
+    sa_o = (0.5, 1.0, 0.0)
+    sa_i = (0.0, 0.7, 1.5)
+
+    def slab(z_front, z_back):
+        front = quad_triangles(  # normal +z
+            (-half, -half, z_front), (half, -half, z_front),
+            (half, half, z_front), (-half, half, z_front))
+        back = quad_triangles(  # normal -z
+            (-half, -half, z_back), (-half, half, z_back),
+            (half, half, z_back), (half, -half, z_back))
+        return np.concatenate([front, back])
+
+    wall = quad_triangles(  # emissive wall facing +z
+        (-half, -half, -5.0), (half, -half, -5.0),
+        (half, half, -5.0), (-half, half, -5.0))
+    tris = np.concatenate([slab(0.0, -1.2), slab(-0.3, -0.9), wall])
+    mat_id = np.asarray([0] * 4 + [1] * 4 + [2] * 2, np.int32)
+    is_light = np.asarray([False] * 8 + [True] * 2)
+    outer = Material(color=_WHITE, ior=1.0, transmission=1.0,
+                     is_diffuse=False, is_mirror=False, sigma_a=sa_o)
+    inner = Material(color=_WHITE, ior=1.0, transmission=1.0,
+                     is_diffuse=False, is_mirror=False, sigma_a=sa_i)
+    black = Color.of((0, 0, 0), (0, 0, 0), (0, 0, 0))
+    light = Material(color=black, emission=1.0)
+    mesh = TriangleMesh.build(tris, mat_id, is_light)
+    scene = Scene.build(mesh, MaterialTable.build([outer, inner, light]),
+                        camera=[0.0, 0.0, 3.0])
+
+    cfg = RenderConfig(width=1, height=1, spp=1, max_depth=8,
+                       emission_mode="always")
+    n = 64
+    origins = jnp.tile(jnp.asarray([[0.0, 0.0, 3.0]], jnp.float32), (n, 1))
+    directions = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32),
+                          (n, 1))
+    uniforms = rng.path_uniforms(jax.random.key(4), n, cfg.max_depth)
+    radiance, _ = trace_paths(scene, cfg, origins, directions, uniforms)
+    rad = np.asarray(radiance)
+    want = np.exp(-np.asarray(sa_o) * 0.6) * np.exp(-np.asarray(sa_i) * 0.6)
+    np.testing.assert_allclose(rad, np.broadcast_to(want, rad.shape),
+                               rtol=3e-3)
