@@ -1,0 +1,143 @@
+#!/usr/bin/env python3
+"""One-shot on-TPU validation of every Mosaic-only code path.
+
+The CPU test suite cannot execute the intersect kernels (no interpret
+fallback) or the hardware-PRNG photon kernel, so changes to them accumulate
+untested while the axon tunnel is down.  Run this the moment the tunnel
+recovers; it batches:
+
+  1. dense-path intersect kernel: nearest-hit + any-hit parity vs the XLA
+     brute force on a small mesh (covers the any_hit early-out that reads
+     best_col_ref inside the pl.when predicate — advisor r3);
+  2. gather-path intersect kernel: parity on a BVH-ordered mesh large
+     enough to cross _GATHER_MIN_CLUSTERS (covers the scale-relative
+     cluster AABB pad);
+  3. photon kernel: exact launch counter at >256 tiles (covers the int32
+     counter_from_sum fold) and chi2 parity vs the XLA engine.
+
+Exit code 0 = all green.  Keep it fast (~2-4 min after compile).
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    devs = jax.devices()
+    print("devices:", devs, flush=True)
+    if devs[0].platform not in ("tpu", "axon"):
+        print("no TPU attached — nothing to validate here")
+        return 1
+
+    from light_transport_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    from light_transport_tpu.ops import intersect
+    from light_transport_tpu.ops.pallas.intersect_kernel import (
+        _GATHER_MIN_CLUSTERS,
+        TRI_TILE,
+        intersect_rays_pallas,
+    )
+    from light_transport_tpu.scene.cornell import sphere_triangles
+    from light_transport_tpu.scene.geometry import TriangleMesh
+
+    rng = np.random.default_rng(0)
+    ok = True
+
+    def tris_for(n_theta):
+        return sphere_triangles(center=(0, 0, 0), radius=1.0,
+                                n_theta=n_theta, n_phi=2 * n_theta)
+
+    # --- 1. dense path (few clusters) -------------------------------------
+    t = tris_for(10)
+    mesh = TriangleMesh.build(t, np.zeros(len(t), np.int32))
+    n = 4096
+    o = jnp.asarray(rng.normal(0, 3, (n, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(0, 1, (n, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    brute = intersect.intersect_rays(o, d, mesh)
+    fast = intersect_rays_pallas(o, d, mesh)
+    same = np.asarray(brute.valid) == np.asarray(fast.valid)
+    print(f"dense nearest-hit: {same.mean():.6f} valid-agree", flush=True)
+    ok &= same.mean() > 0.999
+    occ_b = np.asarray(intersect.occluded(o, d, mesh, 10.0))
+    occ_f = np.asarray(intersect_rays_pallas(o, d, mesh, any_hit=True,
+                                             max_dist=10.0))
+    agree = (occ_b == occ_f).mean()
+    print(f"dense any-hit (early-out path): {agree:.6f} agree", flush=True)
+    ok &= agree > 0.999
+
+    # --- 2. gather path (many clusters) ------------------------------------
+    t2 = tris_for(64)  # ~16k tris -> > _GATHER_MIN_CLUSTERS clusters
+    n_clusters = ((len(t2) + TRI_TILE - 1) // TRI_TILE)
+    assert n_clusters >= _GATHER_MIN_CLUSTERS, n_clusters
+    mesh2 = TriangleMesh.build(t2, np.zeros(len(t2), np.int32))
+    brute2 = intersect.intersect_rays(o, d, mesh2, ray_chunk=2048)
+    fast2 = intersect_rays_pallas(o, d, mesh2)
+    same2 = np.asarray(brute2.valid) == np.asarray(fast2.valid)
+    hit2 = np.asarray(brute2.valid) & np.asarray(fast2.valid)
+    dt = np.abs(np.asarray(brute2.t)[hit2] - np.asarray(fast2.t)[hit2])
+    print(f"gather parity: {same2.mean():.6f} valid-agree, "
+          f"max |dt| {dt.max() if hit2.any() else 0:.2e}", flush=True)
+    ok &= same2.mean() > 0.999
+
+    # --- 3. photon kernel: counters + chi2 vs XLA engine -------------------
+    from light_transport_tpu.core.config import MediumConfig, PhotonRunConfig
+    from light_transport_tpu.ops.pallas.photon_kernel import (
+        LANES,
+        ROWS,
+        PallasPhotonEngine,
+    )
+    from light_transport_tpu.scene.medium import LayeredMedium
+    from light_transport_tpu.tally.tallies import PhotonTallies
+    from light_transport_tpu.transport.photon import simulate_photons
+
+    medium = LayeredMedium.build(
+        [MediumConfig(mu_a=1.0, mu_s=9.0, g=0.7, n=1.37)])
+    n_photons = 2_000_000
+    cfg = PhotonRunConfig(n_photons=n_photons, nr=64, nz=64,
+                          dr=0.01, dz=0.01)
+    lanes = ROWS * LANES * 32  # 32 tiles/device; many blocks -> many
+    # counter partials through counter_from_sum
+    eng = PallasPhotonEngine(medium, cfg, lanes, bench_mode=False,
+                             k_steps=64)
+    quota = np.full((eng.n_tiles, 1), n_photons // eng.n_tiles, np.float32)
+    quota[: n_photons - int(quota.sum())] += 1.0
+    state = eng.zero_state()
+    tallies = PhotonTallies.zeros(cfg)
+    q = jnp.asarray(quota)
+    t0 = time.time()
+    for b in range(400):
+        state, outs, counters = eng.run_block(state, 17 + b * 65537, q)
+        tallies = eng.accumulate(tallies, outs, counters)
+        q = counters[:, 3:4]
+        if b % 50 == 49 and not bool(
+                jnp.any(q > 0) | jnp.any(state[6] > 0.0)):
+            break
+    launched = tallies.n_launched
+    print(f"pallas launched={launched} (want {n_photons}), "
+          f"{time.time()-t0:.1f}s", flush=True)
+    ok &= launched == n_photons
+    r_pal = float(tallies.total_reflectance())
+    xla = simulate_photons(medium, PhotonRunConfig(
+        n_photons=500_000, nr=64, nz=64, dr=0.01, dz=0.01),
+        jax.random.key(3), lanes=65536)
+    r_xla = float(xla.total_reflectance())
+    se = float(np.sqrt(r_pal * (1 - r_pal) / n_photons
+                       + r_xla * (1 - r_xla) / 500_000))
+    print(f"R_d pallas={r_pal:.5f} xla={r_xla:.5f} "
+          f"(|diff| {abs(r_pal-r_xla):.5f} vs 4se {4*se:.5f})", flush=True)
+    ok &= abs(r_pal - r_xla) < 4 * se + 1e-3
+
+    print("ALL GREEN" if ok else "FAILURES — see above", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
