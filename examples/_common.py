@@ -70,21 +70,22 @@ def timed_twice(fn, retries: int = 3, delay: float = 20.0):
     at a time (CLAUDE.md), and a blip must not fail a round artifact
     (VERDICT r2 item 7).
     """
-    last = None
-    for attempt in range(retries):
-        try:
-            t0 = time.time()
-            result = fn()
-            t_jit = time.time() - t0
-            break
-        except Exception as e:
-            last = e
-            print(f"compile dispatch attempt {attempt + 1} failed "
-                  f"({type(e).__name__}); retrying", file=sys.stderr)
-            time.sleep(delay)
-    else:
+    def attempt_call(label):
+        last = None
+        for attempt in range(retries):
+            try:
+                t0 = time.time()
+                result = fn()
+                return result, time.time() - t0
+            except Exception as e:
+                last = e
+                print(f"{label} attempt {attempt + 1} failed "
+                      f"({type(e).__name__}); retrying", file=sys.stderr)
+                time.sleep(delay)
         raise last
-    t0 = time.time()
-    result = fn()
-    t_steady = time.time() - t0
+
+    result, t_jit = attempt_call("compile dispatch")
+    # the steady call rides the same flaky tunnel — retry it too, or a
+    # blip there still loses the round artifact
+    result, t_steady = attempt_call("steady dispatch")
     return result, t_jit, t_steady

@@ -56,8 +56,12 @@ def main():
         res = simulate(medium, cfg, seed=1)
         jax.block_until_ready(res)
     flu = np.asarray(res.fluence_rz(cfg))
-    img = np.log10(np.maximum(flu, flu[flu > 0].min())).T
-    img = (img - img.min()) / (img.max() - img.min())
+    # guard the all-zero / constant grid (a tally regression must produce
+    # a black diagnostic image, not crash the example on an empty min())
+    floor = flu[flu > 0].min() if np.any(flu > 0) else 1.0
+    img = np.log10(np.maximum(flu, floor)).T
+    span = img.max() - img.min()
+    img = (img - img.min()) / (span if span > 0 else 1.0)
     p = save_image(np.repeat(img[:, :, None], 3, axis=2), "photon_fluence.png")
     report("photon_fluence", t.seconds, n_photons=N, grid=[cfg.nr, cfg.nz],
            image=p)

@@ -8,7 +8,6 @@ Fresnel reflect-or-refract at every interface.
 """
 
 import numpy as np
-import jax
 
 from _common import report, save_image, timed_twice
 

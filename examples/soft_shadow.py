@@ -10,7 +10,6 @@ cluster-culled Pallas MXU intersector and finishes in ~15 s on one chip
 import sys
 
 import numpy as np
-import jax
 
 from _common import report, save_image, timed_twice
 

@@ -43,12 +43,22 @@ def push(stack, top, lane_mask, payload, size: int):
 
 
 def peek(stack, top, size: int):
-    """Payload at the top slot (zeros where the stack is empty); callers
-    combine with their own ``can_pop`` mask and decrement ``top``."""
+    """Payload at the top slot.
+
+    Lanes with an empty stack read slot 0 — which holds whatever was last
+    pushed there (pop only decrements ``top``) — so callers MUST mask the
+    result with their own ``can_pop = top > 0`` before use, and decrement
+    ``top`` themselves.  The one-hot select keeps every leaf's dtype
+    (bool included)."""
     pidx = jnp.clip(top - 1, 0, size - 1)
     onehot = jnp.arange(size)[None, :] == pidx[:, None]
-    return jax.tree.map(
-        lambda s: jnp.sum(
-            jnp.where(_expand(onehot, s.ndim), s, jnp.zeros_like(s)),
-            axis=1),
-        stack)
+
+    def take(s):
+        # dtype-preserving one-hot extraction: where+sum promotes bools to
+        # int32, silently breaking bool payload leaves downstream
+        sel = jnp.where(_expand(onehot, s.ndim), s, jnp.zeros_like(s))
+        out = jnp.max(sel, axis=1) if s.dtype == jnp.bool_ \
+            else jnp.sum(sel, axis=1)
+        return out.astype(s.dtype)
+
+    return jax.tree.map(take, stack)

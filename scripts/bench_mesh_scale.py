@@ -44,7 +44,10 @@ def big_sphere(nt, nph):
     d = pts[1:, :]
     t1 = np.stack([a, b, c], 2)[1:].reshape(-1, 3, 3)
     t2 = np.stack([a, c, d], 2)[:-1].reshape(-1, 3, 3)
-    # displace vertices radially so the surface has real geometric detail
+    # a smooth convex UV sphere: friendly for cluster culling, so the
+    # measured crossover is an optimistic bound for the MXU path
+    # (vectorized fork of scene/cornell.sphere_triangles — the per-quad
+    # loop there takes minutes at 4M triangles)
     tris = np.concatenate([t1, t2]).astype(np.float64)
     return tris
 
@@ -98,12 +101,13 @@ def main():
             mesh, o, d, tm)
 
     def steady(fn, *a, reps=2):
-        fn(*a)  # compile + warm
+        jax.block_until_ready(fn(*a))  # compile + warm: drain the warmup
+        # execution too, or the first timed rep also waits it out (with
+        # reps=1 that doubled the reported time — advisor r3)
         best = 1e9
         for _ in range(reps):
             t0 = time.perf_counter()
-            h = fn(*a)
-            _ = float(h.t[0]) + float(h.t[-1])
+            h = jax.block_until_ready(fn(*a))
             best = min(best, time.perf_counter() - t0)
         return best, h
 
