@@ -49,9 +49,23 @@ class CVRender(NamedTuple):
     singular: jnp.ndarray  # (H, W) bool: pixels where the solve was skipped
 
 
-def _with_bsdf_logits(uniforms: jnp.ndarray, x_logit: jnp.ndarray):
-    """Rebuild the uniform tensor with BSDF slots taken from logits."""
+def _with_bsdf_logits(uniforms: jnp.ndarray, x_logit: jnp.ndarray,
+                      exact_primal: bool = False):
+    """Rebuild the uniform tensor with BSDF slots taken from logits.
+
+    ``exact_primal``: only valid when ``x_logit == logit(u_bsdf)`` (the
+    exact-gradient base point, NOT an FD-perturbed one) — substitutes
+    ``u + (sigmoid(x) - stop_grad(sigmoid(x)))``, whose primal is the raw
+    uniform bitwise while the tangent still flows through the sigmoid.
+    Keeps the graded forward trace's radiance bit-identical to a plain
+    ``trace_paths(uniforms)`` without paying a second forward pass."""
     u_bsdf = rng.sigmoid(x_logit)  # (N, D, 2)
+    if exact_primal:
+        raw = jnp.stack(
+            [uniforms[:, :, rng.U_BSDF0], uniforms[:, :, rng.U_BSDF1]],
+            axis=-1,
+        )
+        u_bsdf = raw + (u_bsdf - jax.lax.stop_gradient(u_bsdf))
     return uniforms.at[:, :, rng.U_BSDF0].set(u_bsdf[:, :, 0]).at[
         :, :, rng.U_BSDF1
     ].set(u_bsdf[:, :, 1])
@@ -74,13 +88,16 @@ def grad_log_pdf_exact(scene: Scene, cfg: RenderConfig, origins, directions,
     )  # (N, D, 2)
 
     def total_logpdf(x):
-        u = _with_bsdf_logits(uniforms, x)
+        # exact_primal: the forward values are the raw uniforms bitwise
+        # (gradients still flow through the logit parametrization), so the
+        # aux radiance below equals trace_paths(uniforms) exactly
+        u = _with_bsdf_logits(uniforms, x, exact_primal=True)
         radiance, rec = trace_paths(scene, cfg, origins, directions, u)
         return rec.log_pdf.sum(), (radiance, rec)
 
-    # radiance rides along as aux — the graded forward pass already computes
-    # it (at sigmoid(logit(u)), ulp-identical statistics), so a separate
-    # trace at the raw uniforms would double the forward cost for nothing
+    # radiance rides along as aux — the graded forward pass already
+    # computes it, so a separate trace at the raw uniforms would double
+    # the forward cost for nothing
     (_, (radiance, rec)), grads = jax.value_and_grad(
         total_logpdf, has_aux=True)(x0)
     g = jnp.concatenate([grads[:, :, 0], grads[:, :, 1]], axis=-1)  # (N, 2D)
