@@ -144,6 +144,8 @@ def _bounce(
     split_ok: Optional[jnp.ndarray] = None,  # (N,) bool: deterministic
     # both-branch Fresnel allowed for this lane (fresnel_mode="split");
     # None = stochastic branch selection everywhere (the flagship rule)
+    coherent: bool = False,  # static: this superstep's rays are coherent
+    # camera primaries (depth-0 peel) — see ops/dispatch.scene_intersect
 ):
     mesh = scene.mesh
     mats = scene.materials
@@ -158,7 +160,8 @@ def _bounce(
     from light_transport_tpu.ops.dispatch import scene_intersect
 
     hit = scene_intersect(scene, state.origin, state.direction,
-                          ray_chunk=ray_chunk, active=state.alive)
+                          ray_chunk=ray_chunk, active=state.alive,
+                          coherent=coherent)
     hit_ok = hit.valid & state.alive
     hit_p = state.origin + state.direction * hit.t[:, None]
     hit_p = jnp.where(hit_ok[:, None], hit_p, 0.0)
@@ -473,7 +476,23 @@ def trace_paths(
 
     u_scan = jnp.moveaxis(uniforms, 1, 0)  # (depth, N, NUM_U)
     bounces = jnp.arange(cfg.max_depth, dtype=jnp.int32)
-    final, recs = jax.lax.scan(step, state, (u_scan, bounces))
+    # >MXU_MAX_TRIS scenes: peel bounce 0 out of the scan so the camera
+    # primaries — the one superstep whose rays are a coherent grid — can
+    # carry the static coherent=True dispatch hint (MXU gather-cull wins
+    # 3.2x there; bounce traffic stays on the BVH).  Below the cap the
+    # hint is a no-op, so the single-scan trace is kept unchanged
+    # (bit-identical goldens).
+    from light_transport_tpu.ops.dispatch import MXU_MAX_TRIS
+
+    if scene.mesh.v0.shape[0] > MXU_MAX_TRIS and cfg.max_depth > 0:
+        state, rec0 = _bounce(scene, cfg, state, u_scan[0], bounces[0],
+                              ray_chunk, coherent=True)
+        final, recs = jax.lax.scan(step, state,
+                                   (u_scan[1:], bounces[1:]))
+        recs = tuple(jnp.concatenate([r0[None], r])
+                     for r0, r in zip(rec0, recs))
+    else:
+        final, recs = jax.lax.scan(step, state, (u_scan, bounces))
     record = TraceRecord(
         log_pdf=jnp.moveaxis(recs[0], 0, 1),
         alive=jnp.moveaxis(recs[1], 0, 1),

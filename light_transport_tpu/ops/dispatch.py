@@ -26,8 +26,9 @@ from light_transport_tpu.scene.scene import Scene
 # 4.2M tris and wins 3.2x on coherent camera primaries — but cull-overflow
 # tiles brute-force all clusters, losing 5.6x on sorted-but-spread bounce
 # rays (scripts/bench_mesh_scale.py).  Render traffic past depth 0 is
-# bounce-dominated and dispatch cannot see ray provenance, so >1M routes
-# to the BVH.
+# bounce-dominated and dispatch cannot see ray provenance by default, so
+# >1M routes to the BVH — UNLESS the caller passes ``coherent=True`` (the
+# integrators' depth-0 camera primaries), which rides the MXU at any size.
 MXU_MAX_TRIS = 1_048_576
 
 
@@ -35,18 +36,22 @@ def _platform() -> str:
     return jax.devices()[0].platform
 
 
-def _use_pallas_mxu(scene: Scene) -> bool:
+def _use_pallas_mxu(scene: Scene, coherent: bool = False) -> bool:
     if _platform() == "cpu":
         return False
     t = scene.mesh.v0.shape[0]
     if t > MXU_MAX_TRIS:
-        return False
+        # camera-grid primaries keep tight cull tubes (few admitted
+        # clusters/tile) and beat the BVH 3.2x even at 4.2M tris; spread
+        # rays overflow the A_MAX id lists and lose 5.6x (PERF.md)
+        return coherent
     # tiny scenes: the plain fused VPU brute force is already ~free
     return t > 48
 
 
 def scene_intersect(scene: Scene, origins, directions,
-                    ray_chunk: Optional[int] = None, active=None):
+                    ray_chunk: Optional[int] = None, active=None,
+                    coherent: bool = False):
     """Nearest-hit against the scene; returns Hit (gradients stopped).
 
     ``active``: optional (N,) bool — lanes the caller will ignore anyway
@@ -54,8 +59,13 @@ def scene_intersect(scene: Scene, origins, directions,
     interval (t_max = -inf), so the Pallas cluster cull drops their whole
     footprint instead of intersecting them; they report no hit.  Purely an
     occupancy optimization: callers already mask results with their own
-    alive state."""
-    if _use_pallas_mxu(scene):
+    alive state.
+
+    ``coherent``: static hint that the batch is a coherent camera grid
+    (depth-0 primaries) — routes >MXU_MAX_TRIS scenes to the MXU
+    gather-cull kernel, where primaries beat the roped BVH 3.2x at 4.2M
+    tris (PERF.md §mesh-scale crossover).  No effect below the cap."""
+    if _use_pallas_mxu(scene, coherent):
         from light_transport_tpu.ops.pallas.intersect_kernel import (
             intersect_rays_pallas,
         )

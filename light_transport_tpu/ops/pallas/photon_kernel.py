@@ -75,6 +75,12 @@ _TWO_NEG24 = float(2.0 ** -24)
 # roughly this many bins (measured on v5e: 3 ms vs 28 ms at 4M events, 64x64)
 _HIST_MM_MAX_BINS = 16384
 
+# events per one-hot matmul pass: the (E, n0) and (E, 128) one-hot factors
+# materialize, so an unbounded E OOMs HBM (a stride-1 stream at 32 tiles is
+# ~17M events -> ~10 GB of f32 one-hots).  2^21 events bounds the factor
+# temporaries at ~1.3 GB while keeping per-pass fixed costs amortized.
+_HIST_MM_CHUNK = 1 << 21
+
 
 def _u01(shape):
     """Uniform in [0, 1) from 24 high bits of the hardware PRNG.
@@ -585,34 +591,59 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
     return kernel_body
 
 
-def _hist(bins, vals, n_bins: int):
+def _hist_mm(bins, vals, n_bins: int):
+    """One factorized one-hot matmul pass over <= _HIST_MM_CHUNK events."""
+    n1 = 128 if n_bins % 128 == 0 else 1
+    n0 = n_bins // n1
+    i0 = bins // n1
+    oh0 = (i0[:, None] == jnp.arange(n0)[None, :]).astype(jnp.float32)
+    if n1 == 1:
+        return (oh0 * vals[:, None]).sum(axis=0)
+    i1 = bins - i0 * n1
+    oh1 = (i1[:, None] == jnp.arange(n1)[None, :]).astype(jnp.float32)
+    # TPU f32 matmuls round operands to bf16 by default; a hi/lo split
+    # of the value factor recovers ~2^-16 relative accuracy (measured:
+    # single-pass was 8.7e-4 off the exact scatter fold, split 9e-6)
+    v = oh1 * vals[:, None]
+    v_hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+    out = jnp.dot(oh0.T, v_hi, preferred_element_type=jnp.float32)
+    out = out + jnp.dot(oh0.T, v - v_hi,
+                        preferred_element_type=jnp.float32)
+    return out.reshape(-1)
+
+
+def _hist(bins, vals, n_bins: int, chunk: int = _HIST_MM_CHUNK):
     """Scatter-add (bins, vals) -> (n_bins,), picking the fast path.
 
     For small grids a factorized one-hot matmul runs on the MXU ~10x faster
     than XLA's scatter-add (measured v5e: 3 ms vs 28 ms at 4M events into
     64x64).  The one-hot entries are exact 0/1 and each event contributes
     one product, so the result differs from scatter only in summation order.
+    Event batches beyond ``chunk`` are folded in fixed-size passes so the
+    one-hot temporaries stay memory-bounded (a stride-1 stream at 32 tiles
+    is ~17M events; unchunked, its one-hot factors alone exceed HBM).
     """
     bins = bins.reshape(-1)
     vals = vals.reshape(-1)
     if n_bins <= _HIST_MM_MAX_BINS:
-        n1 = 128 if n_bins % 128 == 0 else 1
-        n0 = n_bins // n1
-        i0 = bins // n1
-        oh0 = (i0[:, None] == jnp.arange(n0)[None, :]).astype(jnp.float32)
-        if n1 == 1:
-            return (oh0 * vals[:, None]).sum(axis=0)
-        i1 = bins - i0 * n1
-        oh1 = (i1[:, None] == jnp.arange(n1)[None, :]).astype(jnp.float32)
-        # TPU f32 matmuls round operands to bf16 by default; a hi/lo split
-        # of the value factor recovers ~2^-16 relative accuracy (measured:
-        # single-pass was 8.7e-4 off the exact scatter fold, split 9e-6)
-        v = oh1 * vals[:, None]
-        v_hi = v.astype(jnp.bfloat16).astype(jnp.float32)
-        out = jnp.dot(oh0.T, v_hi, preferred_element_type=jnp.float32)
-        out = out + jnp.dot(oh0.T, v - v_hi,
-                            preferred_element_type=jnp.float32)
-        return out.reshape(-1)
+        e = bins.shape[0]
+        if e <= chunk:
+            return _hist_mm(bins, vals, n_bins)
+        pad = (-e) % chunk
+        if pad:
+            # bin 0 with value 0 contributes exactly nothing
+            bins = jnp.concatenate([bins, jnp.zeros((pad,), bins.dtype)])
+            vals = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
+        bc = bins.reshape(-1, chunk)
+        vc = vals.reshape(-1, chunk)
+
+        def body(acc, bv):
+            b, v = bv
+            return acc + _hist_mm(b, v, n_bins), None
+
+        out, _ = jax.lax.scan(body, jnp.zeros((n_bins,), jnp.float32),
+                              (bc, vc))
+        return out
     return jnp.zeros((n_bins,), jnp.float32).at[bins].add(vals)
 
 

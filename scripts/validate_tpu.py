@@ -18,8 +18,11 @@ recovers; it batches:
 Exit code 0 = all green.  Keep it fast (~2-4 min after compile).
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -92,10 +95,10 @@ def main():
     from light_transport_tpu.ops.pallas.photon_kernel import (
         LANES,
         ROWS,
-        PallasPhotonEngine,
+        simulate_pallas,
     )
     from light_transport_tpu.scene.medium import LayeredMedium
-    from light_transport_tpu.tally.tallies import PhotonTallies
+    from light_transport_tpu.tally.tallies import counter_value
     from light_transport_tpu.transport.photon import simulate_photons
 
     medium = LayeredMedium.build(
@@ -103,27 +106,20 @@ def main():
     n_photons = 2_000_000
     cfg = PhotonRunConfig(n_photons=n_photons, nr=64, nz=64,
                           dr=0.01, dz=0.01)
-    lanes = ROWS * LANES * 32  # 32 tiles/device; many blocks -> many
-    # counter partials through counter_from_sum
-    eng = PallasPhotonEngine(medium, cfg, lanes, bench_mode=False,
-                             k_steps=64)
-    quota = np.full((eng.n_tiles, 1), n_photons // eng.n_tiles, np.float32)
-    quota[: n_photons - int(quota.sum())] += 1.0
-    state = eng.zero_state()
-    tallies = PhotonTallies.zeros(cfg)
-    q = jnp.asarray(quota)
+    # the production quota loop at 32 tiles: stride-1 streams this size go
+    # through the chunked _hist fold, and ~2e7 total steps push the exact
+    # step counter past 2^24 (the int32 word-sum path)
     t0 = time.time()
-    for b in range(400):
-        state, outs, counters = eng.run_block(state, 17 + b * 65537, q)
-        tallies = eng.accumulate(tallies, outs, counters)
-        q = counters[:, 3:4]
-        if b % 50 == 49 and not bool(
-                jnp.any(q > 0) | jnp.any(state[6] > 0.0)):
-            break
+    tallies = simulate_pallas(medium, cfg, seed=17,
+                              lanes=ROWS * LANES * 32, k_steps=64)
     launched = tallies.n_launched
+    steps = counter_value(tallies.steps)
     print(f"pallas launched={launched} (want {n_photons}), "
+          f"steps={steps:.0f} (two-word counter "
+          f"{'exercised' if steps > 2**24 else 'NOT exercised'}), "
           f"{time.time()-t0:.1f}s", flush=True)
     ok &= launched == n_photons
+    ok &= steps > 2 ** 24
     r_pal = float(tallies.total_reflectance())
     xla = simulate_photons(medium, PhotonRunConfig(
         n_photons=500_000, nr=64, nz=64, dr=0.01, dz=0.01),

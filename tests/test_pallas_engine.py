@@ -238,3 +238,28 @@ def test_dispatch_active_mask_gates_dead_lanes():
     np.testing.assert_array_equal(np.asarray(occ_gated)[a],
                                   np.asarray(occ_full)[a])
     assert not np.asarray(occ_gated)[~a].any()
+
+
+def test_hist_chunked_matches_scatter():
+    """The chunked one-hot matmul fold equals the exact scatter-add.
+
+    Chunking exists so unbounded event streams (stride-1 at many tiles,
+    ~17M events) never materialize multi-GB one-hot factors; a small
+    chunk override exercises the pad + scan fold on CPU-sized inputs.
+    """
+    import jax.numpy as jnp
+
+    from light_transport_tpu.ops.pallas.photon_kernel import _hist
+
+    rng = np.random.default_rng(7)
+    n_bins = 64 * 64
+    e = 10_000  # not a multiple of chunk -> exercises zero-padding
+    bins = jnp.asarray(rng.integers(0, n_bins, e), jnp.int32)
+    vals = jnp.asarray(rng.uniform(0.0, 1.0, e), jnp.float32)
+    exact = np.zeros(n_bins, np.float32)
+    np.add.at(exact, np.asarray(bins), np.asarray(vals))
+    chunked = np.asarray(_hist(bins, vals, n_bins, chunk=1024))
+    one_pass = np.asarray(_hist(bins, vals, n_bins))
+    np.testing.assert_allclose(chunked, exact, rtol=0, atol=1e-3)
+    np.testing.assert_allclose(chunked, one_pass, rtol=0, atol=1e-3)
+    assert chunked.sum() == pytest.approx(float(vals.sum()), rel=1e-6)
