@@ -32,24 +32,11 @@ from light_transport_tpu.ops.dispatch import _chunked_bvh
 
 
 def big_sphere(nt, nph):
-    th = np.linspace(0.0, np.pi, nt + 1)
-    ph = np.linspace(0.0, 2 * np.pi, nph, endpoint=False)
-    pts = np.stack([np.sin(th)[:, None] * np.cos(ph)[None, :],
-                    np.cos(th)[:, None] * np.ones((nph,))[None, :],
-                    np.sin(th)[:, None] * np.sin(ph)[None, :]], -1)
-    roll = np.roll(np.arange(nph), -1)
-    a = pts[:-1, :]
-    b = pts[:-1, roll]
-    c = pts[1:, roll]
-    d = pts[1:, :]
-    t1 = np.stack([a, b, c], 2)[1:].reshape(-1, 3, 3)
-    t2 = np.stack([a, c, d], 2)[:-1].reshape(-1, 3, 3)
     # a smooth convex UV sphere: friendly for cluster culling, so the
     # measured crossover is an optimistic bound for the MXU path
-    # (vectorized fork of scene/cornell.sphere_triangles — the per-quad
-    # loop there takes minutes at 4M triangles)
-    tris = np.concatenate([t1, t2]).astype(np.float64)
-    return tris
+    from light_transport_tpu.scene.geometry import uv_sphere_triangles
+
+    return uv_sphere_triangles(n_theta=nt, n_phi=nph)
 
 
 def main():

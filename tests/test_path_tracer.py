@@ -390,3 +390,32 @@ def test_emission_color_consistent_across_estimators():
     # tint * grey — same hue
     np.testing.assert_allclose(nee / nee[1], np.asarray(tint) / tint[1],
                                rtol=1e-3)
+
+
+def test_depth0_peel_is_estimator_noop(small_scene, monkeypatch):
+    """>MXU_MAX_TRIS scenes peel bounce 0 out of the scan so primaries can
+    carry the static coherent=True dispatch hint.  The peel must not change
+    the estimator: same uniforms -> same radiance and records (off-TPU both
+    branches run the same intersector, isolating the restructure itself)."""
+    from light_transport_tpu.integrators import path_tracer as pt
+    from light_transport_tpu.ops import dispatch
+
+    scene, cfg = small_scene
+    n = 96
+    key = jax.random.key(11)
+    u = rng.path_uniforms(key, n, cfg.max_depth)
+    u_aa = jax.random.uniform(jax.random.fold_in(key, 1), (n, 2))
+    o, d = camera_rays(scene, cfg, jnp.tile(
+        u_aa, (cfg.height * cfg.width * cfg.spp // n, 1)))
+    o, d = o[:n], d[:n]
+
+    rad_scan, rec_scan = trace_paths(scene, cfg, o, d, u)
+    monkeypatch.setattr(dispatch, "MXU_MAX_TRIS", 1)  # force the peel
+    rad_peel, rec_peel = trace_paths(scene, cfg, o, d, u)
+    np.testing.assert_allclose(np.asarray(rad_peel), np.asarray(rad_scan),
+                               rtol=0, atol=1e-6)
+    # scan vs unrolled bounce reassociates float ops: records match to a
+    # few ulps, not bitwise
+    for a, b in zip(rec_scan, rec_peel):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=1e-5)

@@ -92,3 +92,21 @@ def test_logit_sigmoid_roundtrip():
     np.testing.assert_allclose(
         np.asarray(rng.sigmoid(rng.logit(u))), np.asarray(u), atol=1e-5
     )
+
+
+def test_uv_sphere_matches_loop_builder():
+    """The vectorized uv_sphere_triangles must reproduce the per-quad loop
+    builder (scene/cornell.sphere_triangles) exactly — same band layout,
+    same pole-quad degenerate halves skipped."""
+    from light_transport_tpu.scene.cornell import sphere_triangles
+    from light_transport_tpu.scene.geometry import uv_sphere_triangles
+
+    loop = sphere_triangles(center=(0.5, -1.0, 2.0), radius=1.7,
+                            n_theta=7, n_phi=9)
+    vec = uv_sphere_triangles(center=(0.5, -1.0, 2.0), radius=1.7,
+                              n_theta=7, n_phi=9)
+    assert vec.shape == loop.shape
+    # the loop interleaves upper/lower per quad; compare as sets of rows
+    lv = np.asarray(sorted(loop.reshape(-1, 9).tolist()))
+    vv = np.asarray(sorted(vec.reshape(-1, 9).tolist()))
+    np.testing.assert_allclose(vv, lv, rtol=0, atol=1e-12)
