@@ -172,6 +172,27 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
     # launch specular reflection (normal incidence)
     r_sp = ((n_above - n_tab[0]) / (n_above + n_tab[0])) ** 2
     w0 = 1.0 - r_sp
+    # derived per-layer tables baked at trace time: the VPU-bound step loop
+    # (PERF.md §block-count asymptote) replaces per-step divides with table
+    # lookups — 1/mu_t (hop length), mu_a/mu_t (drop fraction), the HG
+    # constants, and eta = n1/n2 for each crossing direction (which also
+    # lets rs/rp be computed in the eta-normalized form, dropping the n2
+    # select chain entirely)
+    inv_mu_t = tuple(1.0 / max(m, 1e-12) for m in mu_t)
+    albedo_a = tuple(a / max(m, 1e-12) for a, m in zip(mu_a, mu_t))
+    one_m_g2 = tuple(1.0 - gg * gg for gg in g_tab)
+    one_p_g2 = tuple(1.0 + gg * gg for gg in g_tab)
+    inv_2g = tuple(0.5 / (1.0 if abs(gg) < 1e-3 else gg) for gg in g_tab)
+
+    def _n_of(l):
+        if l < 0:
+            return n_above
+        if l >= num_layers:
+            return n_below
+        return n_tab[l]
+
+    eta_dn = tuple(n_tab[l] / _n_of(l + 1) for l in range(num_layers))
+    eta_up = tuple(n_tab[l] / _n_of(l - 1) for l in range(num_layers))
     nr, nz = cfg.nr, cfg.nz
     inv_dr, inv_dz = 1.0 / cfg.dr, 1.0 / cfg.dz
     wthresh = cfg.weight_threshold
@@ -364,10 +385,9 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
 
             # ---- hop -------------------------------------------------------
             mu_t_l = tab(mu_t, layer)
-            mu_a_l = tab(mu_a, layer)
             g_l = tab(g_tab, layer)
             tau_new = jnp.where(tau > 0.0, tau, -jnp.log1p(-u_tau))
-            s = tau_new / jnp.maximum(mu_t_l, 1e-12)
+            s = tau_new * tab(inv_mu_t, layer)
             zb = jnp.where(uz > 0.0, tab(z_bot, layer), tab(z_top, layer))
             safe_uz = jnp.where(jnp.abs(uz) < 1e-12, 1.0, uz)
             db = jnp.where(jnp.abs(uz) < 1e-12, jnp.inf,
@@ -386,23 +406,27 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
 
             # ---- drop + spin (scatter lanes) --------------------------------
             scat = alive & ~hits_b
-            dw = jnp.where(scat, w * mu_a_l / jnp.maximum(mu_t_l, 1e-12), 0.0)
+            dw = jnp.where(scat, w * tab(albedo_a, layer), 0.0)
             w = w - dw
             absorbed += jnp.sum(dw)
 
-            g_safe = jnp.where(jnp.abs(g_l) < 1e-3, 1.0, g_l)
-            frac = (1.0 - g_l * g_l) / (1.0 - g_l + 2.0 * g_l * u_hg)
+            frac = tab(one_m_g2, layer) / (1.0 - g_l + 2.0 * g_l * u_hg)
             cos_t = jnp.clip(
                 jnp.where(
                     jnp.abs(g_l) < 1e-3,
                     2.0 * u_hg - 1.0,
-                    (1.0 + g_l * g_l - frac * frac) / (2.0 * g_safe),
+                    (tab(one_p_g2, layer) - frac * frac)
+                    * tab(inv_2g, layer),
                 ),
                 -1.0, 1.0,
             )
             sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
             phi = 2.0 * np.pi * u_phi
-            cp, sp = jnp.cos(phi), jnp.sin(phi)
+            # sin from cos + the half-range sign of phi (saves the second
+            # polynomial expansion; phi is uniform so the pairing is exact)
+            cp = jnp.cos(phi)
+            sp = jnp.sqrt(jnp.maximum(0.0, 1.0 - cp * cp))
+            sp = jnp.where(u_phi <= 0.5, sp, -sp)
             # rotate about current direction (branchless frame)
             sgn = jnp.where(uz >= 0.0, 1.0, -1.0)
             a = -1.0 / (sgn + uz)
@@ -420,26 +444,25 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             # roulette after drop
             low = scat & (w < wthresh)
             surv = u_rr < rr_surv
-            w = jnp.where(low & surv, w / rr_surv, w)
+            w = jnp.where(low & surv, w * (1.0 / rr_surv), w)
             w = jnp.where(low & ~surv, 0.0, w)
 
             # ---- boundary lanes ---------------------------------------------
+            # eta = n1/n2 comes from the direction-keyed bake-time tables;
+            # rs/rp are the eta-normalized Fresnel forms (divide both the
+            # numerator and denominator of the textbook expressions by n2)
             going_down = uz > 0.0
             next_layer = jnp.where(going_down, layer + 1, layer - 1)
-            n1 = tab(n_tab, layer)
-            n2 = jnp.full(layer.shape, n_above, jnp.float32)
-            for l in range(num_layers):
-                n2 = jnp.where(next_layer == l, n_tab[l], n2)
-            n2 = jnp.where(next_layer < 0, n_above, n2)
-            n2 = jnp.where(next_layer >= num_layers, n_below, n2)
+            eta = jnp.where(going_down, tab(eta_dn, layer),
+                            tab(eta_up, layer))
             cos_i = jnp.abs(uz)
-            sin_t2 = (n1 / n2) ** 2 * (1.0 - cos_i * cos_i)
+            sin_t2 = eta * eta * (1.0 - cos_i * cos_i)
             tir = sin_t2 >= 1.0
             cos_tr = jnp.sqrt(jnp.maximum(1.0 - sin_t2, 0.0))
-            rs = (n1 * cos_i - n2 * cos_tr) / jnp.maximum(
-                n1 * cos_i + n2 * cos_tr, 1e-12)
-            rp = (n1 * cos_tr - n2 * cos_i) / jnp.maximum(
-                n1 * cos_tr + n2 * cos_i, 1e-12)
+            rs = (eta * cos_i - cos_tr) / jnp.maximum(
+                eta * cos_i + cos_tr, 1e-12)
+            rp = (eta * cos_tr - cos_i) / jnp.maximum(
+                eta * cos_tr + cos_i, 1e-12)
             refl_p = jnp.where(tir, 1.0, jnp.clip(0.5 * (rs * rs + rp * rp),
                                                   0.0, 1.0))
             do_refl = u_fr < refl_p
@@ -447,7 +470,6 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
                 (next_layer < 0) | (next_layer >= num_layers))
             exit_top = exits & ~going_down
             transmit_in = hits_b & ~do_refl & ~exits
-            eta = n1 / n2
 
             # ---- merge direction / layer / weight ---------------------------
             ux = jnp.where(scat, ndx, jnp.where(hits_b & ~do_refl, ux * eta, ux))
@@ -919,6 +941,7 @@ def simulate_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
                     max_blocks: int = 200_000,
                     k_steps: int = K_STEPS,
                     chunk_blocks: int = 4,
+                    unroll: int = 1,
                     timings: dict = None):
     """Unbiased run of cfg.n_photons via per-tile launch quotas.
 
@@ -931,7 +954,7 @@ def simulate_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
     lanes = min(lanes, max(ROWS * LANES,
                            (cfg.n_photons // (ROWS * LANES)) * ROWS * LANES))
     eng = PallasPhotonEngine(medium, cfg, lanes, bench_mode=False,
-                             k_steps=k_steps)
+                             k_steps=k_steps, unroll=unroll)
     base = cfg.n_photons // eng.n_tiles
     rem = cfg.n_photons - base * eng.n_tiles
     assert base + 1 < 2 ** 24, "per-tile quota must stay exact in f32"

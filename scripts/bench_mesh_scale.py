@@ -13,9 +13,13 @@ Usage: python scripts/bench_mesh_scale.py [--nt 1450] [--rays 1048576]
 """
 
 import argparse
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
