@@ -28,6 +28,9 @@ def _add_render(sub):
     p.add_argument("--spp", type=int)
     p.add_argument("--max-depth", type=int, dest="max_depth")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sampler", choices=["uniform", "sobol"],
+                   help="random-input construction for the path tracer "
+                        "(sobol = padded Owen-scrambled QMC, ops/qmc.py)")
     p.add_argument("--sharded", action="store_true",
                    help="shard lanes over all devices")
     p.add_argument("--out", default="render.png")
@@ -81,9 +84,13 @@ def main(argv=None):
         scene, cfg = P.PRESETS[args.preset]()
         overrides = {
             k: getattr(args, k)
-            for k in ("width", "height", "spp", "max_depth")
+            for k in ("width", "height", "spp", "max_depth", "sampler")
             if getattr(args, k) is not None
         }
+        if args.sampler == "sobol" and args.integrator != "path":
+            parser.error(
+                f"--sampler sobol applies to the path tracer only "
+                f"(got --integrator {args.integrator})")
         if overrides:
             cfg = dataclasses.replace(cfg, **overrides)
         if args.sharded and args.integrator != "path":

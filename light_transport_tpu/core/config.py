@@ -56,6 +56,13 @@ class RenderConfig:
     # stack (path_tracer.trace_paths_split).  Lower variance on glass at
     # equal spp; costs extra supersteps for the deferred branches.
     fresnel_mode: str = "stochastic"
+    # 'uniform': threefry pseudo-random tensors — the reference's pre-drawn
+    # ``scene.rand_0/rand_1`` contract (src/scene.py:68-71);
+    # 'sobol': padded Owen-scrambled Sobol' points in the SAME tensors
+    # (ops/qmc.py) — every 2-D decision (AA jitter, BSDF hemisphere, light
+    # surface point, ...) becomes a (0,2)-sequence, cutting pixel variance
+    # on smooth integrands at equal spp (power-of-two spp stratifies best).
+    sampler: str = "uniform"
     seed: int = 0
 
     @property

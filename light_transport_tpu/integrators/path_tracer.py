@@ -655,12 +655,29 @@ def _camera_lanes(scene: Scene, cfg: RenderConfig, key: jax.Array):
     """AA-jittered camera-ray lanes + path uniforms — the shared render
     preamble, so the lane layout and key-split convention live in exactly
     one place (render_image / render_with_detectors / render_image_split
-    used to carry three drifting copies)."""
+    used to carry three drifting copies).
+
+    ``cfg.sampler`` selects the random-input construction: "uniform" keeps
+    the reference's pre-drawn-tensor contract with threefry draws
+    (src/scene.py:68-71); "sobol" fills the SAME tensors with padded
+    Owen-scrambled Sobol' points (ops/qmc.py) — tracing stays a pure
+    function of the tensors either way."""
     n = cfg.height * cfg.width * cfg.spp
-    k_aa, k_u = jax.random.split(key)
-    u_aa = jax.random.uniform(k_aa, (n, 2), dtype=scene.camera.dtype)
-    uniforms = rng.path_uniforms(k_u, n, cfg.max_depth,
-                                 dtype=scene.camera.dtype)
+    if cfg.sampler == "sobol":
+        from light_transport_tpu.ops import qmc
+
+        seed_bits = jax.random.bits(key, dtype=jnp.uint32)
+        u_aa, uniforms = qmc.render_uniforms(
+            seed_bits, cfg.height, cfg.width, cfg.spp, cfg.max_depth,
+            dtype=scene.camera.dtype)
+    elif cfg.sampler == "uniform":
+        k_aa, k_u = jax.random.split(key)
+        u_aa = jax.random.uniform(k_aa, (n, 2), dtype=scene.camera.dtype)
+        uniforms = rng.path_uniforms(k_u, n, cfg.max_depth,
+                                     dtype=scene.camera.dtype)
+    else:
+        raise ValueError(
+            f"unknown sampler {cfg.sampler!r} (expected 'uniform' or 'sobol')")
     origins, directions = camera_rays(scene, cfg, u_aa)
     return origins, directions, uniforms
 
