@@ -641,17 +641,20 @@ def render_image_split(
     cfg: RenderConfig,
     key: jax.Array,
     ray_chunk: Optional[int] = None,
+    sample_offset=0,
 ):
     """Render with ``fresnel_mode="split"`` (host-driven; see
     :func:`trace_paths_split`).  Same image contract as
     :func:`render_image`."""
-    origins, directions, uniforms = _camera_lanes(scene, cfg, key)
+    origins, directions, uniforms = _camera_lanes(scene, cfg, key,
+                                                  sample_offset)
     radiance = trace_paths_split(scene, cfg, origins, directions, uniforms,
                                  ray_chunk=ray_chunk)
     return _to_image(radiance, cfg)[0]
 
 
-def _camera_lanes(scene: Scene, cfg: RenderConfig, key: jax.Array):
+def _camera_lanes(scene: Scene, cfg: RenderConfig, key: jax.Array,
+                  sample_offset=0):
     """AA-jittered camera-ray lanes + path uniforms — the shared render
     preamble, so the lane layout and key-split convention live in exactly
     one place (render_image / render_with_detectors / render_image_split
@@ -669,7 +672,7 @@ def _camera_lanes(scene: Scene, cfg: RenderConfig, key: jax.Array):
         seed_bits = jax.random.bits(key, dtype=jnp.uint32)
         u_aa, uniforms = qmc.render_uniforms(
             seed_bits, cfg.height, cfg.width, cfg.spp, cfg.max_depth,
-            dtype=scene.camera.dtype)
+            dtype=scene.camera.dtype, sample_offset=sample_offset)
     elif cfg.sampler == "uniform":
         k_aa, k_u = jax.random.split(key)
         u_aa = jax.random.uniform(k_aa, (n, 2), dtype=scene.camera.dtype)
@@ -725,14 +728,19 @@ def render_image(
     key: jax.Array,
     ray_chunk: Optional[int] = None,
     return_samples: bool = False,
+    sample_offset=0,
 ):
     """Render the scene: returns ``image (H, W, 3)`` clipped to [0, 1]
     (reference: np.clip at src/path_tracing.py:305), and optionally the raw
     per-sample radiances ``(H, W, spp, 3)``.
 
     jitted end-to-end (cfg static) — one device dispatch per render.
+    ``sample_offset`` (traced int): sobol-sampler passes cover QMC sample
+    indices ``[offset, offset+spp)`` — see :func:`render_progressive`;
+    ignored by the uniform sampler.
     """
-    origins, directions, uniforms = _camera_lanes(scene, cfg, key)
+    origins, directions, uniforms = _camera_lanes(scene, cfg, key,
+                                                  sample_offset)
     radiance, _ = trace_paths(
         scene, cfg, origins, directions, uniforms, ray_chunk=ray_chunk
     )
@@ -773,19 +781,30 @@ def render_progressive(
     n_passes: int = 4,
     ray_chunk: Optional[int] = None,
 ):
-    """Progressive refinement: average ``n_passes`` independent renders.
+    """Progressive refinement: average ``n_passes`` renders.
 
     The TPU-native form of the reference's cross-invocation accumulation
     ``image += 0.25 * clip(color)`` (src/path_tracing_fix1.py:166) — each
     pass uses a folded key, so re-running with more passes only adds
     samples.  Returns the running average image.
+
+    With ``cfg.sampler="sobol"`` the passes instead share one key and
+    advance ``sample_offset`` by ``spp`` per pass, continuing a SINGLE
+    QMC point set: the k-pass average equals the one-shot k*spp render
+    exactly (same points, so the O(1/n) stratification keeps compounding
+    across passes — independent realizations would fall back to averaging
+    k estimates of 1/spp quality).
     """
     # honor cfg.fresnel_mode the same way api.render does
     render_one = (render_image_split if cfg.fresnel_mode == "split"
                   else render_image)
+    qmc_seq = cfg.sampler == "sobol"
     acc = None
     for p in range(n_passes):
-        img = render_one(scene, cfg, jax.random.fold_in(key, p),
-                         ray_chunk=ray_chunk)
+        img = render_one(
+            scene, cfg, key if qmc_seq else jax.random.fold_in(key, p),
+            ray_chunk=ray_chunk,
+            sample_offset=jnp.asarray(p * cfg.spp if qmc_seq else 0,
+                                      jnp.int32))
         acc = img if acc is None else acc + img
     return acc / n_passes

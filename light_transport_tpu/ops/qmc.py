@@ -174,7 +174,7 @@ _PAIRS_PER_BOUNCE = 4
 
 
 def render_uniforms(seed, height: int, width: int, spp: int, max_depth: int,
-                    dtype=jnp.float32):
+                    dtype=jnp.float32, sample_offset=0):
     """The QMC drop-in for a render's random inputs.
 
     Returns ``(u_aa (N, 2), uniforms (N, max_depth, NUM_U))`` with the
@@ -183,11 +183,19 @@ def render_uniforms(seed, height: int, width: int, spp: int, max_depth: int,
     to the threefry draws they replace, so tracing stays a pure function
     of the tensors and every estimator (CV gradients included) is
     unchanged.  ``seed``: uint32 scalar (traced ok).
+
+    ``sample_offset`` (int, traced ok): this pass covers sample indices
+    ``[offset, offset + spp)`` of the per-(pixel, pair) sequences, so
+    progressive accumulation at the same seed continues ONE point set —
+    averaging k offset passes of spp samples reproduces the single
+    k*spp-spp render exactly (path_tracer.render_progressive uses this).
     """
     n_pix = height * width
     seed = jnp.asarray(seed, _U32)
     pixel = jnp.tile(jnp.arange(n_pix, dtype=jnp.int32), spp)
-    sample = jnp.repeat(jnp.arange(spp, dtype=jnp.int32), n_pix)
+    sample = jnp.repeat(
+        jnp.asarray(sample_offset, jnp.int32)
+        + jnp.arange(spp, dtype=jnp.int32), n_pix)
 
     ax, ay = scrambled_pair(pixel, sample, 0, seed, dtype)
     u_aa = jnp.stack([ax, ay], axis=-1)

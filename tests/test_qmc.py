@@ -120,6 +120,26 @@ def test_sobol_render_beats_uniform_on_cornell():
     assert mse["sobol"] < 0.75 * mse["uniform"], mse
 
 
+def test_progressive_sobol_continues_one_point_set():
+    """With sampler="sobol", offset passes must produce exactly the
+    one-shot point set: the per-sample radiances of two spp=8 passes at
+    offsets 0/8 equal the spp=16 render's samples (the averaged images
+    differ only by the documented per-pass clip)."""
+    from light_transport_tpu.integrators.path_tracer import render_image
+    from light_transport_tpu.scene.cornell import cornell_box_scene
+
+    scene, cfg = cornell_box_scene(width=8, height=8, spp=8, max_depth=2)
+    c8 = dataclasses.replace(cfg, sampler="sobol")
+    c16 = dataclasses.replace(cfg, sampler="sobol", spp=16)
+    key = jax.random.key(11)
+    _, s0 = render_image(scene, c8, key, return_samples=True)
+    _, s1 = render_image(scene, c8, key, return_samples=True,
+                         sample_offset=jnp.asarray(8, jnp.int32))
+    _, s16 = render_image(scene, c16, key, return_samples=True)
+    both = np.concatenate([np.asarray(s0), np.asarray(s1)], axis=2)
+    np.testing.assert_allclose(both, np.asarray(s16), atol=1e-6)
+
+
 def test_sampler_rejects_unknown():
     from light_transport_tpu.integrators.path_tracer import render_image
     from light_transport_tpu.scene.cornell import cornell_box_scene
