@@ -64,14 +64,17 @@ def main():
     print(f"scene+bvh build {time.perf_counter()-t0:.1f}s", flush=True)
 
     def steady(label):
-        jax.block_until_ready(lt.render(scene, cfg, seed=0))  # compile+warm
+        # force with a host fetch, not block_until_ready: in some tunnel
+        # phases block_until_ready returns before the work runs and rows
+        # read ~0 s (PERF.md §mesh-scale re-measure)
+        np.asarray(lt.render(scene, cfg, seed=0))  # compile+warm
         best, img = 1e9, None
         for _ in range(2):
             t0 = time.perf_counter()
-            img = jax.block_until_ready(lt.render(scene, cfg, seed=0))
+            img = np.asarray(lt.render(scene, cfg, seed=0))
             best = min(best, time.perf_counter() - t0)
         print(f"{label}: {best:.2f} s steady", flush=True)
-        return best, np.asarray(img)
+        return best, img
 
     t_hint, img_hint = steady("A (coherent-hint primaries on MXU)")
 

@@ -92,13 +92,17 @@ def main():
             mesh, o, d, tm)
 
     def steady(fn, *a, reps=2):
-        jax.block_until_ready(fn(*a))  # compile + warm: drain the warmup
-        # execution too, or the first timed rep also waits it out (with
-        # reps=1 that doubled the reported time — advisor r3)
+        # force with a host fetch of a result-dependent scalar, NOT just
+        # block_until_ready: in some tunnel phases block_until_ready
+        # returns before the work runs (PERF.md's impossible-microbench
+        # caution) and every row reads 0.00 s
+        force = lambda h: float(jnp.sum(h.t[:8]))
+        force(fn(*a))  # compile + drain the warmup execution
         best = 1e9
         for _ in range(reps):
             t0 = time.perf_counter()
-            h = jax.block_until_ready(fn(*a))
+            h = fn(*a)
+            force(h)
             best = min(best, time.perf_counter() - t0)
         return best, h
 
