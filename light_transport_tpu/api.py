@@ -24,9 +24,14 @@ def render(
     ray_chunk: Optional[int] = None,
 ):
     """Render a camera image. ``integrator``: 'path' (flagship NEE path
-    tracer), 'whitted' (legacy recursive ray tracer), or 'bdpt'."""
+    tracer), 'adaptive' (path tracer + variance-driven per-pixel budget),
+    'whitted' (legacy recursive ray tracer), or 'bdpt'."""
     cfg = cfg or RenderConfig()
     key = jax.random.key(cfg.seed if seed is None else seed)
+    if integrator == "adaptive":
+        from light_transport_tpu.integrators.adaptive import render_adaptive
+
+        return render_adaptive(scene, cfg, key, ray_chunk=ray_chunk)
     if integrator == "path":
         if cfg.fresnel_mode == "split":
             from light_transport_tpu.integrators.path_tracer import (

@@ -22,7 +22,7 @@ def _add_render(sub):
     p = sub.add_parser("render", help="render a camera image")
     p.add_argument("--preset", default="lts", choices=["lts", "glass", "mesh"])
     p.add_argument("--integrator", default="path",
-                   choices=["path", "whitted", "bdpt", "cv"])
+                   choices=["path", "adaptive", "whitted", "bdpt", "cv"])
     p.add_argument("--width", type=int)
     p.add_argument("--height", type=int)
     p.add_argument("--spp", type=int)
@@ -87,7 +87,8 @@ def main(argv=None):
             for k in ("width", "height", "spp", "max_depth", "sampler")
             if getattr(args, k) is not None
         }
-        if args.sampler == "sobol" and args.integrator != "path":
+        if args.sampler == "sobol" and args.integrator not in (
+                "path", "adaptive"):
             parser.error(
                 f"--sampler sobol applies to the path tracer only "
                 f"(got --integrator {args.integrator})")

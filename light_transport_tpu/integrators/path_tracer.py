@@ -704,13 +704,24 @@ def camera_rays(scene: Scene, cfg: RenderConfig, u_aa: jnp.ndarray):
 
     ``u_aa``: (N, 2) with N = H*W*spp.  Returns (origins, dirs) each (N, 3).
     """
+    # lane layout: s-major [(s, i, j)] -> reshape (spp, H, W)
+    n_pix = cfg.height * cfg.width
+    pixel_ids = jnp.tile(jnp.arange(n_pix, dtype=jnp.int32), cfg.spp)
+    return _pixel_camera_rays(scene, cfg, pixel_ids, u_aa)
+
+
+def _pixel_camera_rays(scene: Scene, cfg: RenderConfig,
+                       pixel_ids: jnp.ndarray, u_aa: jnp.ndarray):
+    """Camera rays for explicit pixel ids (row-major ``i*W + j``): the
+    lane-level form of :func:`camera_rays` (same linspace grid, same
+    jitter rule — gathered instead of tiled, bitwise-equal values), used
+    by the adaptive renderer's non-uniform lane→pixel maps."""
     left, right, top, bottom = cfg.screen_bounds
     dtype = scene.camera.dtype
     xs = jnp.linspace(left, right, cfg.width, dtype=dtype)
     ys = jnp.linspace(top, bottom, cfg.height, dtype=dtype)
-    px = jnp.tile(jnp.repeat(xs[None, :], cfg.height, axis=0).reshape(-1), cfg.spp)
-    py = jnp.tile(jnp.repeat(ys, cfg.width), cfg.spp)
-    # lane layout: s-major [(s, i, j)] -> reshape (spp, H, W)
+    px = xs[pixel_ids % cfg.width]
+    py = ys[pixel_ids // cfg.width]
     jx = u_aa[:, 0] / cfg.width
     jy = u_aa[:, 1] / cfg.height
     pixel = jnp.stack(

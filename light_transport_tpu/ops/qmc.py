@@ -47,6 +47,7 @@ __all__ = [
     "sobol2d",
     "owen_scramble",
     "scrambled_pair",
+    "lane_uniforms",
     "render_uniforms",
 ]
 
@@ -173,6 +174,31 @@ def scrambled_pair(pixel, sample, pair, seed, dtype=jnp.float32):
 _PAIRS_PER_BOUNCE = 4
 
 
+def lane_uniforms(seed, pixel, sample, max_depth: int, dtype=jnp.float32):
+    """Per-lane QMC random inputs for arbitrary (pixel, sample) pairs.
+
+    The lane-level generalization of :func:`render_uniforms`: ``pixel``
+    and ``sample`` are (N,) int arrays — any pixel may appear any number
+    of times with any sample indices (the adaptive renderer allocates
+    lanes to pixels non-uniformly and resumes each pixel's OWN sequence
+    at its running sample count).  Returns ``(u_aa (N, 2),
+    uniforms (N, max_depth, NUM_U))`` — point values depend only on
+    (seed, pixel, sample), never on the allocation.
+    """
+    seed = jnp.asarray(seed, _U32)
+    ax, ay = scrambled_pair(pixel, sample, 0, seed, dtype)
+    u_aa = jnp.stack([ax, ay], axis=-1)
+    slots = []
+    for b in range(max_depth):
+        for p in range(_PAIRS_PER_BOUNCE):
+            pair_id = 1 + b * _PAIRS_PER_BOUNCE + p
+            x, y = scrambled_pair(pixel, sample, pair_id, seed, dtype)
+            slots.extend([x, y])
+    u = jnp.stack(slots, axis=-1).reshape(
+        pixel.shape[0], max_depth, 2 * _PAIRS_PER_BOUNCE)
+    return u_aa, u[..., : _rng.NUM_U]
+
+
 def render_uniforms(seed, height: int, width: int, spp: int, max_depth: int,
                     dtype=jnp.float32, sample_offset=0):
     """The QMC drop-in for a render's random inputs.
@@ -191,21 +217,8 @@ def render_uniforms(seed, height: int, width: int, spp: int, max_depth: int,
     k*spp-spp render exactly (path_tracer.render_progressive uses this).
     """
     n_pix = height * width
-    seed = jnp.asarray(seed, _U32)
     pixel = jnp.tile(jnp.arange(n_pix, dtype=jnp.int32), spp)
     sample = jnp.repeat(
         jnp.asarray(sample_offset, jnp.int32)
         + jnp.arange(spp, dtype=jnp.int32), n_pix)
-
-    ax, ay = scrambled_pair(pixel, sample, 0, seed, dtype)
-    u_aa = jnp.stack([ax, ay], axis=-1)
-
-    slots = []
-    for b in range(max_depth):
-        for p in range(_PAIRS_PER_BOUNCE):
-            pair_id = 1 + b * _PAIRS_PER_BOUNCE + p
-            x, y = scrambled_pair(pixel, sample, pair_id, seed, dtype)
-            slots.extend([x, y])
-    u = jnp.stack(slots, axis=-1).reshape(
-        pixel.shape[0], max_depth, 2 * _PAIRS_PER_BOUNCE)
-    return u_aa, u[..., : _rng.NUM_U]
+    return lane_uniforms(seed, pixel, sample, max_depth, dtype)
