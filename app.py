@@ -46,7 +46,10 @@ def main() -> int:
         "Scene", ["lts (Cornell + cone)", "glass", "teapot (OBJ)"]
     )
     integrator = st.sidebar.selectbox(
-        "Integrator", ["path", "whitted", "bdpt", "cv"]
+        "Integrator", ["path", "adaptive", "whitted", "bdpt", "cv"]
+    )
+    sampler = st.sidebar.selectbox(
+        "Sampler (path/adaptive)", ["uniform", "sobol"]
     )
     width = st.sidebar.slider("Width", 32, 512, 150, step=16)
     height = st.sidebar.slider("Height", 32, 512, 150, step=16)
@@ -59,7 +62,9 @@ def main() -> int:
         t0 = time.time()
         scene, cfg = _build_scene(scene_name, uploaded)
         cfg = dataclasses.replace(
-            cfg, width=width, height=height, spp=spp, max_depth=max_depth
+            cfg, width=width, height=height, spp=spp, max_depth=max_depth,
+            sampler=sampler if integrator in ("path", "adaptive")
+            else "uniform",
         )
         if integrator == "cv":
             from light_transport_tpu.integrators.control_variates import render_cv

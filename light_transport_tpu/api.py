@@ -31,7 +31,12 @@ def render(
     if integrator == "adaptive":
         from light_transport_tpu.integrators.adaptive import render_adaptive
 
-        return render_adaptive(scene, cfg, key, ray_chunk=ray_chunk)
+        # largest round count <= 4 that divides the budget exactly (the
+        # renderer requires spp % rounds == 0 for a static per-round lane
+        # count); spp=1 degrades to a single uniform round
+        rounds = next(r for r in (4, 3, 2, 1) if cfg.spp % r == 0)
+        return render_adaptive(scene, cfg, key, rounds=rounds,
+                               ray_chunk=ray_chunk)
     if integrator == "path":
         if cfg.fresnel_mode == "split":
             from light_transport_tpu.integrators.path_tracer import (

@@ -31,6 +31,10 @@ def _add_render(sub):
     p.add_argument("--sampler", choices=["uniform", "sobol"],
                    help="random-input construction for the path tracer "
                         "(sobol = padded Owen-scrambled QMC, ops/qmc.py)")
+    p.add_argument("--aperture", type=float,
+                   help="thin-lens radius for depth of field (0 = pinhole)")
+    p.add_argument("--focus", type=float, dest="focus_distance",
+                   help="in-focus plane distance from the camera")
     p.add_argument("--sharded", action="store_true",
                    help="shard lanes over all devices")
     p.add_argument("--out", default="render.png")
@@ -84,7 +88,8 @@ def main(argv=None):
         scene, cfg = P.PRESETS[args.preset]()
         overrides = {
             k: getattr(args, k)
-            for k in ("width", "height", "spp", "max_depth", "sampler")
+            for k in ("width", "height", "spp", "max_depth", "sampler",
+                      "aperture", "focus_distance")
             if getattr(args, k) is not None
         }
         if args.sampler == "sobol" and args.integrator not in (

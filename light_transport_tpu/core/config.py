@@ -63,6 +63,13 @@ class RenderConfig:
     # surface point, ...) becomes a (0,2)-sequence, cutting pixel variance
     # on smooth integrands at equal spp (power-of-two spp stratifies best).
     sampler: str = "uniform"
+    # Thin-lens depth of field (extension; the reference camera is a pure
+    # pinhole, src/path_tracing.py:263-287).  aperture = lens radius in
+    # world units (0 = pinhole, bitwise-identical to the reference model);
+    # focus_distance = axial distance from the camera to the plane in
+    # perfect focus (<=0 focuses on the screen plane at f_distance).
+    aperture: float = 0.0
+    focus_distance: float = 0.0
     seed: int = 0
 
     @property

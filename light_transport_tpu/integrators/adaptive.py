@@ -92,6 +92,7 @@ def _round(scene, cfg: RenderConfig, key, budget: int,
     start = cum[pixel] - alloc[pixel]  # exclusive prefix
     sample = count[pixel] + (lane - start)
 
+    u_lens = None
     if cfg.sampler == "sobol":
         from light_transport_tpu.ops import qmc
 
@@ -99,15 +100,24 @@ def _round(scene, cfg: RenderConfig, key, budget: int,
         u_aa, uniforms = qmc.lane_uniforms(seed_bits, pixel, sample,
                                            cfg.max_depth,
                                            dtype=scene.camera.dtype)
+        if cfg.aperture > 0.0:
+            lx, ly = qmc.scrambled_pair(pixel, sample, qmc.LENS_PAIR,
+                                        seed_bits,
+                                        dtype=scene.camera.dtype)
+            u_lens = jnp.stack([lx, ly], axis=-1)
     else:
         k_r = jax.random.fold_in(key, round_idx)
-        k_aa, k_u = jax.random.split(k_r)
+        k_aa, k_u, k_lens = jax.random.split(k_r, 3)
         u_aa = jax.random.uniform(k_aa, (budget, 2),
                                   dtype=scene.camera.dtype)
         uniforms = rng.path_uniforms(k_u, budget, cfg.max_depth,
                                      dtype=scene.camera.dtype)
+        if cfg.aperture > 0.0:
+            u_lens = jax.random.uniform(k_lens, (budget, 2),
+                                        dtype=scene.camera.dtype)
 
-    origins, directions = _pixel_camera_rays(scene, cfg, pixel, u_aa)
+    origins, directions = _pixel_camera_rays(scene, cfg, pixel, u_aa,
+                                             u_lens)
     radiance, _ = trace_paths(scene, cfg, origins, directions, uniforms,
                               ray_chunk=ray_chunk)
     # display-clipped luminance for the variance stats only — the pixel

@@ -666,6 +666,7 @@ def _camera_lanes(scene: Scene, cfg: RenderConfig, key: jax.Array,
     Owen-scrambled Sobol' points (ops/qmc.py) — tracing stays a pure
     function of the tensors either way."""
     n = cfg.height * cfg.width * cfg.spp
+    u_lens = None
     if cfg.sampler == "sobol":
         from light_transport_tpu.ops import qmc
 
@@ -673,15 +674,31 @@ def _camera_lanes(scene: Scene, cfg: RenderConfig, key: jax.Array,
         u_aa, uniforms = qmc.render_uniforms(
             seed_bits, cfg.height, cfg.width, cfg.spp, cfg.max_depth,
             dtype=scene.camera.dtype, sample_offset=sample_offset)
+        if cfg.aperture > 0.0:
+            n_pix = cfg.height * cfg.width
+            pix = jnp.tile(jnp.arange(n_pix, dtype=jnp.int32), cfg.spp)
+            smp = jnp.repeat(
+                jnp.asarray(sample_offset, jnp.int32)
+                + jnp.arange(cfg.spp, dtype=jnp.int32), n_pix)
+            lx, ly = qmc.scrambled_pair(pix, smp, qmc.LENS_PAIR, seed_bits,
+                                        dtype=scene.camera.dtype)
+            u_lens = jnp.stack([lx, ly], axis=-1)
     elif cfg.sampler == "uniform":
-        k_aa, k_u = jax.random.split(key)
+        if cfg.aperture > 0.0:
+            k_aa, k_u, k_lens = jax.random.split(key, 3)
+            u_lens = jax.random.uniform(k_lens, (n, 2),
+                                        dtype=scene.camera.dtype)
+        else:
+            # two-way split kept for aperture=0 so the pinhole stream (and
+            # every golden image) is bitwise unchanged
+            k_aa, k_u = jax.random.split(key)
         u_aa = jax.random.uniform(k_aa, (n, 2), dtype=scene.camera.dtype)
         uniforms = rng.path_uniforms(k_u, n, cfg.max_depth,
                                      dtype=scene.camera.dtype)
     else:
         raise ValueError(
             f"unknown sampler {cfg.sampler!r} (expected 'uniform' or 'sobol')")
-    origins, directions = camera_rays(scene, cfg, u_aa)
+    origins, directions = camera_rays(scene, cfg, u_aa, u_lens)
     return origins, directions, uniforms
 
 
@@ -693,8 +710,9 @@ def _to_image(radiance: jnp.ndarray, cfg: RenderConfig):
     return jnp.clip(jnp.mean(samples, axis=2), 0.0, 1.0), samples
 
 
-def camera_rays(scene: Scene, cfg: RenderConfig, u_aa: jnp.ndarray):
-    """Generate pinhole camera rays for every (pixel, sample) lane.
+def camera_rays(scene: Scene, cfg: RenderConfig, u_aa: jnp.ndarray,
+                u_lens: Optional[jnp.ndarray] = None):
+    """Generate camera rays for every (pixel, sample) lane.
 
     Geometry contract: reference render loop (src/path_tracing.py:263-287):
     pixel grid y=linspace(top,bottom,H), x=linspace(left,right,W), screen at
@@ -703,15 +721,18 @@ def camera_rays(scene: Scene, cfg: RenderConfig, u_aa: jnp.ndarray):
     (rand[0][0] for both, :282-283); we use two independent ones.
 
     ``u_aa``: (N, 2) with N = H*W*spp.  Returns (origins, dirs) each (N, 3).
+    ``u_lens``: (N, 2) aperture-point uniforms when ``cfg.aperture > 0``
+    (thin-lens depth of field — extension over the reference's pinhole).
     """
     # lane layout: s-major [(s, i, j)] -> reshape (spp, H, W)
     n_pix = cfg.height * cfg.width
     pixel_ids = jnp.tile(jnp.arange(n_pix, dtype=jnp.int32), cfg.spp)
-    return _pixel_camera_rays(scene, cfg, pixel_ids, u_aa)
+    return _pixel_camera_rays(scene, cfg, pixel_ids, u_aa, u_lens)
 
 
 def _pixel_camera_rays(scene: Scene, cfg: RenderConfig,
-                       pixel_ids: jnp.ndarray, u_aa: jnp.ndarray):
+                       pixel_ids: jnp.ndarray, u_aa: jnp.ndarray,
+                       u_lens: Optional[jnp.ndarray] = None):
     """Camera rays for explicit pixel ids (row-major ``i*W + j``): the
     lane-level form of :func:`camera_rays` (same linspace grid, same
     jitter rule — gathered instead of tiled, bitwise-equal values), used
@@ -729,6 +750,24 @@ def _pixel_camera_rays(scene: Scene, cfg: RenderConfig,
     )
     origin = jnp.broadcast_to(scene.camera, pixel.shape)
     direction = lm.normalize(pixel - origin)
+    if u_lens is not None and cfg.aperture > 0.0:
+        # thin lens: keep the focal-plane point of each pinhole ray fixed,
+        # jitter the origin on the aperture disk (the screen plane is
+        # z-normal, so the lens disk lies in xy).  focus_distance <= 0
+        # focuses on the screen plane itself.
+        from light_transport_tpu.ops.sampling import concentric_sample_disk
+
+        axial = jnp.abs(jnp.asarray(cfg.f_distance, dtype)
+                        - scene.camera[2])
+        focus = (jnp.asarray(cfg.focus_distance, dtype)
+                 if cfg.focus_distance > 0.0 else axial)
+        dz = jnp.maximum(jnp.abs(direction[:, 2]), 1e-6)
+        focal_pt = origin + direction * (focus / dz)[:, None]
+        lx, ly = concentric_sample_disk(u_lens[:, 0], u_lens[:, 1])
+        offset = cfg.aperture * jnp.stack(
+            [lx, ly, jnp.zeros_like(lx)], axis=-1)
+        origin = origin + offset
+        direction = lm.normalize(focal_pt - origin)
     return origin, direction
 
 

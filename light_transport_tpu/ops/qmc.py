@@ -173,6 +173,10 @@ def scrambled_pair(pixel, sample, pair, seed, dtype=jnp.float32):
 # direction, light-surface point) on one stratified 2-D projection.
 _PAIRS_PER_BOUNCE = 4
 
+# thin-lens aperture point: a dedicated pair id far above the per-bounce
+# range (1 + 4*max_depth) so it never collides at any depth
+LENS_PAIR = 1 << 16
+
 
 def lane_uniforms(seed, pixel, sample, max_depth: int, dtype=jnp.float32):
     """Per-lane QMC random inputs for arbitrary (pixel, sample) pairs.
