@@ -31,6 +31,14 @@ def render(
     if integrator == "adaptive":
         from light_transport_tpu.integrators.adaptive import render_adaptive
 
+        if cfg.fresnel_mode == "split":
+            # the adaptive rounds trace through trace_paths (stochastic
+            # Fresnel); silently dropping the split request would change
+            # the estimator behind the caller's back
+            raise ValueError(
+                "integrator='adaptive' supports fresnel_mode='stochastic' "
+                "only (the split tracer's host-driven deferred-branch loop "
+                "is not wired into the adaptive rounds)")
         # largest round count <= 4 that divides the budget exactly (the
         # renderer requires spp % rounds == 0 for a static per-round lane
         # count); spp=1 degrades to a single uniform round

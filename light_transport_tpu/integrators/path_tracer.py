@@ -841,9 +841,12 @@ def render_progressive(
     With ``cfg.sampler="sobol"`` the passes instead share one key and
     advance ``sample_offset`` by ``spp`` per pass, continuing a SINGLE
     QMC point set: the k-pass average equals the one-shot k*spp render
-    exactly (same points, so the O(1/n) stratification keeps compounding
-    across passes — independent realizations would fall back to averaging
-    k estimates of 1/spp quality).
+    up to the per-pass [0,1] clip inherited from the reference's
+    accumulation rule (identical points, so the O(1/n) stratification
+    keeps compounding across passes — independent realizations would
+    fall back to averaging k estimates of 1/spp quality; pixels whose
+    single-pass mean exceeds 1 clip earlier here, exactly as in
+    src/path_tracing_fix1.py:166).
     """
     # honor cfg.fresnel_mode the same way api.render does
     render_one = (render_image_split if cfg.fresnel_mode == "split"

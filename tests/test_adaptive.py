@@ -47,6 +47,17 @@ def test_adaptive_spp_must_divide():
         render_adaptive(scene, cfg, jax.random.key(0), rounds=4)
 
 
+def test_adaptive_rejects_split_fresnel():
+    # the adaptive rounds only trace the stochastic-Fresnel tracer;
+    # api.render must refuse rather than silently change the estimator
+    from light_transport_tpu.api import render
+
+    scene, cfg = cornell_box_scene(width=4, height=4, spp=4, max_depth=1)
+    cfg = dataclasses.replace(cfg, fresnel_mode="split")
+    with pytest.raises(ValueError, match="stochastic"):
+        render(scene, cfg, integrator="adaptive")
+
+
 def test_adaptive_unbiased_vs_reference():
     """Adaptive pixel means must agree with a high-spp uniform reference:
     allocation depends only on previous rounds, so each pixel's mean stays
