@@ -27,6 +27,13 @@ def render(
     tracer), 'adaptive' (path tracer + variance-driven per-pixel budget),
     'whitted' (legacy recursive ray tracer), or 'bdpt'."""
     cfg = cfg or RenderConfig()
+    if cfg.sampler != "uniform" and integrator not in ("path", "adaptive"):
+        # whitted/bdpt draw their own threefry streams (and the CV solve
+        # needs iid samples for its covariance estimate) — refuse rather
+        # than silently render with a different sampler than requested
+        raise ValueError(
+            f"sampler={cfg.sampler!r} applies to the path tracer only "
+            f"(got integrator={integrator!r})")
     key = jax.random.key(cfg.seed if seed is None else seed)
     if integrator == "adaptive":
         from light_transport_tpu.integrators.adaptive import render_adaptive

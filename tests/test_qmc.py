@@ -148,3 +148,16 @@ def test_sampler_rejects_unknown():
     c = dataclasses.replace(cfg, sampler="halton")
     with pytest.raises(ValueError, match="sampler"):
         render_image(scene, c, jax.random.key(0))
+
+
+def test_api_rejects_sobol_for_non_path_integrators():
+    # whitted/bdpt/cv draw their own threefry streams; api.render must
+    # refuse rather than silently ignore the requested sampler
+    from light_transport_tpu.api import render
+    from light_transport_tpu.scene.cornell import cornell_box_scene
+
+    scene, cfg = cornell_box_scene(width=4, height=4, spp=1, max_depth=1)
+    c = dataclasses.replace(cfg, sampler="sobol")
+    for integrator in ("whitted", "bdpt"):
+        with pytest.raises(ValueError, match="path tracer only"):
+            render(scene, c, integrator=integrator)
