@@ -246,10 +246,15 @@ def render_sharded(
     Pixel/sample lanes are split across chips (pure data parallelism — rays
     are independent); the scene tables replicate.  Output image is gathered
     to every chip.
+
+    The lane preamble is the shared :func:`path_tracer._camera_lanes`, so
+    ``cfg.sampler`` (sobol QMC) and ``cfg.aperture`` (thin-lens DOF) apply
+    here exactly as in the single-device render — and the pinhole/uniform
+    default keeps its original key-split convention (bitwise-identical
+    lanes to the unsharded render).
     """
-    from light_transport_tpu.core import rng as _rng
     from light_transport_tpu.integrators.path_tracer import (
-        camera_rays,
+        _camera_lanes,
         trace_paths,
     )
 
@@ -258,10 +263,7 @@ def render_sharded(
     n = cfg.height * cfg.width * cfg.spp
     pad = (-n) % n_dev
 
-    k_aa, k_u = jax.random.split(key)
-    u_aa = jax.random.uniform(k_aa, (n, 2), dtype=scene.camera.dtype)
-    uniforms = _rng.path_uniforms(k_u, n, cfg.max_depth, dtype=scene.camera.dtype)
-    origins, directions = camera_rays(scene, cfg, u_aa)
+    origins, directions, uniforms = _camera_lanes(scene, cfg, key)
     if pad:
         z3 = jnp.zeros((pad, 3), origins.dtype)
         origins = jnp.concatenate([origins, z3])

@@ -60,6 +60,25 @@ def test_sharded_render_matches_unsharded():
     np.testing.assert_allclose(img_sharded, img_ref, atol=2e-5)
 
 
+def test_sharded_render_honors_sampler_and_dof():
+    """render_sharded shares the single-device lane preamble
+    (path_tracer._camera_lanes), so cfg.sampler='sobol' and the thin-lens
+    aperture must shape the sharded image exactly as the unsharded one
+    (they were silently ignored before the preamble was unified)."""
+    import dataclasses
+
+    from light_transport_tpu.integrators.path_tracer import render_image
+
+    scene, cfg = cornell_box_scene(width=12, height=12, spp=8, max_depth=2)
+    cfg = dataclasses.replace(cfg, sampler="sobol", aperture=0.3,
+                              focus_distance=4.0)
+    mesh = make_mesh()
+    img_sharded = np.asarray(render_sharded(scene, cfg, jax.random.key(3),
+                                            mesh=mesh))
+    img_ref = np.asarray(render_image(scene, cfg, jax.random.key(3)))
+    np.testing.assert_allclose(img_sharded, img_ref, atol=2e-5)
+
+
 def test_pallas_sharded_cpu_mesh_matches_xla():
     """The flagship Pallas engine's shard_map + pallas_call composition
     (parallel/mesh.simulate_pallas_sharded) executed on the 8-device CPU
