@@ -34,6 +34,16 @@ def render(
         raise ValueError(
             f"sampler={cfg.sampler!r} applies to the path tracer only "
             f"(got integrator={integrator!r})")
+    if cfg.aperture > 0.0 and integrator not in ("path", "adaptive"):
+        # whitted traces one deterministic ray per pixel (reference
+        # contract, src/render_old.py:202-221) — no stochastic lens to
+        # sample; bdpt's camera-importance/pdf terms assume a pinhole
+        # (t=1 splat strategy), so a thin lens would silently bias its
+        # MIS weights.  (render_cv supports DOF; it has its own entry.)
+        raise ValueError(
+            f"aperture > 0 (thin-lens DOF) is supported by the path and "
+            f"adaptive integrators (and render_cv) only "
+            f"(got integrator={integrator!r})")
     key = jax.random.key(cfg.seed if seed is None else seed)
     if integrator == "adaptive":
         from light_transport_tpu.integrators.adaptive import render_adaptive

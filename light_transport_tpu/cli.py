@@ -97,6 +97,11 @@ def main(argv=None):
             parser.error(
                 f"--sampler sobol applies to the path tracer only "
                 f"(got --integrator {args.integrator})")
+        if args.aperture and args.integrator not in ("path", "adaptive",
+                                                     "cv"):
+            parser.error(
+                f"--aperture applies to the path/adaptive/cv integrators "
+                f"only (got --integrator {args.integrator})")
         if overrides:
             cfg = dataclasses.replace(cfg, **overrides)
         if args.sharded and args.integrator != "path":

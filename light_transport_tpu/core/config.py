@@ -68,6 +68,9 @@ class RenderConfig:
     # world units (0 = pinhole, bitwise-identical to the reference model);
     # focus_distance = axial distance from the camera to the plane in
     # perfect focus (<=0 focuses on the screen plane at f_distance).
+    # Supported by the path/adaptive/cv integrators; whitted (one
+    # deterministic ray per pixel) and bdpt (pinhole camera importance)
+    # reject aperture > 0 at the API.
     aperture: float = 0.0
     focus_distance: float = 0.0
     seed: int = 0

@@ -180,6 +180,31 @@ class PixelDive(NamedTuple):
     pixel_cv: jnp.ndarray  # (P, 3) CV-corrected means
 
 
+def _cv_lane_uniforms(scene: Scene, cfg: RenderConfig, key: jax.Array,
+                      n: int):
+    """The CV renderers' lane random inputs: AA jitter, path uniforms, and
+    (when ``cfg.aperture > 0``) thin-lens aperture points.
+
+    CV deliberately stays on iid threefry draws — its per-pixel covariance
+    solve assumes independent samples, which Owen-scrambled QMC points are
+    not (the CLI rejects ``--sampler sobol`` with the cv integrator).  The 2-way
+    key split is kept for ``aperture == 0`` so pinhole CV runs are bitwise
+    unchanged; lens uniforms are NOT part of the differentiated/perturbed
+    slot set (they parametrize the primary ray like the AA jitter, which
+    the reference's gradient scheme also leaves alone,
+    src/path_tracing.py:203-249)."""
+    if cfg.aperture > 0.0:
+        k_aa, k_u, k_lens = jax.random.split(key, 3)
+        u_lens = jax.random.uniform(k_lens, (n, 2), dtype=scene.camera.dtype)
+    else:
+        k_aa, k_u = jax.random.split(key)
+        u_lens = None
+    u_aa = jax.random.uniform(k_aa, (n, 2), dtype=scene.camera.dtype)
+    uniforms = rng.path_uniforms(k_u, n, cfg.max_depth,
+                                 dtype=scene.camera.dtype)
+    return u_aa, uniforms, u_lens
+
+
 def cv_pixel_dive(
     scene: Scene,
     cfg: RenderConfig,
@@ -193,30 +218,18 @@ def cv_pixel_dive(
     samples" pass, vectorized over (pixels x samples) lanes."""
     import numpy as np
 
+    from light_transport_tpu.integrators.path_tracer import (
+        _pixel_camera_rays)
+
     pix = np.asarray(pixels, np.int32).reshape(-1, 2)
     p = pix.shape[0]
     n = p * n_samples
-    left, right, top, bottom = cfg.screen_bounds
-    xs = np.linspace(left, right, cfg.width)
-    ys = np.linspace(top, bottom, cfg.height)
-    px = jnp.asarray(np.repeat(xs[pix[:, 1]], n_samples),
-                     scene.camera.dtype)
-    py = jnp.asarray(np.repeat(ys[pix[:, 0]], n_samples),
-                     scene.camera.dtype)
+    pixel_ids = jnp.asarray(
+        np.repeat(pix[:, 0] * cfg.width + pix[:, 1], n_samples), jnp.int32)
 
-    k_aa, k_u = jax.random.split(key)
-    u_aa = jax.random.uniform(k_aa, (n, 2), dtype=scene.camera.dtype)
-    pixel = jnp.stack(
-        [px + u_aa[:, 0] / cfg.width, py + u_aa[:, 1] / cfg.height,
-         jnp.full((n,), cfg.f_distance, scene.camera.dtype)],
-        axis=-1,
-    )
-    origins = jnp.broadcast_to(scene.camera, pixel.shape)
-    from light_transport_tpu.core import math as lm
-
-    directions = lm.normalize(pixel - origins)
-    uniforms = rng.path_uniforms(k_u, n, cfg.max_depth,
-                                 dtype=scene.camera.dtype)
+    u_aa, uniforms, u_lens = _cv_lane_uniforms(scene, cfg, key, n)
+    origins, directions = _pixel_camera_rays(scene, cfg, pixel_ids, u_aa,
+                                             u_lens)
     grad_fn = grad_log_pdf_exact if mode == "exact" else grad_log_pdf_fd
     radiance, log_pdf, g = grad_fn(scene, cfg, origins, directions, uniforms)
 
@@ -249,11 +262,8 @@ def render_cv(
     image_ver2 (src/path_tracing.py:371-387 + LTS.ipynb cell 32).
     """
     n = cfg.height * cfg.width * cfg.spp
-    k_aa, k_u = jax.random.split(key)
-    u_aa = jax.random.uniform(k_aa, (n, 2), dtype=scene.camera.dtype)
-    uniforms = rng.path_uniforms(k_u, n, cfg.max_depth,
-                                 dtype=scene.camera.dtype)
-    origins, directions = camera_rays(scene, cfg, u_aa)
+    u_aa, uniforms, u_lens = _cv_lane_uniforms(scene, cfg, key, n)
+    origins, directions = camera_rays(scene, cfg, u_aa, u_lens)
 
     if mode == "exact":
         radiance, log_pdf, g = grad_log_pdf_exact(

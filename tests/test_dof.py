@@ -10,6 +10,7 @@ aperture."""
 import dataclasses
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -76,6 +77,37 @@ def test_dof_energy_roughly_conserved():
         scene, dataclasses.replace(cfg, aperture=0.3, focus_distance=3.0),
         jax.random.key(1))).sum())
     assert 0.5 * base < blur < 2.0 * base, (blur, base)
+
+
+def test_api_rejects_dof_for_whitted_and_bdpt():
+    # whitted traces one deterministic ray per pixel; bdpt's camera
+    # importance assumes a pinhole — api.render must refuse, not silently
+    # render pinhole
+    from light_transport_tpu.api import render
+    from light_transport_tpu.scene.cornell import cornell_box_scene
+
+    scene, cfg = cornell_box_scene(width=4, height=4, spp=1, max_depth=1)
+    c = dataclasses.replace(cfg, aperture=0.3, focus_distance=5.0)
+    for integrator in ("whitted", "bdpt"):
+        with pytest.raises(ValueError, match="aperture"):
+            render(scene, c, integrator=integrator)
+
+
+def test_cv_render_supports_dof():
+    """render_cv shares the thin-lens camera (lens uniforms parametrize
+    the primary ray like the AA jitter; they are outside the CV gradient
+    slot set) — the lens must actually bend rays, and the pinhole stream
+    must stay bitwise unchanged at aperture=0."""
+    from light_transport_tpu.integrators.control_variates import render_cv
+
+    scene = _emitter_scene()
+    cfg = RenderConfig(width=24, height=24, spp=8, max_depth=2)
+    pin = render_cv(scene, cfg, jax.random.key(2))
+    blur_cfg = dataclasses.replace(cfg, aperture=0.4, focus_distance=2.0)
+    blur = render_cv(scene, blur_cfg, jax.random.key(2))
+    assert np.isfinite(np.asarray(blur.image_cv)).all()
+    # off-plane focus spreads the emitter's footprint, as in the PT test
+    assert _lit_count(blur.image_plain) > 1.5 * _lit_count(pin.image_plain)
 
 
 def test_dof_works_with_sobol_and_adaptive():
