@@ -658,7 +658,9 @@ def _camera_lanes(scene: Scene, cfg: RenderConfig, key: jax.Array,
     """AA-jittered camera-ray lanes + path uniforms — the shared render
     preamble, so the lane layout and key-split convention live in exactly
     one place (render_image / render_with_detectors / render_image_split
-    used to carry three drifting copies).
+    used to carry three drifting copies; parallel.mesh.render_sharded is
+    the fourth caller, which is what makes sobol/DOF apply to sharded
+    renders automatically).
 
     ``cfg.sampler`` selects the random-input construction: "uniform" keeps
     the reference's pre-drawn-tensor contract with threefry draws
