@@ -5,9 +5,18 @@ The reference spends its sample budget uniformly — every pixel gets
 it shows a flat wall or a glass caustic.  This renderer keeps the same
 total budget (``cfg.spp`` samples/pixel on average) but re-allocates it
 round by round toward the pixels whose estimates are still noisy,
-minimizing image MSE for a fixed budget (two-stage adaptive MC: each
-round's allocation is a function of *previous* rounds' samples only, so
-every pixel mean stays unbiased).
+minimizing image MSE for a fixed budget.  With ``sampler="uniform"`` the
+two-stage argument makes every pixel mean exactly unbiased: each round's
+allocation is a function of *previous* rounds' samples only, and the new
+threefry draws are independent of that allocation.  With
+``sampler="sobol"`` the argument does not strictly carry over — a pixel's
+future Owen-scrambled points share the scramble realization with the
+samples that drove its allocation, so the per-pixel sample count is
+(weakly) correlated with the point values it goes on to consume.  The
+estimator remains consistent (every pixel's QMC sequence converges to the
+same integral regardless of where it is truncated) and the residual
+correlation is practically negligible, but strict finite-``n``
+unbiasedness is a uniform-sampler property only.
 
 TPU-first shape discipline: every round traces the SAME static lane count
 ``B = H*W*spp / rounds``; the only thing that changes is a device-side

@@ -37,7 +37,7 @@ def _platform() -> str:
 
 
 def _use_pallas_mxu(scene: Scene, coherent: bool = False) -> bool:
-    if _platform() == "cpu":
+    if scene.watertight or _platform() == "cpu":
         return False
     t = scene.mesh.v0.shape[0]
     if t > MXU_MAX_TRIS:
@@ -65,7 +65,17 @@ def scene_intersect(scene: Scene, origins, directions,
     (depth-0 primaries) — routes >MXU_MAX_TRIS scenes to the MXU
     gather-cull kernel, where primaries beat the roped BVH 3.2x at 4.2M
     tris (PERF.md §mesh-scale crossover).  No effect below the cap."""
-    if _use_pallas_mxu(scene, coherent):
+    if scene.watertight:
+        # Scene.with_watertight(): every hit goes through the PBRT-style
+        # watertight transform — the reference flagship's convention
+        # (pc_triangle_intersect for all hits, src/intersects.py:267-445
+        # via src/utils.py:52-68).  Brute force (no BVH/MXU reorder): a
+        # robustness mode, not a throughput mode.
+        hit = intersect.intersect_rays_watertight(
+            jax.lax.stop_gradient(origins),
+            jax.lax.stop_gradient(directions), scene.mesh,
+            ray_chunk=ray_chunk)
+    elif _use_pallas_mxu(scene, coherent):
         from light_transport_tpu.ops.pallas.intersect_kernel import (
             intersect_rays_pallas,
         )
@@ -162,7 +172,16 @@ def scene_occluded(scene: Scene, origins, directions, max_dist,
 
     ``active``: optional (N,) bool — see :func:`scene_intersect`; inactive
     lanes are skipped by the cull and report unoccluded."""
-    if _use_pallas_mxu(scene):
+    if scene.watertight:
+        n = origins.shape[0]
+        md = jnp.broadcast_to(jnp.asarray(max_dist, origins.dtype), (n,))
+        if active is not None:
+            md = jnp.where(active, md, 0.0)  # empty interval: no hit
+        occ = intersect.occluded_watertight(
+            jax.lax.stop_gradient(origins),
+            jax.lax.stop_gradient(directions), scene.mesh, md,
+            ray_chunk=ray_chunk)
+    elif _use_pallas_mxu(scene):
         from light_transport_tpu.ops.pallas.intersect_kernel import (
             intersect_rays_pallas,
         )

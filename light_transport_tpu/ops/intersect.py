@@ -485,3 +485,39 @@ def intersect_rays_watertight(
     return Hit(t=hits.t.reshape(total)[:n],
                tri=hits.tri.reshape(total)[:n],
                valid=hits.valid.reshape(total)[:n])
+
+
+def occluded_watertight(
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    mesh: TriangleMesh,
+    max_dist: jnp.ndarray,
+    t_min=T_EPS,
+    ray_chunk: Optional[int] = None,
+) -> jnp.ndarray:
+    """Any-hit visibility via the watertight test (the robustness pair of
+    :func:`occluded`, same contract) — shadow rays grazing shared edges
+    cannot slip through a crack and report false light leaks."""
+    n = origins.shape[0]
+    dtype = origins.dtype
+    t_min = _broadcast_t(t_min, n, dtype)
+    max_dist = _broadcast_t(max_dist, n, dtype)
+    v0 = jnp.asarray(mesh.v0)
+    v1 = v0 + jnp.asarray(mesh.e1)
+    v2 = v0 + jnp.asarray(mesh.e2)
+
+    def run(o, d, tmin, tmax):
+        _, _, _, _, valid = _wt_tile(o, d, v0, v1, v2, tmin, tmax)
+        return jnp.any(valid, axis=-1)
+
+    if ray_chunk is None or n <= ray_chunk:
+        return run(origins, directions, t_min, max_dist)
+    o_p, d_p, tn_p, tx_p, total = _pad_rays(
+        origins, directions, t_min, max_dist, ray_chunk
+    )
+    res = jax.lax.map(
+        lambda args: run(*args),
+        (o_p.reshape(-1, ray_chunk, 3), d_p.reshape(-1, ray_chunk, 3),
+         tn_p.reshape(-1, ray_chunk), tx_p.reshape(-1, ray_chunk)),
+    )
+    return res.reshape(total)[:n]

@@ -117,6 +117,16 @@ def _onehot_pair_flush(acc_ref, ib, jb, vals, ni: int, nj_pad: int,
     product is accurate to ~2^-16 relative (the f32 VMEM accumulator
     then carries exact sums).  Lanes with vals == 0 contribute nothing,
     so unset/pending-empty lanes need no masking.
+
+    Cost model (measured r4, full_scale rz grid): the flush is
+    co-bottlenecked by the VPU factor *construction* (~3.5 cycles/record)
+    and the MXU contractions (~2.5), so the hi/lo split of the values is
+    hoisted out of the row loop and the j mask is built once and reused
+    for both passes.  An i-blocked occupancy-masked variant (skip blocks
+    no record touches via ``@pl.when``) was tried and measured SLOWER
+    (+1.4 ms/block on full_scale) — the conditional regions break the
+    row-loop software pipelining and the per-block accumulator slices
+    round-trip VMEM; don't resurrect it without re-measuring.
     """
     si_ref, sj_ref, sv_ref = scratch
     si_ref[:], sj_ref[:], sv_ref[:] = ib, jb, vals
@@ -129,11 +139,18 @@ def _onehot_pair_flush(acc_ref, ib, jb, vals, ni: int, nj_pad: int,
         ib_g = si_ref[pl.ds(g * group, group), :]
         jb_g = sj_ref[pl.ds(g * group, group), :]
         v_g = sv_ref[pl.ds(g * group, group), :]
+        # hi/lo value split once per group (small arrays), not per row;
+        # the per-row selects run in f32 layout (a bool mask produced
+        # against an i32/f32-tiled iota cannot feed a bf16-layout select —
+        # Mosaic rejects the (8,128)->(16,128) relayout) and convert after
+        # (both halves are exactly bf16-representable)
+        vhi_g = v_g.astype(jnp.bfloat16).astype(jnp.float32)
+        vlo_g = v_g - vhi_g
         for r in range(group):
             a = (iota_i == ib_g[r:r + 1, :]).astype(jnp.bfloat16)
-            v = jnp.where(iota_j == jb_g[r:r + 1, :], v_g[r:r + 1, :], 0.0)
-            v_hi = v.astype(jnp.bfloat16)
-            v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            m = iota_j == jb_g[r:r + 1, :]
+            v_hi = jnp.where(m, vhi_g[r:r + 1, :], 0.0).astype(jnp.bfloat16)
+            v_lo = jnp.where(m, vlo_g[r:r + 1, :], 0.0).astype(jnp.bfloat16)
             p = jax.lax.dot_general(a, v_hi, dn,
                                     preferred_element_type=jnp.float32)
             p = p + jax.lax.dot_general(a, v_lo, dn,
@@ -151,7 +168,9 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
                  vol_stride: int = 0, hw_prng: bool = True,
                  unroll: int = 1,
                  rz_mm: bool = False, nz_pad: int = 0,
-                 det_mm: bool = False, det_pad: int = 0):
+                 det_mm: bool = False, det_pad: int = 0,
+                 ex_mm: bool = False,
+                 ablate: frozenset = frozenset()):
     """Bake the (tiny, static) medium tables into the kernel as constants.
 
     ``hw_prng=False`` is the off-TPU fallback (VERDICT.md r2 item 1): the
@@ -213,6 +232,37 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
     inv_vdz = 1.0 / cfg.vol_dz
     vol_stride = vol_stride or stride
     sep_vol_phase = vol_on and (vol_stride != stride)
+    # --- slim windowed mode (rz_mm) step-body shape -------------------------
+    # In the windowed mode every per-step tally op that can move to a window
+    # or block boundary does (r4; PERF.md §per-step diet): deposits carry
+    # *positions* (4 selects) instead of computing sqrt/clip/cast bins every
+    # step; exits carry a death code (2 selects) with exit/detector bins
+    # computed once per block from the frozen death position; the
+    # steps/absorbed counters accumulate elementwise and reduce once per
+    # block.  Deposit steps, positions and RNG order are identical to the
+    # flat stream path, so grids match it bitwise (bins) / to bf16-split
+    # precision (rz one-hot fold) — pinned by
+    # tests/test_photon.py::test_mxu_histogram_accumulation_equivalent.
+    slim = rz_mm
+    # vol deposit selection inside the stride-window loop: with
+    # vol_stride == stride the vol deposit IS the rz deposit (same phase
+    # draw); with an integral ratio R the flat path's
+    # ``phase_v == step % vol_stride`` splits exactly into
+    # ``(phase_v // stride == wi % R) & (phase_v % stride == si)``;
+    # otherwise (non-integral ratio — never produced by the presets) the
+    # legacy per-step stream write stays
+    vol_shared = vol_on and not sep_vol_phase
+    vol_windowed = vol_on and sep_vol_phase and (vol_stride % stride == 0)
+    vol_legacy = vol_on and sep_vol_phase and (vol_stride % stride != 0)
+    vol_ratio = (vol_stride // stride) if vol_windowed else 1
+    # ``ablate`` (measurement only, quota windowed mode): skip recording +
+    # folding the named components so their costs can be measured one at a
+    # time on hardware (scripts/bench_quota_ablation.py) — physics,
+    # counters and RNG order are unchanged
+    ab_rz = "rz" in ablate
+    ab_det = "det" in ablate
+    ab_vol = "vol" in ablate
+    ab_exits = "exits" in ablate
 
     def kernel_body(seed_ref, quota_ref, u_ref, px, py, pz, dx, dy, dz,
                     w_ref, tau_ref, layer_ref, opx, opy, opz, odx, ody, odz,
@@ -225,15 +275,18 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
         # Mosaic can't dynamic_slice values, so the flush row loop reads
         # its 8-row groups back out of a ref
         t_i = 0
-        rz_acc_ref = det_acc_ref = mm_scratch = None
+        rz_acc_ref = det_acc_ref = ex_acc_ref = mm_scratch = None
         if rz_mm:
             rz_acc_ref = tail_refs[t_i]
             t_i += 1
         if det_mm:
             det_acc_ref = tail_refs[t_i]
             t_i += 1
+        if ex_mm:
+            ex_acc_ref = tail_refs[t_i]
+            t_i += 1
         counters_ref = tail_refs[t_i]
-        if rz_mm or det_mm:
+        if rz_mm or det_mm or ex_mm:
             mm_scratch = tail_refs[t_i + 1:t_i + 4]
         pid = pl.program_id(0)
         if hw_prng:
@@ -249,6 +302,10 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             @pl.when(pid == 0)
             def _zero_det():
                 det_acc_ref[:] = jnp.zeros((nx_det, det_pad), jnp.float32)
+        if ex_mm:
+            @pl.when(pid == 0)
+            def _zero_ex():
+                ex_acc_ref[:] = jnp.zeros((2 * nr, LANES), jnp.float32)
 
         # the kernel consumes uniforms in a fixed static order, so the
         # fallback can hand them out from u_ref by a python counter (the
@@ -327,7 +384,7 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             return (x, y, z, ux, uy, uz, w, tau, layer, quota,
                     launched + n_r, spec + n_r * r_sp)
 
-        phase = phase_v = zero_i
+        phase = phase_v = phase_lo = phase_hi = zero_i
         if not bench_mode:
             (x, y, z, ux, uy, uz, w, tau, layer, quota, launched,
              spec) = respawn(x, y, z, ux, uy, uz, w, tau, layer, quota,
@@ -344,6 +401,11 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
                                       .astype(jnp.int32), vol_stride - 1)
             else:
                 phase_v = phase
+            if vol_windowed:
+                # decompose the vol phase once per block: window index
+                # within the vol window + step index within the window
+                phase_hi = phase_v // stride
+                phase_lo = phase_v - phase_hi * stride
             # stream slots accumulate read-modify-write inside the step
             # loop, so zero them up front (pallas outputs start undefined);
             # the MXU-histogram path replaces the rz stream with a 1-slot
@@ -356,15 +418,16 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
                 vol_bins_ref[s_i] = zero_i
                 vol_vals_ref[s_i] = zero_f
 
-        def step_body(step, carry, si=None):
-            # ``si`` = step index within the current stride window (only in
-            # rz_mm mode, where the loop is restructured into windows and
-            # the strided deposit is carried as a pending record instead of
-            # written to a stream slot)
-            if rz_mm:
+        def step_body(step, carry, si=None, takev=None):
+            # ``si`` = step index within the current stride window and
+            # ``takev`` = per-lane "this window feeds the vol deposit" mask
+            # (both only in slim/windowed mode, where the loop is
+            # restructured into stride windows and deposits are carried as
+            # pending position records instead of written to stream slots)
+            if slim:
                 (x, y, z, ux, uy, uz, w, tau, layer, quota, launched, spec,
-                 steps, absorbed, ex_bin, ex_val, de_bin, de_val,
-                 p_ir, p_iz, p_val) = carry
+                 steps, absorbed, dwx, p_x, p_y, p_z, p_val) = carry[:19]
+                pv = carry[19:]
             else:
                 (x, y, z, ux, uy, uz, w, tau, layer, quota, launched, spec,
                  steps, absorbed, ex_bin, ex_val, de_bin, de_val) = carry
@@ -375,7 +438,12 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
                  spec) = respawn(x, y, z, ux, uy, uz, w, tau, layer, quota,
                                  launched, spec)
             alive = w > 0.0
-            steps += jnp.sum(alive.astype(jnp.float32))
+            if slim:
+                # elementwise accumulator, reduced once per block (counts
+                # are integers < 2^24, so the sum is exact in any order)
+                steps += alive.astype(jnp.float32)
+            else:
+                steps += jnp.sum(alive.astype(jnp.float32))
 
             u_tau = u01_step(step, 0, x.shape)
             u_hg = u01_step(step, 1, x.shape)
@@ -399,16 +467,21 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             z = jnp.where(alive, z + uz * dist, z)
             tau = jnp.where(hits_b, tau_new - db * mu_t_l, 0.0)
 
-            # grid bin of the event position
-            r = jnp.sqrt(x * x + y * y)
-            ir = jnp.clip((r * inv_dr).astype(jnp.int32), 0, nr - 1)
-            iz = jnp.clip((z * inv_dz).astype(jnp.int32), 0, nz - 1)
+            if not slim:
+                # grid bin of the event position (slim mode computes bins
+                # once per window/block from carried positions instead)
+                r = jnp.sqrt(x * x + y * y)
+                ir = jnp.clip((r * inv_dr).astype(jnp.int32), 0, nr - 1)
+                iz = jnp.clip((z * inv_dz).astype(jnp.int32), 0, nz - 1)
 
             # ---- drop + spin (scatter lanes) --------------------------------
             scat = alive & ~hits_b
             dw = jnp.where(scat, w * tab(albedo_a, layer), 0.0)
             w = w - dw
-            absorbed += jnp.sum(dw)
+            if slim:
+                absorbed += dw
+            else:
+                absorbed += jnp.sum(dw)
 
             frac = tab(one_m_g2, layer) / (1.0 - g_l + 2.0 * g_l * u_hg)
             cos_t = jnp.clip(
@@ -478,7 +551,52 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             uz = jnp.where(scat, ndz, jnp.where(hits_b, new_uz_b, uz))
             layer = jnp.where(transmit_in, next_layer, layer)
 
-            if not bench_mode:
+            if not bench_mode and slim:
+                # slim per-step tally work: selects only.  Exit/detector
+                # bins come from the frozen death position at block end;
+                # deposit bins from the carried positions at window end.
+                if not ab_exits:
+                    # sign-encoded death record: +w = exited top, -w =
+                    # exited bottom, 0 = no exit this block (exiting lanes
+                    # always carry w > 0: alive requires it and boundary
+                    # lanes don't drop weight)
+                    dwx = jnp.where(exits,
+                                    jnp.where(exit_top, w, -w), dwx)
+                if (not ab_rz) or (vol_shared and not ab_vol):
+                    # pending deposit position: same phase-matched step and
+                    # same (x, y, z, dw) as the flat stream path, so the
+                    # window-end bins are bitwise identical to the per-step
+                    # bins they replace
+                    sel = scat & (phase == si)
+                    p_x = jnp.where(sel, x, p_x)
+                    p_y = jnp.where(sel, y, p_y)
+                    p_z = jnp.where(sel, z, p_z)
+                    p_val = jnp.where(sel, dw, p_val)
+                if vol_windowed and not ab_vol:
+                    pv_x, pv_y, pv_z, pv_val = pv
+                    sel_v = scat & takev & (phase_lo == si)
+                    pv_x = jnp.where(sel_v, x, pv_x)
+                    pv_y = jnp.where(sel_v, y, pv_y)
+                    pv_z = jnp.where(sel_v, z, pv_z)
+                    pv_val = jnp.where(sel_v, dw, pv_val)
+                    pv = (pv_x, pv_y, pv_z, pv_val)
+                if vol_legacy and not ab_vol:
+                    svidx = step // vol_stride
+                    sel_v = scat & (phase_v == (step % vol_stride))
+                    vx = jnp.clip(
+                        (x * inv_vdx + 0.5 * cfg.vol_nx).astype(jnp.int32),
+                        0, cfg.vol_nx - 1)
+                    vy = jnp.clip(
+                        (y * inv_vdy + 0.5 * cfg.vol_ny).astype(jnp.int32),
+                        0, cfg.vol_ny - 1)
+                    vz = jnp.clip((z * inv_vdz).astype(jnp.int32),
+                                  0, cfg.vol_nz - 1)
+                    vol_bins_ref[svidx] = jnp.where(
+                        sel_v, (vx * cfg.vol_ny + vy) * cfg.vol_nz + vz,
+                        vol_bins_ref[svidx])
+                    vol_vals_ref[svidx] = jnp.where(
+                        sel_v, dw * float(vol_stride), vol_vals_ref[svidx])
+            elif not bench_mode:
                 # exit records: with block-start respawn a lane exits at most
                 # once per block, so one (bin, weight) slot per lane suffices
                 ex_bin = jnp.where(exits,
@@ -498,19 +616,13 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
                 # (the absorbed scalar above stays exact regardless).  Slots
                 # were zeroed before the loop; writes are read-modify-write
                 # at a dynamic slot index.
-                if rz_mm:
-                    sel = scat & (phase == si)
-                    p_ir = jnp.where(sel, ir, p_ir)
-                    p_iz = jnp.where(sel, iz, p_iz)
-                    p_val = jnp.where(sel, dw * float(stride), p_val)
-                else:
-                    sidx = step // stride
-                    sel = scat if stride == 1 else (
-                        scat & (phase == (step % stride)))
-                    rz_bins_ref[sidx] = jnp.where(sel, ir * nz + iz,
-                                                  rz_bins_ref[sidx])
-                    rz_vals_ref[sidx] = jnp.where(sel, dw * float(stride),
-                                                  rz_vals_ref[sidx])
+                sidx = step // stride
+                sel = scat if stride == 1 else (
+                    scat & (phase == (step % stride)))
+                rz_bins_ref[sidx] = jnp.where(sel, ir * nz + iz,
+                                              rz_bins_ref[sidx])
+                rz_vals_ref[sidx] = jnp.where(sel, dw * float(stride),
+                                              rz_vals_ref[sidx])
                 if vol_on:
                     # independent (usually coarser) stride for the 2M-bin
                     # volume: its fold is scatter-bound at ~10 ns/event
@@ -535,41 +647,120 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
 
             # nudge off the interface
             z = jnp.where(hits_b & (w > 0.0), z + jnp.sign(uz) * 1e-6, z)
-            out = (x, y, z, ux, uy, uz, w, tau, layer, quota, launched,
-                   spec, steps, absorbed, ex_bin, ex_val, de_bin, de_val)
-            if rz_mm:
-                out = out + (p_ir, p_iz, p_val)
+            if slim:
+                out = (x, y, z, ux, uy, uz, w, tau, layer, quota, launched,
+                       spec, steps, absorbed, dwx,
+                       p_x, p_y, p_z, p_val) + tuple(pv)
+            else:
+                out = (x, y, z, ux, uy, uz, w, tau, layer, quota, launched,
+                       spec, steps, absorbed, ex_bin, ex_val, de_bin, de_val)
             return out
 
-        carry0 = (x, y, z, ux, uy, uz, w, tau, layer, quota, launched, spec,
-                  steps, absorbed, ex_bin, ex_val, de_bin, de_val)
-        if rz_mm:
+        if slim:
             # windowed loop: each window of ``stride`` steps carries one
-            # pending (ir, iz, val) record per lane (a lane's phase matches
-            # exactly one step per window — the same once-per-window
-            # semantics as the stream slot it replaces), flushed into the
-            # shared VMEM histogram via MXU one-hot contractions.  RNG draw
-            # order is identical to the flat loop (no draws in the flush).
+            # pending (x, y, z, val) deposit record per lane (a lane's phase
+            # matches exactly one step per window — the same once-per-window
+            # semantics as the stream slot it replaces); bins are computed
+            # once at window end and flushed into the shared VMEM histogram
+            # via MXU one-hot contractions.  RNG draw order is identical to
+            # the flat loop (no draws in the flush).
+            carry0 = (x, y, z, ux, uy, uz, w, tau, layer, quota, launched,
+                      spec, zero_f, zero_f,  # steps/absorbed accumulators
+                      zero_f,                # sign-encoded exit record
+                      zero_f, zero_f, zero_f, zero_f)  # p_x, p_y, p_z, p_val
+            n_pv = 4 if (vol_windowed and not ab_vol) else 0
+            carry0 = carry0 + (zero_f,) * n_pv
+
             def window_body(wi, carry):
-                carry = carry[:18] + (zero_i, zero_i, zero_f)
+                # reset the per-window pendings (the exit record and the
+                # counters persist across windows)
+                carry = carry[:15] + (zero_f,) * (4 + n_pv)
+                takev = (phase_hi == (wi % vol_ratio)) if n_pv else None
 
                 def inner(si, c):
-                    return step_body(wi * stride + si, c, si)
+                    return step_body(wi * stride + si, c, si, takev)
 
                 carry = jax.lax.fori_loop(0, stride, inner, carry,
                                           unroll=unroll)
-                _onehot_pair_flush(rz_acc_ref, carry[18], carry[19],
-                                   carry[20], nr, nz_pad, mm_scratch)
+                p_x, p_y, p_z, p_val = carry[15:19]
+                if not ab_rz:
+                    r = jnp.sqrt(p_x * p_x + p_y * p_y)
+                    ir = jnp.clip((r * inv_dr).astype(jnp.int32), 0, nr - 1)
+                    iz = jnp.clip((p_z * inv_dz).astype(jnp.int32),
+                                  0, nz - 1)
+                    _onehot_pair_flush(rz_acc_ref, ir, iz,
+                                       p_val * float(stride), nr, nz_pad,
+                                       mm_scratch)
+                if (vol_shared or n_pv) and not ab_vol:
+                    if vol_shared:
+                        vx_s, vy_s, vz_s, vv = p_x, p_y, p_z, p_val
+                        svidx = wi
+                    else:
+                        vx_s, vy_s, vz_s, vv = carry[19:23]
+                        svidx = wi // vol_ratio
+                    vx = jnp.clip(
+                        (vx_s * inv_vdx + 0.5 * cfg.vol_nx)
+                        .astype(jnp.int32), 0, cfg.vol_nx - 1)
+                    vy = jnp.clip(
+                        (vy_s * inv_vdy + 0.5 * cfg.vol_ny)
+                        .astype(jnp.int32), 0, cfg.vol_ny - 1)
+                    vz = jnp.clip((vz_s * inv_vdz).astype(jnp.int32),
+                                  0, cfg.vol_nz - 1)
+                    vbin = (vx * cfg.vol_ny + vy) * cfg.vol_nz + vz
+                    vval = vv * float(vol_stride)
+                    if vol_shared:
+                        # the slot belongs to this window alone: overwrite
+                        vol_bins_ref[svidx] = vbin
+                        vol_vals_ref[svidx] = vval
+                    else:
+                        # ``vol_ratio`` windows share the slot; each lane's
+                        # deposit comes from its ``takev`` window (slots
+                        # were zeroed before the loop)
+                        vol_bins_ref[svidx] = jnp.where(
+                            takev, vbin, vol_bins_ref[svidx])
+                        vol_vals_ref[svidx] = jnp.where(
+                            takev, vval, vol_vals_ref[svidx])
                 return carry
 
-            carry = jax.lax.fori_loop(
-                0, k_steps // stride, window_body,
-                carry0 + (zero_i, zero_i, zero_f))
+            carry = jax.lax.fori_loop(0, k_steps // stride, window_body,
+                                      carry0)
+            (x, y, z, ux, uy, uz, w, tau, layer, quota, launched, spec,
+             steps_a, absorbed_a, dwx) = carry[:15]
+            steps = jnp.sum(steps_a)
+            absorbed = jnp.sum(absorbed_a)
+            # block-end exit/detector records: a lane exits at most once
+            # per block and its position freezes at death, so the bins of
+            # the final state ARE the exit bins (bitwise identical to the
+            # per-step records they replace)
+            ex_bin, ex_val = zero_i, zero_f
+            de_bin, de_val = zero_i, zero_f
+            if not ab_exits:
+                top = dwx > 0.0
+                r = jnp.sqrt(x * x + y * y)
+                ir = jnp.clip((r * inv_dr).astype(jnp.int32), 0, nr - 1)
+                ex_bin = jnp.where(top, ir, nr + ir)
+                ex_val = jnp.abs(dwx)  # 0 (no exit) contributes nothing
+                if ex_mm:
+                    # once-per-block 1-D histogram of the exit records on
+                    # the MXU (column 0 of a (2nr, LANES) accumulator) —
+                    # replaces the host-side _hist fold of lanes-per-block
+                    # events whose chunk padding dominated its cost
+                    _onehot_pair_flush(ex_acc_ref, ex_bin, zero_i, ex_val,
+                                       2 * nr, LANES, mm_scratch)
+                if nx_det > 0 and not ab_det:
+                    ix = jnp.clip(((x + det_half) * det_scale)
+                                  .astype(jnp.int32), 0, nx_det - 1)
+                    iy = jnp.clip(((y + det_half) * det_scale)
+                                  .astype(jnp.int32), 0, nx_det - 1)
+                    de_bin = jnp.where(top, ix * nx_det + iy, 0)
+                    de_val = jnp.where(top, dwx, 0.0)
         else:
+            carry0 = (x, y, z, ux, uy, uz, w, tau, layer, quota, launched,
+                      spec, steps, absorbed, ex_bin, ex_val, de_bin, de_val)
             carry = jax.lax.fori_loop(0, k_steps, step_body, carry0,
                                       unroll=unroll)
-        (x, y, z, ux, uy, uz, w, tau, layer, quota, launched, spec,
-         steps, absorbed, ex_bin, ex_val, de_bin, de_val) = carry[:18]
+            (x, y, z, ux, uy, uz, w, tau, layer, quota, launched, spec,
+             steps, absorbed, ex_bin, ex_val, de_bin, de_val) = carry[:18]
 
         opx[:] = x
         opy[:] = y
@@ -676,7 +867,8 @@ class PallasPhotonEngine:
                  lanes: int, bench_mode: bool = True,
                  k_steps: int = K_STEPS, hw_prng: bool | None = None,
                  unroll: int = 1,
-                 rz_mm: bool | None = None, det_mm: bool | None = None):
+                 rz_mm: bool | None = None, det_mm: bool | None = None,
+                 ablate: frozenset = frozenset()):
         assert lanes % (ROWS * LANES) == 0, (lanes, ROWS * LANES)
         self.cfg = cfg
         self.lanes = lanes
@@ -723,6 +915,9 @@ class PallasPhotonEngine:
         self.rz_mm = bool(rz_mm) and not bench_mode
         self.det_mm = (bool(det_mm) and not bench_mode
                        and cfg.detector_nx > 0)
+        # in-kernel exit-record histogram: rides the slim windowed mode
+        # (the block-end exit bins are already in registers there)
+        self.ex_mm = self.rz_mm
         med = {
             "mu_t": np.asarray(medium.mu_t), "mu_a": np.asarray(medium.mu_a),
             "g": np.asarray(medium.g), "n": np.asarray(medium.n),
@@ -732,15 +927,29 @@ class PallasPhotonEngine:
         }
         # the step loop runs as an in-kernel fori_loop (Mosaic compiles one
         # step body instead of k_steps copies — the unrolled variant cost
-        # ~23 s of compile at k=64); Mosaic only allows unroll=1 or full
+        # ~23 s of compile at k=64); Mosaic only allows unroll=1 or the
+        # full trip count, and the trip count of the inner loop is
+        # ``stride`` in rz_mm (windowed) mode, ``k_steps`` otherwise —
+        # validate here so a bad value fails with a clear message instead
+        # of a Mosaic NotImplementedError at TPU compile time (ADVICE r3)
+        inner_trip = self.stride if self.rz_mm else self.k_steps
+        unroll = min(int(unroll), inner_trip)
+        if unroll not in (1, inner_trip):
+            raise ValueError(
+                f"unroll={unroll}: Mosaic fori_loop supports only unroll=1 "
+                f"or the full inner trip count ({inner_trip} here — the "
+                f"{'stride window' if self.rz_mm else 'k_steps loop'})")
+        self.ablate = frozenset(ablate)
         self.kernel = _make_kernel(med, cfg, bench_mode, k_steps,
                                    stride=self.stride,
                                    vol_stride=self.vol_stride,
                                    hw_prng=self.hw_prng,
-                                   unroll=min(unroll, k_steps),
+                                   unroll=unroll,
                                    rz_mm=self.rz_mm, nz_pad=self.nz_pad,
                                    det_mm=self.det_mm,
-                                   det_pad=self.det_pad)
+                                   det_pad=self.det_pad,
+                                   ex_mm=self.ex_mm,
+                                   ablate=self.ablate)
 
     def zero_state(self):
         shape = (self.n_tiles * ROWS, LANES)
@@ -788,6 +997,12 @@ class PallasPhotonEngine:
                 memory_space=pltpu.VMEM))
             acc_shapes.append(jax.ShapeDtypeStruct(
                 (self.cfg.detector_nx, self.det_pad), f32))
+        if self.ex_mm:
+            acc_specs.append(pl.BlockSpec((2 * self.cfg.nr, LANES),
+                                          lambda i: (0, 0),
+                                          memory_space=pltpu.VMEM))
+            acc_shapes.append(
+                jax.ShapeDtypeStruct((2 * self.cfg.nr, LANES), f32))
         out_specs = (
             [row_spec] * 8
             + [row_spec]  # layer
@@ -839,7 +1054,7 @@ class PallasPhotonEngine:
                                self.sep_vol_phase), n_rows, LANES),
                 jnp.float32),)
         scratch_shapes = []
-        if self.rz_mm or self.det_mm:
+        if self.rz_mm or self.det_mm or self.ex_mm:
             scratch_shapes = [pltpu.VMEM((ROWS, LANES), i32),
                               pltpu.VMEM((ROWS, LANES), i32),
                               pltpu.VMEM((ROWS, LANES), f32)]
@@ -865,26 +1080,37 @@ class PallasPhotonEngine:
          rz_bins, rz_vals, vol_bins, vol_vals) = outs[:8]
         accs = list(outs[8:])
         cfg = self.cfg
+        ab = self.ablate
         if not self.bench_mode:
-            ex = _hist(exit_bin, exit_val, 2 * cfg.nr)
-            if self.rz_mm:
-                rz = accs.pop(0)[:, :cfg.nz].reshape(-1)
-            else:
-                rz = _hist(rz_bins, rz_vals, cfg.nr * cfg.nz)
-            tallies = tallies.replace(
-                refl_r=tallies.refl_r + ex[:cfg.nr],
-                trans_r=tallies.trans_r + ex[cfg.nr:],
-                absorb_rz=tallies.absorb_rz + rz.reshape(cfg.nr, cfg.nz),
-            )
-            if cfg.detector_nx > 0:
+            rz_acc = accs.pop(0) if self.rz_mm else None
+            det_acc = accs.pop(0) if self.det_mm else None
+            ex_acc = accs.pop(0) if self.ex_mm else None
+            if "exits" not in ab:
+                if self.ex_mm:
+                    ex = ex_acc[:, 0]
+                else:
+                    ex = _hist(exit_bin, exit_val, 2 * cfg.nr)
+                tallies = tallies.replace(
+                    refl_r=tallies.refl_r + ex[:cfg.nr],
+                    trans_r=tallies.trans_r + ex[cfg.nr:])
+            if "rz" not in ab:
+                if self.rz_mm:
+                    rz = rz_acc[:, :cfg.nz].reshape(-1)
+                else:
+                    rz = _hist(rz_bins, rz_vals, cfg.nr * cfg.nz)
+                tallies = tallies.replace(
+                    absorb_rz=tallies.absorb_rz
+                    + rz.reshape(cfg.nr, cfg.nz))
+            if cfg.detector_nx > 0 and "det" not in ab and "exits" not in ab:
                 nx = cfg.detector_nx
                 if self.det_mm:
-                    det = accs.pop(0)[:, :nx].reshape(-1)
+                    det = det_acc[:, :nx].reshape(-1)
                 else:
                     det = _hist(det_bin, det_val, nx * nx)
                 tallies = tallies.replace(
-                    detector_xy=tallies.detector_xy + det.reshape(nx, nx))
-            if cfg.vol_nx > 0:
+                    detector_xy=tallies.detector_xy
+                    + det.reshape(nx, nx))
+            if cfg.vol_nx > 0 and "vol" not in ab:
                 nb = cfg.vol_nx * cfg.vol_ny * cfg.vol_nz
                 vol = _hist(vol_bins, vol_vals, nb)
                 tallies = tallies.replace(
@@ -942,7 +1168,8 @@ def simulate_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
                     k_steps: int = K_STEPS,
                     chunk_blocks: int = 4,
                     unroll: int = 1,
-                    timings: dict = None):
+                    timings: dict = None,
+                    _ablate: frozenset = frozenset()):
     """Unbiased run of cfg.n_photons via per-tile launch quotas.
 
     Host-driven loop over jitted *chunks* of ``chunk_blocks`` blocks (each
@@ -954,7 +1181,8 @@ def simulate_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
     lanes = min(lanes, max(ROWS * LANES,
                            (cfg.n_photons // (ROWS * LANES)) * ROWS * LANES))
     eng = PallasPhotonEngine(medium, cfg, lanes, bench_mode=False,
-                             k_steps=k_steps, unroll=unroll)
+                             k_steps=k_steps, unroll=unroll,
+                             ablate=_ablate)
     base = cfg.n_photons // eng.n_tiles
     rem = cfg.n_photons - base * eng.n_tiles
     assert base + 1 < 2 ** 24, "per-tile quota must stay exact in f32"
@@ -989,6 +1217,7 @@ def simulate_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
     # cost no counted steps).
     prev_more = None
     prev_tallies = tallies
+    c1 = 0
     for c in range(0, max_blocks, chunk_blocks):
         # mask the python-int seed into int32 range: at c >= 32768 the
         # unwrapped product exceeds 2^31-1 and jnp.asarray would raise
@@ -1008,6 +1237,7 @@ def simulate_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
             # measured from here
             t1 = time.perf_counter()
             s1 = counter_value(tallies.steps)
+            c1 = c + chunk_blocks
         if done:
             tallies = prev_tallies  # chunk c was dispatched past the drain
             break
@@ -1020,4 +1250,13 @@ def simulate_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
         timings["steady_steps"] = s_end - s1
         timings["steady_steps_per_sec"] = (
             (s_end - s1) / max(t_end - t1, 1e-9))
+        # lane occupancy over the steady region: counted (live-lane) steps
+        # per lane-step executed.  Off-by-one-chunk at the drain (the
+        # pipelined loop dispatches one chunk past termination; its lanes
+        # are dead and count no steps) — fine for a diagnostic.
+        steady_blocks = (c + chunk_blocks) - c1
+        lane_steps = steady_blocks * eng.lanes * eng.k_steps
+        timings["steady_blocks"] = steady_blocks
+        timings["steady_occupancy"] = (s_end - s1) / max(lane_steps, 1)
+        timings["ms_per_block"] = (t_end - t1) / max(steady_blocks, 1) * 1e3
     return tallies

@@ -168,6 +168,21 @@ def scrambled_pair(pixel, sample, pair, seed, dtype=jnp.float32):
             _to_unit(owen_scramble(y, sy), dtype))
 
 
+def _scrambled_x(pixel, sample, pair, seed, dtype=jnp.float32):
+    """Dimension-0-only variant of :func:`scrambled_pair` (same x values).
+
+    Used for slot layouts that consume an odd number of uniforms from the
+    last pair: generating the unused y would cost a full 32-step GF(2)
+    matvec plus two Owen scrambles per lane per bounce, relying on XLA
+    dead-code elimination to remove it — skip it explicitly instead.
+    """
+    shuffle = _hash(pixel, pair, seed, 0)
+    sx = _hash(pixel, pair, seed, 1)
+    idx = owen_scramble(jnp.asarray(sample, _U32), shuffle)
+    x = _reverse_bits(idx)  # Sobol' dim 0 = van der Corput
+    return _to_unit(owen_scramble(x, sx), dtype)
+
+
 # slot-pair layout per bounce: (BSDF0,BSDF1), (LIGHT0,LIGHT1), (PICK,RR),
 # (MED, spare).  The pairings put each 2-D physical decision (hemisphere
 # direction, light-surface point) on one stratified 2-D projection.
@@ -192,15 +207,22 @@ def lane_uniforms(seed, pixel, sample, max_depth: int, dtype=jnp.float32):
     seed = jnp.asarray(seed, _U32)
     ax, ay = scrambled_pair(pixel, sample, 0, seed, dtype)
     u_aa = jnp.stack([ax, ay], axis=-1)
+    # NUM_U = 7 slots per bounce out of 4 pairs: the 4th pair contributes
+    # only its x (MED) — its y is a documented spare, so it is never
+    # generated (ADVICE r3: don't lean on XLA to dead-code the GF(2)
+    # matvec + scrambles behind the stack/reshape/slice chain)
+    assert _rng.NUM_U == 2 * _PAIRS_PER_BOUNCE - 1
     slots = []
     for b in range(max_depth):
-        for p in range(_PAIRS_PER_BOUNCE):
+        for p in range(_PAIRS_PER_BOUNCE - 1):
             pair_id = 1 + b * _PAIRS_PER_BOUNCE + p
             x, y = scrambled_pair(pixel, sample, pair_id, seed, dtype)
             slots.extend([x, y])
+        pair_id = 1 + b * _PAIRS_PER_BOUNCE + (_PAIRS_PER_BOUNCE - 1)
+        slots.append(_scrambled_x(pixel, sample, pair_id, seed, dtype))
     u = jnp.stack(slots, axis=-1).reshape(
-        pixel.shape[0], max_depth, 2 * _PAIRS_PER_BOUNCE)
-    return u_aa, u[..., : _rng.NUM_U]
+        pixel.shape[0], max_depth, _rng.NUM_U)
+    return u_aa, u
 
 
 def render_uniforms(seed, height: int, width: int, spp: int, max_depth: int,

@@ -32,6 +32,14 @@ class Scene:
     # optional analytic sphere/plane primitives (reference Sphere/Plane,
     # src/primitives.py:41-66, made renderable — scene/analytic.py)
     analytic: Optional["AnalyticPrims"] = None
+    # static flag: route ALL triangle queries through the watertight
+    # PBRT-style test (ops/intersect.intersect_rays_watertight) — the
+    # reference flagship's convention (pc_triangle_intersect for every hit,
+    # src/intersects.py:267-445 via src/utils.py:52-68).  Opt-in here
+    # because the robust-MT default + inflated BVH bounds already covers
+    # crack-freeness for the bundled scenes at better throughput
+    # (README §Deviations 9); set it for crack-sensitive geometry.
+    watertight: bool = struct.field(pytree_node=False, default=False)
 
     @staticmethod
     def build(mesh: TriangleMesh, materials: MaterialTable, camera,
@@ -60,4 +68,12 @@ class Scene:
             camera=self.camera,
             bvh=bvh,
             analytic=self.analytic,
+            watertight=self.watertight,
         )
+
+    def with_watertight(self, on: bool = True) -> "Scene":
+        """Select the watertight triangle test for every scene query (the
+        reference flagship's robustness path); see the field docstring."""
+        import dataclasses
+
+        return dataclasses.replace(self, watertight=on)

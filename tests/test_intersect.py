@@ -235,3 +235,52 @@ def test_watertight_shared_edges_unfriendly_coordinates():
     assert bool(np.asarray(hw.valid).all()), (
         "watertight test dropped an edge/vertex ray at unfriendly coords"
     )
+
+
+def test_watertight_render_parity():
+    """Scene.with_watertight() routes the whole render through the
+    PBRT-style watertight test (the reference flagship's convention,
+    src/utils.py:52-68 -> src/intersects.py:267-445).  On crack-free
+    geometry it must reproduce the robust-MT render: same RNG, same
+    estimator, only the triangle test differs.  The watertight transform
+    computes t by different arithmetic, so hit points differ in ULPs and
+    individual paths diverge numerically — the comparison is statistical
+    (same-seed images estimate the same integrand; per-pixel deltas are
+    bounce-noise-sized), plus an MAE bound far below image contrast."""
+    import numpy as np
+
+    from light_transport_tpu.api import render
+    from light_transport_tpu.scene.cornell import cornell_box_scene
+
+    scene, cfg = cornell_box_scene(width=32, height=32, spp=4, max_depth=3)
+    assert not scene.watertight
+    img_mt = np.asarray(render(scene, cfg, seed=9))
+    img_wt = np.asarray(render(scene.with_watertight(), cfg, seed=9))
+    assert np.isfinite(img_wt).all()
+    assert abs(img_wt.mean() - img_mt.mean()) < 2e-3
+    mae = np.abs(img_wt - img_mt).mean()
+    assert mae < 8e-3, mae
+
+
+def test_watertight_occlusion_parity():
+    """occluded_watertight agrees with the MT any-hit away from edges and
+    honors the active-lane empty-interval convention through dispatch."""
+    import numpy as np
+
+    from light_transport_tpu.ops.dispatch import scene_occluded
+    from light_transport_tpu.scene.cornell import cornell_box_scene
+
+    scene, _ = cornell_box_scene(width=8, height=8, spp=1, max_depth=2)
+    rng = np.random.default_rng(3)
+    n = 256
+    o = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    occ_mt = np.asarray(scene_occluded(scene, o, d, 5.0))
+    occ_wt = np.asarray(scene_occluded(scene.with_watertight(), o, d, 5.0))
+    assert (occ_mt == occ_wt).mean() > 0.99
+    # inactive lanes report unoccluded in both modes
+    active = np.zeros((n,), bool)
+    occ_off = np.asarray(
+        scene_occluded(scene.with_watertight(), o, d, 5.0, active=active))
+    assert not occ_off.any()
