@@ -44,6 +44,12 @@ def render(
             f"aperture > 0 (thin-lens DOF) is supported by the path and "
             f"adaptive integrators (and render_cv) only "
             f"(got integrator={integrator!r})")
+    if cfg.emission_mode == "mis" and cfg.nee_mode != "one":
+        # the power heuristic weighs the NEE strategy's area-sampling
+        # density; the 'all' quadrature estimator has no such density
+        raise ValueError(
+            "emission_mode='mis' requires nee_mode='one' (the power "
+            "heuristic needs the NEE sampling density)")
     key = jax.random.key(cfg.seed if seed is None else seed)
     if integrator == "adaptive":
         from light_transport_tpu.integrators.adaptive import render_adaptive
@@ -69,6 +75,13 @@ def render(
             )
 
             return render_image_split(scene, cfg, key, ray_chunk=ray_chunk)
+        if cfg.compact_tail:
+            from light_transport_tpu.integrators.path_tracer import (
+                render_image_compact,
+            )
+
+            return render_image_compact(scene, cfg, key,
+                                        ray_chunk=ray_chunk)
         from light_transport_tpu.integrators.path_tracer import render_image
 
         return render_image(scene, cfg, key, ray_chunk=ray_chunk)

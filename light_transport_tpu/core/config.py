@@ -33,7 +33,11 @@ class RenderConfig:
     # 'first_hit': emission only added at bounce 0 (flagship tracer :59);
     # 'always': emission at every bounce (path_tracing_fix1.py:45-46);
     # 'nee': emission at bounce 0 / after specular or medium-scatter chains
-    # only (the estimator-correct rule; see path_tracer._bounce).
+    # only (the estimator-correct rule; see path_tracer._bounce);
+    # 'mis': like 'nee' but BSDF-sampled light hits from diffuse vertices
+    # are kept and combined with the NEE term by the power heuristic —
+    # lower variance on small/bright lights at equal spp (PERF.md A/B);
+    # requires nee_mode='one'.
     emission_mode: str = "first_hit"
     # 'one': one shadow ray to a random area-weighted light point per
     # diffuse bounce (cast_one_shadow_ray, src/light_samples.py:35-61);
@@ -63,6 +67,16 @@ class RenderConfig:
     # surface point, ...) becomes a (0,2)-sequence, cutting pixel variance
     # on smooth integrands at equal spp (power-of-two spp stratifies best).
     sampler: str = "uniform"
+    # Host-driven multi-level tail compaction for the plain path
+    # integrator (path_tracer.trace_paths_compact): between bounce
+    # segments, live lanes are squeezed to the front and the lane width
+    # halves while occupancy allows — per-lane radiance (and thus the
+    # image) is unchanged to ~1 ulp, steady time drops on deep-depth
+    # configs (fix1-scale numbers in PERF.md).  Off by default: the
+    # compacted tracer is host-driven, so it cannot run under an outer
+    # jit or shard_map and produces no TraceRecord (CV/detector renders
+    # ignore the flag).
+    compact_tail: bool = False
     # Thin-lens depth of field (extension; the reference camera is a pure
     # pinhole, src/path_tracing.py:263-287).  aperture = lens radius in
     # world units (0 = pinhole, bitwise-identical to the reference model);

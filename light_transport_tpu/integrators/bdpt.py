@@ -30,10 +30,13 @@ Scope notes (documented):
   vertex is specular are excluded from the light-side strategies
   (PT-unreachable transport; raise max_depth to include it);
 - subpath walks do not Russian-roulette (depth is statically bounded);
-- subpaths ignore interior participating media (no Beer-Lambert or HG
-  along segments) — media scenes belong to the path tracer, whose carried
-  medium state has no BDPT counterpart; on zero-sigma scenes (all parity
-  scenes here) the estimators remain identical;
+- subpath segments inside transmissive objects attenuate by Beer-Lambert
+  of the carried interior sigma_a (the PathState convention, one-level
+  nesting), so absorbing-media scenes estimate the same transport as the
+  path tracer (tests/test_bdpt.py absorbing-glass parity).  In-scattering
+  (sigma_s > 0) remains out of scope — BDPT samples no medium vertices;
+  use the path tracer for scattering media.  Connection segments use
+  binary visibility, matching PT's "opaque" NEE rule;
 - emitted radiance is ``Material.emission * emission_color`` on both
   subpath ends, the same value NEE and the path tracer read (the reference
   mixes an ``emission`` scalar at hits with ``emission * diffuse`` for
@@ -132,11 +135,24 @@ def random_walk(
     prev_pos = origins
     prev_ns = jnp.zeros((n, 3))
     have_prev = jnp.zeros((n,), bool)
+    # carried interior absorption (the PathState med_sig_a convention,
+    # one-level outer memory): subpath segments inside transmissive
+    # objects attenuate by Beer-Lambert, so BDPT estimates the same
+    # transport as the path tracer on absorbing-media scenes (VERDICT r3
+    # item 6).  In-scattering (sigma_s) stays out of scope — BDPT has no
+    # medium-vertex strategies; use the path tracer for scattering media.
+    sig_a = jnp.zeros((n, 3))
+    out_sig_a = jnp.zeros((n, 3))
 
     for step in range(max_len):
         hit = _hit(scene, o, d, ray_chunk, active=alive)
         ok = alive & hit.valid
         hp = o + d * hit.t[:, None]
+        # Beer-Lambert along the segment just traversed (deterministic
+        # throughput weight: sampling densities — and thus every MIS
+        # weight — are unchanged)
+        beta = beta * jnp.where(
+            ok[:, None], jnp.exp(-sig_a * hit.t[:, None]), 1.0)
         from light_transport_tpu.scene.analytic import surface_attrs
 
         n_geo, mat_id, hit_is_light = surface_attrs(scene, hit, hp)
@@ -215,6 +231,18 @@ def random_walk(
         )
         beta = beta * jnp.where(ok[:, None], scale, 1.0)
         alive = ok & (is_diffuse & pdf_ok | is_delta)
+
+        # carried-medium update: a followed refraction crosses the
+        # interface (entering from outside / exiting from inside)
+        entering = ok & refract_now & ~inside
+        exiting = ok & refract_now & inside
+        new_sig = jnp.where(
+            entering[:, None], mats.sigma_a[mat_id],
+            jnp.where(exiting[:, None], out_sig_a, sig_a))
+        out_sig_a = jnp.where(
+            entering[:, None], sig_a,
+            jnp.where(exiting[:, None], 0.0, out_sig_a))
+        sig_a = new_sig
 
         prev_pos, prev_ns, have_prev = hp, ns, ok
         o, d = new_o, new_dir

@@ -68,6 +68,12 @@ class PathState(NamedTuple):
     # scatter.  Avoids both the double counting of "always" and the
     # specular-chain energy loss of "first_hit".
     emit_ok: jnp.ndarray  # (N,) bool
+    # Solid-angle pdf of the direction sampled at the previous vertex IF
+    # that vertex was diffuse (0 otherwise) — the BSDF-side density the
+    # power heuristic needs when emission_mode="mis" scores a
+    # BSDF-sampled light hit (anchor: the per-strategy pdf bookkeeping of
+    # src/bdpt.py:298-359, collapsed to the one NEE<->BSDF pair).
+    prev_pdf: jnp.ndarray  # (N,)
     # Carried interior medium: the (sigma_a, sigma_s, g) of the medium the
     # ray currently travels through, updated on refraction entry/exit, plus
     # a one-level outer memory so exiting a nested object restores the
@@ -96,6 +102,7 @@ class PathState(NamedTuple):
             radiance=jnp.zeros((n, 3), dtype),
             alive=jnp.ones((n,), bool),
             emit_ok=jnp.ones((n,), bool),
+            prev_pdf=z,
             med_sig_a=jnp.zeros((n, 3), dtype),
             med_sig_s=z,
             med_g=z,
@@ -221,16 +228,39 @@ def _bounce(
         add_emit = hit_ok & is_light & (bounce == 0)
     elif cfg.emission_mode == "nee":
         add_emit = hit_ok & is_light & state.emit_ok
+    elif cfg.emission_mode == "mis":
+        # power-heuristic NEE<->BSDF combination (VERDICT r3 item 5):
+        # instead of the binary emit_ok partition, a BSDF-sampled light
+        # hit from a diffuse vertex scores with weight
+        # p_bsdf^2 / (p_bsdf^2 + p_nee^2) — the NEE side below carries
+        # the complementary weight, so each light path is counted exactly
+        # once in expectation with the canonical variance-optimal split.
+        # Specular/medium chains (emit_ok) keep weight 1: NEE cannot
+        # sample them, so there is no competing strategy.
+        add_emit = hit_ok & is_light & (state.emit_ok
+                                        | (state.prev_pdf > 0.0))
     else:
         add_emit = hit_ok & is_light
     add_emit = add_emit & ~scatter_evt
+    emit_w = 1.0
+    if cfg.emission_mode == "mis":
+        # NEE's solid-angle density toward the point actually hit:
+        # (1/total_area) * r^2 / |cos phi|; |cos_in| IS the light-side
+        # cosine (cos_in = dot(n_geo, direction) at the hit surface)
+        inv_area = 1.0 / jnp.maximum(scene.lights.total_area, 1e-30)
+        p_nee_hit = inv_area * hit.t * hit.t / jnp.maximum(
+            jnp.abs(cos_in), 1e-12)
+        p_b = state.prev_pdf
+        w_bsdf = p_b * p_b / jnp.maximum(
+            p_b * p_b + p_nee_hit * p_nee_hit, 1e-30)
+        emit_w = jnp.where(state.emit_ok, 1.0, w_bsdf)[:, None]
     # emitted radiance = emission * emission_color — the SAME value the
     # NEE side reads (scene/lights.py LightTable.radiance); the reference
     # scores the bare scalar at hits but a diffuse-tinted product through
     # NEE (src/path_tracing.py:60 vs src/light_samples.py:55), splitting
     # one light into two radiances (README §Deviations)
     radiance = state.radiance + jnp.where(
-        add_emit[:, None], mats.emission_rgb[mat_id] * tp_arr, 0.0
+        add_emit[:, None], mats.emission_rgb[mat_id] * tp_arr * emit_w, 0.0
     )
 
     # --- diffuse branch: NEE + cosine bounce -------------------------------
@@ -278,6 +308,16 @@ def _bounce(
         # contract: src/light_samples.py:55-59 — L * f * G / pdf_area
         direct = lrad * f_diffuse \
             * (g_term / jnp.maximum(pdf_area, 1e-30))[:, None]
+        if cfg.emission_mode == "mis":
+            # the NEE side of the power heuristic: compete against the
+            # cosine-BSDF density of the same direction
+            cos_phi_l = jnp.abs(lm.dot(ln, -wi))
+            p_nee_sa = pdf_area * dist * dist / jnp.maximum(cos_phi_l,
+                                                            1e-12)
+            p_b_hyp = jnp.maximum(lm.dot(wi, n_s), 0.0) * lm.INV_PI
+            w_nee = p_nee_sa * p_nee_sa / jnp.maximum(
+                p_nee_sa * p_nee_sa + p_b_hyp * p_b_hyp, 1e-30)
+            direct = direct * w_nee[:, None]
         if cfg.shadow_mode == "transmittance":
             # media-aware visibility: transmissive occluders attenuate by
             # their interior Beer-Lambert extinction instead of blocking
@@ -422,6 +462,8 @@ def _bounce(
         radiance=radiance,
         alive=alive,
         emit_ok=scatter_evt | (hit_ok & is_mirror) | trans_emit,
+        prev_pdf=jnp.where(hit_ok & is_diffuse & ~scatter_evt & pdf_ok,
+                           d_pdf, 0.0),
         med_sig_a=med_sig_a,
         med_sig_s=med_sig_s,
         med_g=new_med_g,
@@ -501,6 +543,115 @@ def trace_paths(
         incident=jnp.moveaxis(recs[4], 0, 1),
     )
     return final.radiance, record
+
+
+@partial(jax.jit, static_argnums=(1, 4, 5))
+def _trace_segment(scene, cfg: RenderConfig, state: PathState,
+                   u_seg, coherent0: bool, ray_chunk, b0):
+    """Scan ``u_seg.shape[1]`` bounces starting at (traced) bounce ``b0``
+    without producing TraceRecords — the compacted tracer's inner unit.
+    One compiled executable per (cfg, lane width, segment length)."""
+    bounces = b0 + jnp.arange(u_seg.shape[1], dtype=jnp.int32)
+    u_scan = jnp.moveaxis(u_seg, 1, 0)
+
+    def step(carry, xs):
+        u_b, b = xs
+        new_state, _ = _bounce(scene, cfg, carry, u_b, b, ray_chunk)
+        return new_state, None
+
+    if coherent0:
+        state, _ = _bounce(scene, cfg, state, u_scan[0], bounces[0],
+                           ray_chunk, coherent=True)
+        state, _ = jax.lax.scan(step, state, (u_scan[1:], bounces[1:]))
+    else:
+        state, _ = jax.lax.scan(step, state, (u_scan, bounces))
+    return state
+
+
+def trace_paths_compact(
+    scene: Scene,
+    cfg: RenderConfig,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    uniforms: jnp.ndarray,
+    ray_chunk: Optional[int] = None,
+    segment: int = 2,
+    min_width: int = 1 << 13,
+) -> jnp.ndarray:
+    """:func:`trace_paths` with host-driven multi-level tail compaction
+    (``RenderConfig.compact_tail``): radiance only, no TraceRecord.
+
+    The full-width scan keeps every lane resident for all ``max_depth``
+    supersteps even though occupancy decays fast (measured on the fix1
+    config, 300x300 d8: [1, .78, .62, .51, .43, .36, .30, ~0] — PERF.md
+    §tail compaction).  Here the trace runs in ``segment``-bounce jitted
+    chunks; between chunks the host reads the live-lane count and, while
+    it is at or below half the current width, squeezes live lanes to the
+    front (stable argsort — transport/photon._compact's pattern) and
+    halves the width, gathering the per-lane uniform slices and original
+    lane ids along.  Each width compiles once and is reused.
+
+    Per-lane radiance is exact: per-lane math is elementwise,
+    intersection/NEE results are order-independent (sorted_apply inverts
+    its own permutation), and dropped lanes are dead (their radiance is
+    final when flushed with ``.set``) — the only deltas vs
+    :func:`trace_paths` are compilation-partition rounding (the segmented
+    jits fuse differently than one end-to-end jit; ~1 ulp, pinned at
+    atol=1e-5 in tests/test_path_tracer.py).  Not usable under an outer
+    jit (host sync) — api.render dispatches it only for the plain path
+    integrator.
+    """
+    from light_transport_tpu.ops.dispatch import MXU_MAX_TRIS
+
+    n0 = origins.shape[0]
+    state = PathState.initial(origins, directions)
+    out = jnp.zeros((n0, 3), origins.dtype)
+    lane_ids = jnp.arange(n0, dtype=jnp.int32)
+    coherent0 = scene.mesh.v0.shape[0] > MXU_MAX_TRIS
+    b = 0
+    while b < cfg.max_depth:
+        seg = min(segment, cfg.max_depth - b)
+        state = _trace_segment(scene, cfg, state, uniforms[:, b:b + seg],
+                               coherent0 and b == 0, ray_chunk,
+                               jnp.asarray(b, jnp.int32))
+        b += seg
+        width = state.alive.shape[0]
+        if b >= cfg.max_depth or width <= min_width:
+            continue
+        n_alive = int(jax.device_get(jnp.sum(state.alive)))
+        new_w = width
+        while new_w > min_width and n_alive <= new_w // 2:
+            new_w //= 2
+        if new_w < width:
+            # dead lanes' radiance is final — flush everyone, survivors
+            # get overwritten by later (fuller) sets of the same
+            # accumulation chain, so no lane's estimate changes
+            out = out.at[lane_ids].set(state.radiance)
+            order = jnp.argsort(~state.alive, stable=True)[:new_w]
+            state = jax.tree.map(lambda a: a[order], state)
+            uniforms = uniforms[order]
+            lane_ids = lane_ids[order]
+    return out.at[lane_ids].set(state.radiance)
+
+
+def render_image_compact(
+    scene: Scene,
+    cfg: RenderConfig,
+    key: jax.Array,
+    ray_chunk: Optional[int] = None,
+    return_samples: bool = False,
+    sample_offset=0,
+):
+    """:func:`render_image` through the tail-compacting tracer (same
+    estimate to ~1 ulp; host-driven, so not jittable end-to-end)."""
+    origins, directions, uniforms = _camera_lanes(scene, cfg, key,
+                                                  sample_offset)
+    radiance = trace_paths_compact(scene, cfg, origins, directions,
+                                   uniforms, ray_chunk=ray_chunk)
+    image, samples = _to_image(radiance, cfg)
+    if return_samples:
+        return image, samples
+    return image
 
 
 def trace_paths_split(
@@ -624,6 +775,7 @@ def _split_step(scene, cfg, uniforms, state, bounce_v, stack, top,
         # a popped branch leaves a specular (transmissive) vertex:
         # emission on its next hit was unreachable by NEE
         emit_ok=jnp.where(can_pop, True, new_state.emit_ok),
+        prev_pdf=jnp.where(can_pop, 0.0, new_state.prev_pdf),
         med_sig_a=pick(p_ma, new_state.med_sig_a, vec=True),
         med_sig_s=pick(p_ms, new_state.med_sig_s),
         med_g=pick(p_mg, new_state.med_g),

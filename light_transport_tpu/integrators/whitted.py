@@ -19,9 +19,11 @@ Deviations (documented):
 - area lights are shaded at per-row fixed sample points (triangle centroid)
   instead of the reference's pre-drawn random point list — same estimator
   class, deterministic;
-- the indirect-diffuse term is taken at the primary hit only (the
-  reference recurses it, i.e. 10^depth rays — numerically negligible and
-  catastrophically expensive).
+- the indirect-diffuse term defaults to the primary hit only; the
+  reference's full recursion (10^depth rays, src/render_old.py:186-194)
+  is available as ``render_whitted(..., indirect_mode="full")`` through
+  the weighted ray queue (single-sample GI children below the primary —
+  same expectation; A/B image delta in PERF.md).
 """
 
 from __future__ import annotations
@@ -77,7 +79,7 @@ def trace_whitted(
     if hit is None:
         hit = _hit(scene, o, d, ray_chunk, active=active)
     (color, hit_ok, hp, n_s, shifted, refl_coef, transmission,
-     t_dir, tir) = _shade_local(scene, o, d, hit, ray_chunk, active)
+     t_dir, tir, _) = _shade_local(scene, o, d, hit, ray_chunk, active)
 
     if depth > 0:
         # reflection branch (:157-164)
@@ -154,7 +156,7 @@ def _shade_local(scene, o, d, hit, ray_chunk, active):
     eta = n1 / n2
     t_dir, tir = lm.refract(d, n_s, eta)
     return (color, hit_ok, hp, n_s, shifted, refl_coef, transmission,
-            t_dir, tir)
+            t_dir, tir, o_dif)
 
 
 def trace_whitted_queue(
@@ -165,73 +167,114 @@ def trace_whitted_queue(
     ray_chunk: Optional[int] = None,
     weight_cutoff: float = 1e-3,
     max_iters: Optional[int] = None,
+    indirect_samples: int = 0,
+    key: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Deep-recursion Whitted: iterative weighted ray queue (VERDICT r2
     item 10).
 
     ``trace_whitted`` statically unrolls the reflect/refract tree — 2^depth
     trace sweeps, unusable past depth ~5.  Here each lane follows one
-    branch at a time and pushes the other (with its accumulated scalar
+    branch at a time and pushes the other (with its accumulated RGB
     weight) onto a per-lane stack of static depth; sub-``weight_cutoff``
-    branches are dropped.  One host-driven superstep per tree node on the
-    heaviest-weight-first path: the jitted step compiles ONCE (a device
-    while_loop around the Pallas intersector compiles pathologically —
-    CLAUDE.md), and total iterations are bounded by the number of
-    significant tree nodes, not 2^depth.
+    (luminance) branches are dropped.  One host-driven superstep per tree
+    node on the heaviest-weight-first path: the jitted step compiles ONCE
+    (a device while_loop around the Pallas intersector compiles
+    pathologically — CLAUDE.md), and total iterations are bounded by the
+    number of significant tree nodes, not 2^depth.
 
-    Same physics as ``trace_whitted`` — identical shading per node; images
-    differ only by the dropped sub-cutoff subtrees (<= cutoff in radiance).
+    ``indirect_samples`` > 0 adds the reference's recursive
+    hemisphere-sampled indirect-diffuse term at EVERY tree node
+    (src/render_old.py:186-194 recurses it — 10^depth rays there): the
+    primary node spawns ``indirect_samples`` weighted GI children
+    (``o_dif * cos * 0.1 / k`` each, the reference's estimator) and every
+    deeper node one single-sample child — an unbiased estimator of the
+    same nested expectation whose deep levels the weight cutoff prunes
+    (each level multiplies the weight by ~0.1*albedo*cos).  This closes
+    the round-3 deviation "indirect at the primary hit only".
+
+    Same physics as ``trace_whitted`` per node; images differ only by the
+    dropped sub-cutoff subtrees (<= cutoff in radiance).
     """
     from light_transport_tpu.ops import lanestack
 
     n = o.shape[0]
     dtype = o.dtype
-    S = depth + 1  # stack capacity: one deferred branch per level
+    gi = int(indirect_samples)
+    if gi and key is None:
+        key = jax.random.key(0)
+    # one deferred reflect/refract branch per level, plus the GI children
+    # (k at the primary node, one per deeper node)
+    S = depth + 1 + (gi + depth if gi else 0)
 
     color = jnp.zeros((n, 3), dtype)
-    cur = (o, d, jnp.ones((n,), dtype),
+    cur = (o, d, jnp.ones((n, 3), dtype),
            jnp.full((n,), depth, jnp.int32), jnp.ones((n,), bool))
     stack = lanestack.zeros(
-        (o, d, jnp.zeros((n,), dtype), jnp.zeros((n,), jnp.int32)), S)
+        (o, d, jnp.zeros((n, 3), dtype), jnp.zeros((n,), jnp.int32)), S)
     top = jnp.zeros((n,), jnp.int32)
-    # a lane shades one tree node per superstep, so the full reflect+refract
-    # tree needs at most 2^(depth+1)-1 supersteps; the any_act early break
+    # a lane shades one tree node per superstep; the any_act early break
     # ends typical runs far sooner (the weight cutoff prunes the tree)
-    iters = max_iters if max_iters is not None else 2 ** (depth + 1) - 1
-    for _ in range(iters):
+    iters = max_iters if max_iters is not None else \
+        2 ** (depth + 1) - 1 + gi * (2 * depth + 1)
+    for it in range(iters):
+        k_gi = 0 if not gi else (gi if it == 0 else 1)
+        k_step = jax.random.fold_in(key, it) if gi else None
         color, cur, stack, top, any_act = _queue_step(
-            scene, color, cur, stack, top, ray_chunk, weight_cutoff, S)
+            scene, color, cur, stack, top, ray_chunk, weight_cutoff, S,
+            k_gi, k_step)
         if not bool(any_act):
             break
     return color
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7))
-def _queue_step(scene, color, cur, stack, top, ray_chunk, weight_cutoff, S):
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _queue_step(scene, color, cur, stack, top, ray_chunk, weight_cutoff, S,
+                k_gi=0, key=None):
     """One queue superstep (module-level jit: repeated renders at the same
     shapes/settings reuse the compiled executable instead of recompiling
-    the whole intersector pipeline per trace_whitted_queue call)."""
+    the whole intersector pipeline per trace_whitted_queue call).
+
+    ``k_gi`` (static): hemisphere-sampled indirect-diffuse children to
+    push at this step's nodes (the full-depth GI option)."""
     from light_transport_tpu.ops import lanestack
 
     cur_o, cur_d, cur_w, cur_dep, cur_act = cur
+    n = cur_o.shape[0]
     hit = _hit(scene, cur_o, cur_d, ray_chunk, active=cur_act)
     (local, hit_ok, hp, n_s, shifted, refl_coef, transmission,
-     t_dir, tir) = _shade_local(scene, cur_o, cur_d, hit, ray_chunk,
-                                cur_act)
-    color = color + cur_w[:, None] * local
+     t_dir, tir, o_dif) = _shade_local(scene, cur_o, cur_d, hit, ray_chunk,
+                                       cur_act)
+    color = color + cur_w * local
 
     can_recurse = hit_ok & (cur_dep > 0)
-    w_refl = jnp.where(can_recurse, cur_w * refl_coef, 0.0)
-    w_refr = jnp.where(can_recurse & ~tir & (transmission > 0),
-                       cur_w * (1.0 - refl_coef) * transmission, 0.0)
-    refl_sig = w_refl > weight_cutoff
-    refr_sig = w_refr > weight_cutoff
+    w_refl = jnp.where(can_recurse[:, None], cur_w * refl_coef[:, None],
+                       0.0)
+    w_refr = jnp.where((can_recurse & ~tir & (transmission > 0))[:, None],
+                       cur_w * ((1.0 - refl_coef) * transmission)[:, None],
+                       0.0)
+    refl_sig = lm.luminance(w_refl) > weight_cutoff
+    refr_sig = lm.luminance(w_refr) > weight_cutoff
 
     r_dir = lm.reflect(cur_d, n_s)
     t_o = hp - 1e-3 * n_s
 
+    # indirect-diffuse children (reference :186-194 incl. the 0.1 factor):
+    # pushed onto the stack like any deferred branch; the cutoff prunes
+    # deep GI chains whose weight has decayed to insignificance
+    for s in range(k_gi):
+        u = jax.random.uniform(jax.random.fold_in(key, s), (n, 2),
+                               cur_o.dtype)
+        gdir, _ = sampling.uniform_hemisphere(n_s, u[:, 0], u[:, 1])
+        cosg = jnp.maximum(lm.dot(gdir, n_s), 0.0)
+        w_gi = cur_w * o_dif * (cosg * 0.1 / k_gi)[:, None]
+        push_gi = can_recurse & (lm.luminance(w_gi) > weight_cutoff)
+        stack, top = lanestack.push(
+            stack, top, push_gi,
+            (hp + 1e-4 * n_s, gdir, w_gi, cur_dep - 1), S)
+
     # follow the heavier branch, push the other if also significant
-    refl_first = w_refl >= w_refr
+    refl_first = lm.luminance(w_refl) >= lm.luminance(w_refr)
     both = refl_sig & refr_sig
     push_refr = both & refl_first
     push_refl = both & ~refl_first
@@ -246,7 +289,7 @@ def _queue_step(scene, color, cur, stack, top, ray_chunk, weight_cutoff, S):
     has_child = take_refl | take_refr
     nxt_o = jnp.where(take_refl[:, None], shifted, t_o)
     nxt_d = jnp.where(take_refl[:, None], r_dir, t_dir)
-    nxt_w = jnp.where(take_refl, w_refl, w_refr)
+    nxt_w = jnp.where(take_refl[:, None], w_refl, w_refr)
 
     # lanes without a child pop their deferred branch (if any)
     can_pop = ~has_child & (top > 0)
@@ -255,7 +298,7 @@ def _queue_step(scene, color, cur, stack, top, ray_chunk, weight_cutoff, S):
 
     new_o = jnp.where(has_child[:, None], nxt_o, p_o)
     new_d = jnp.where(has_child[:, None], nxt_d, p_d)
-    new_w = jnp.where(has_child, nxt_w, p_w)
+    new_w = jnp.where(has_child[:, None], nxt_w, p_w)
     new_dep = jnp.where(has_child, cur_dep - 1, p_dep)
     new_act = has_child | can_pop
     any_act = jnp.any(new_act)
@@ -269,6 +312,7 @@ def render_whitted(
     key: jax.Array,
     ray_chunk: Optional[int] = None,
     indirect_samples: int = 0,
+    indirect_mode: str = "primary",
 ):
     """Whitted render (reference ``render_old.render_scene``,
     src/render_old.py:202-221): one primary ray per pixel, clip to [0,1].
@@ -279,8 +323,27 @@ def render_whitted(
     cost scales with significant tree nodes instead of 2^depth.
 
     ``indirect_samples`` > 0 adds the reference's hemisphere-sampled
-    indirect-diffuse estimate at the primary hit (:186-194).
+    indirect-diffuse estimate.  ``indirect_mode``: "primary" takes it at
+    the primary hit only (the round-3 deviation — numerically tiny on the
+    bundled scenes, A/B in PERF.md); "full" recurses it at every tree
+    node exactly as src/render_old.py:186-194 does, via the weighted ray
+    queue (GI children at every node, single-sample below the primary —
+    an unbiased estimator of the same nested expectation).
     """
+    if indirect_mode not in ("primary", "full"):
+        raise ValueError(f"indirect_mode={indirect_mode!r}")
+    if indirect_mode == "full" and indirect_samples > 0:
+        from light_transport_tpu.integrators.path_tracer import camera_rays
+        import dataclasses
+
+        n = cfg.height * cfg.width
+        cfg1 = dataclasses.replace(cfg, spp=1)
+        u_aa = jnp.zeros((n, 2), scene.camera.dtype)
+        o, d = camera_rays(scene, cfg1, u_aa)
+        color = trace_whitted_queue(scene, o, d, cfg.max_depth, ray_chunk,
+                                    indirect_samples=indirect_samples,
+                                    key=key)
+        return jnp.clip(color.reshape(cfg.height, cfg.width, 3), 0.0, 1.0)
     if cfg.max_depth > 4:
         from light_transport_tpu.integrators.path_tracer import camera_rays
         import dataclasses

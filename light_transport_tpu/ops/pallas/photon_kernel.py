@@ -118,17 +118,19 @@ def _onehot_pair_flush(acc_ref, ib, jb, vals, ni: int, nj_pad: int,
     then carries exact sums).  Lanes with vals == 0 contribute nothing,
     so unset/pending-empty lanes need no masking.
 
-    Cost model (measured r4, full_scale rz grid): the flush is
-    co-bottlenecked by the VPU factor *construction* (~3.5 cycles/record)
-    and the MXU contractions (~2.5), so the hi/lo split of the values is
-    hoisted out of the row loop and the j mask is built once and reused
-    for both passes.  An i-blocked occupancy-masked variant (skip blocks
-    no record touches via ``@pl.when``) was tried and measured SLOWER
-    (+1.4 ms/block on full_scale) — the conditional regions break the
-    row-loop software pipelining and the per-block accumulator slices
-    round-trip VMEM; don't resurrect it without re-measuring.
+    Cost shape (measured r4, full_scale rz grid, per k=128 block at 64
+    tiles): this per-row form measures 10.5 ms — VPU-bound on factor
+    construction (~5.6) + accumulator adds (~4.4), MXU ~5.6 partially
+    hidden.  Three "improvements" measured SLOWER and were reverted;
+    kept as notes so they aren't re-tried blind:
+    - i-blocked occupancy masking via @pl.when: +1.4 ms (conditional
+      regions break the software pipelining; acc slices round-trip VMEM);
+    - packing 8 rows into one K=1024 dot via bf16 VMEM scratch: +1.0 ms
+      (the dot reads the same scratch the next group's build overwrites —
+      a WAR hazard that serializes build against contraction);
+    - lax.fori unroll of the step loop (1 vs 32): no change.
     """
-    si_ref, sj_ref, sv_ref = scratch
+    si_ref, sj_ref, sv_ref = scratch[:3]
     si_ref[:], sj_ref[:], sv_ref[:] = ib, jb, vals
     iota_i = jax.lax.broadcasted_iota(jnp.int32, (ni, LANES), 0)
     iota_j = jax.lax.broadcasted_iota(jnp.int32, (nj_pad, LANES), 0)
@@ -139,11 +141,10 @@ def _onehot_pair_flush(acc_ref, ib, jb, vals, ni: int, nj_pad: int,
         ib_g = si_ref[pl.ds(g * group, group), :]
         jb_g = sj_ref[pl.ds(g * group, group), :]
         v_g = sv_ref[pl.ds(g * group, group), :]
-        # hi/lo value split once per group (small arrays), not per row;
-        # the per-row selects run in f32 layout (a bool mask produced
-        # against an i32/f32-tiled iota cannot feed a bf16-layout select —
-        # Mosaic rejects the (8,128)->(16,128) relayout) and convert after
-        # (both halves are exactly bf16-representable)
+        # hi/lo value split once per group; the per-row selects run in f32
+        # layout (a bool mask against an i32-tiled iota cannot feed a
+        # bf16-layout select — Mosaic rejects the (8,128)->(16,128)
+        # relayout) and convert after (both halves are exactly bf16)
         vhi_g = v_g.astype(jnp.bfloat16).astype(jnp.float32)
         vlo_g = v_g - vhi_g
         for r in range(group):
@@ -1111,6 +1112,10 @@ class PallasPhotonEngine:
                     detector_xy=tallies.detector_xy
                     + det.reshape(nx, nx))
             if cfg.vol_nx > 0 and "vol" not in ab:
+                # plain scatter-add: a sort-then-scatter variant with the
+                # indices_are_sorted hint measured 41.9 vs 27.1 ms/block
+                # end-to-end on full_scale (argsort of ~1M keys costs far
+                # more than the sortedness hint recovers) — PERF.md
                 nb = cfg.vol_nx * cfg.vol_ny * cfg.vol_nz
                 vol = _hist(vol_bins, vol_vals, nb)
                 tallies = tallies.replace(
@@ -1169,6 +1174,8 @@ def simulate_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
                     chunk_blocks: int = 4,
                     unroll: int = 1,
                     timings: dict = None,
+                    checkpoint_path: str = None,
+                    checkpoint_every: int = 16,
                     _ablate: frozenset = frozenset()):
     """Unbiased run of cfg.n_photons via per-tile launch quotas.
 
@@ -1177,6 +1184,15 @@ def simulate_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
     termination check reads one scalar back per chunk, so the ~27 ms tunnel
     round-trip is amortized.  Wrapping the whole run in a device-side
     while_loop triggers pathologically slow XLA/Mosaic compiles (PERF.md).
+
+    ``checkpoint_path``: snapshot (state, tallies, quota, chunk index,
+    seed) every ``checkpoint_every`` chunks through the atomic-npz
+    checkpoint store (utils/checkpoint).  A killed run re-invoked with the
+    same arguments resumes at the last snapshot and — because per-block
+    RNG seeds derive from the absolute block index — reproduces the
+    uninterrupted run's counters and tallies exactly.  Each snapshot
+    forces a device->host fetch of the full state (~30 MB at 64 tiles
+    over the tunnel), so size ``checkpoint_every`` to taste.
     """
     lanes = min(lanes, max(ROWS * LANES,
                            (cfg.n_photons // (ROWS * LANES)) * ROWS * LANES))
@@ -1208,6 +1224,21 @@ def simulate_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
     state = eng.zero_state()
     tallies = PhotonTallies.zeros(cfg)
     quota = jnp.asarray(quota)
+    start_c = 0
+    fp = ""
+    if checkpoint_path:
+        from light_transport_tpu.utils.checkpoint import (
+            load_pallas_checkpoint,
+            save_pallas_checkpoint,
+        )
+
+        # everything that must match for the resumed RNG streams, shapes
+        # and fold semantics to line up with the interrupted run
+        fp = (f"pallas-v1|seed={seed}|lanes={lanes}|k={eng.k_steps}"
+              f"|cb={chunk_blocks}|hw={eng.hw_prng}|cfg={cfg}")
+        loaded = load_pallas_checkpoint(checkpoint_path, fp)
+        if loaded is not None:
+            state, tallies, quota, start_c = loaded
     t0 = time.perf_counter()
     t1 = s1 = None
     # pipelined host loop: dispatch chunk c+1 (async) BEFORE forcing chunk
@@ -1218,7 +1249,8 @@ def simulate_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
     prev_more = None
     prev_tallies = tallies
     c1 = 0
-    for c in range(0, max_blocks, chunk_blocks):
+    chunks_done = 0
+    for c in range(start_c, max_blocks, chunk_blocks):
         # mask the python-int seed into int32 range: at c >= 32768 the
         # unwrapped product exceeds 2^31-1 and jnp.asarray would raise
         # OverflowError mid-run (in-kernel b*65537 arithmetic wraps as
@@ -1242,6 +1274,12 @@ def simulate_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
             tallies = prev_tallies  # chunk c was dispatched past the drain
             break
         prev_more, prev_tallies = more, tallies
+        chunks_done += 1
+        if checkpoint_path and chunks_done % checkpoint_every == 0:
+            # post-chunk-c snapshot; a snapshot taken on the all-dead
+            # chunk past the drain is harmless (it adds no events)
+            save_pallas_checkpoint(checkpoint_path, state, tallies, quota,
+                                   c + chunk_blocks, seed, fp)
     if timings is not None and t1 is not None:
         s_end = counter_value(tallies.steps)
         t_end = time.perf_counter()

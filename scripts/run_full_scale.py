@@ -31,6 +31,10 @@ def main():
                     help="lane tiles (8192 lanes each)")
     ap.add_argument("--k-steps", type=int, default=128)
     ap.add_argument("--chunk-blocks", type=int, default=16)
+    ap.add_argument("--checkpoint", default=None,
+                    help="npz path: snapshot every --checkpoint-every "
+                         "chunks; re-running resumes exactly")
+    ap.add_argument("--checkpoint-every", type=int, default=16)
     ap.add_argument("--out", default="artifacts/full_scale_run.json")
     args = ap.parse_args()
 
@@ -79,6 +83,8 @@ def main():
             tallies = simulate_pallas(medium, cfg, seed=cfg.seed,
                                       lanes=lanes, k_steps=args.k_steps,
                                       chunk_blocks=args.chunk_blocks,
+                                      checkpoint_path=args.checkpoint,
+                                      checkpoint_every=args.checkpoint_every,
                                       timings=timings)
             t_sim = time.perf_counter() - t0
             jax.block_until_ready(tallies)

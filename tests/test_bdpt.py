@@ -485,3 +485,52 @@ def test_bdpt_specular_chain_parity_glass_scene():
     exp_mae = (np.sqrt(2 / np.pi) * sig).mean()
     assert mae < 2.0 * exp_mae, (mae, exp_mae)
     assert np.quantile(z, 0.95) < 4.0, np.quantile(z, [0.5, 0.95, 1.0])
+
+
+def test_bdpt_absorbing_media_parity_glass_scene():
+    """BDPT vs PT on the whisky-glass scene with a strongly ABSORBING
+    liquid (sigma_a > 0, sigma_s = 0): BDPT's subpath walks now carry the
+    interior medium and Beer-Lambert their segments (VERDICT r3 item 6),
+    so both estimators target the same transport — image means within
+    3 sigma, and the absorption must actually bite (darker than the
+    clear-liquid render), proving the attenuation path executed."""
+    import dataclasses
+
+    from light_transport_tpu.models.presets import glass_scene
+    from light_transport_tpu.integrators.path_tracer import render_image
+    from light_transport_tpu.scene.material import Material, MaterialTable
+    from light_transport_tpu.scene.cornell import cornell_materials
+    from light_transport_tpu.scene.glass import glass_materials
+    from light_transport_tpu.scene.material import presets
+
+    scene, cfg = glass_scene(width=20, height=20, spp=24, max_depth=5)
+    rows = cornell_materials() + glass_materials()
+    # liquid = glass row 1 (mat id 6): tint it with absorption
+    rows[6] = dataclasses.replace(rows[6], sigma_a=(0.05, 0.15, 0.3))
+    scene_a = dataclasses.replace(
+        scene, materials=MaterialTable.build(rows))
+
+    img_pt, samples = render_image(scene_a, cfg, jax.random.key(0),
+                                   return_samples=True)
+    img_pt = np.asarray(img_pt)
+    s = np.clip(np.asarray(samples), 0.0, 1.0)
+    n_samp = s.shape[2] * s.shape[0] * s.shape[1]
+    se_pt = float(np.sqrt(s.var(axis=2).mean() / n_samp))
+
+    n_seeds = 5
+    bd_imgs = np.stack([
+        np.asarray(render_bdpt(scene_a, cfg, jax.random.key(30 + k)))
+        for k in range(n_seeds)
+    ])
+    bd = bd_imgs.reshape(n_seeds, -1).mean(axis=1)
+    se_bd = float(np.std(bd, ddof=1) / np.sqrt(len(bd)))
+    diff = abs(img_pt.mean() - float(np.mean(bd)))
+    bound = 3.0 * np.sqrt(se_pt**2 + se_bd**2) + 1e-3
+    assert diff < bound, (img_pt.mean(), float(np.mean(bd)), diff, bound)
+
+    # the attenuation must actually darken the BDPT estimate vs the
+    # clear-liquid scene (guards against the medium state silently never
+    # engaging, which would also "pass" parity on a PT with the same bug)
+    bd_clear = np.asarray(render_bdpt(scene, cfg, jax.random.key(30)))
+    assert bd_imgs[0].mean() < bd_clear.mean() - 1e-4, (
+        bd_imgs[0].mean(), bd_clear.mean())

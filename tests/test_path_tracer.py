@@ -419,3 +419,92 @@ def test_depth0_peel_is_estimator_noop(small_scene, monkeypatch):
     for a, b in zip(rec_scan, rec_peel):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=0, atol=1e-5)
+
+
+def test_compact_tail_matches_full_width():
+    """RenderConfig.compact_tail: the host-driven multi-level tail
+    compaction (VERDICT r3 item 3) reproduces the full-width tracer's
+    estimate exactly up to compilation-partition rounding: per-lane math
+    is elementwise, intersection/NEE are lane-order-independent, and dead
+    lanes' radiance is final when flushed — but the segmented jits fuse
+    differently than the end-to-end render jit, so the comparison is a
+    tight tolerance, not bitwise.  min_width is forced tiny so several
+    compaction levels actually execute at test scale."""
+    import dataclasses
+
+    import numpy as np
+
+    from light_transport_tpu.api import render
+    from light_transport_tpu.integrators import path_tracer as pt
+    from light_transport_tpu.scene.cornell import cornell_box_scene
+
+    scene, cfg = cornell_box_scene(width=40, height=40, spp=4, max_depth=8)
+    cfg = dataclasses.replace(cfg, rr_start=5, emission_mode="always")
+    key = jax.random.key(3)
+    img_full = np.asarray(render(scene, cfg, seed=3))
+
+    o, d, u = pt._camera_lanes(scene, cfg, key)
+    rad_full, _ = pt.trace_paths(scene, cfg, o, d, u)
+    rad_comp = pt.trace_paths_compact(scene, cfg, o, d, u,
+                                      segment=2, min_width=256)
+    np.testing.assert_allclose(np.asarray(rad_full),
+                               np.asarray(rad_comp), rtol=0, atol=1e-5)
+
+    cfg_c = dataclasses.replace(cfg, compact_tail=True)
+    img_comp = np.asarray(render(scene, cfg_c, seed=3))
+    np.testing.assert_allclose(img_full, img_comp, rtol=0, atol=1e-5)
+    assert np.abs(img_full - img_comp).mean() < 1e-7
+
+
+def test_emission_mode_mis_unbiased_vs_nee():
+    """emission_mode='mis' (power-heuristic NEE<->BSDF combination,
+    VERDICT r3 item 5) estimates the same transport as 'nee': same scene,
+    same spp, image means agree within 3 sigma of the pooled per-pixel
+    MC error; and on a bright area light the MIS image's per-pixel
+    variance is no worse (the power heuristic only reweights, never adds
+    a strategy the partition didn't already count)."""
+    import dataclasses
+
+    import numpy as np
+
+    from light_transport_tpu.api import render
+    from light_transport_tpu.integrators.path_tracer import render_image
+    from light_transport_tpu.scene.cornell import cornell_box_scene
+
+    scene, cfg = cornell_box_scene(width=48, height=48, spp=24, max_depth=4,
+                                   emission=200.0)
+    out = {}
+    for mode in ("nee", "mis"):
+        c = dataclasses.replace(cfg, emission_mode=mode)
+        _, samples = render_image(scene, c, jax.random.key(7),
+                                  return_samples=True)
+        out[mode] = np.asarray(samples, np.float64)
+    m_nee = out["nee"].mean(axis=2)
+    m_mis = out["mis"].mean(axis=2)
+    # pooled standard error of the per-pixel mean difference
+    se = np.sqrt((out["nee"].var(axis=2) + out["mis"].var(axis=2))
+                 / cfg.spp)
+    z = np.abs(m_mis - m_nee) / np.maximum(se, 1e-4)
+    # 3-sigma agreement for ~all pixels (floor guards zero-variance pixels)
+    assert np.mean(z < 3.0) > 0.99, np.mean(z < 3.0)
+    assert abs(m_mis.mean() - m_nee.mean()) < 3 * se.mean() / np.sqrt(
+        m_nee.size) * 10 + 2e-3
+    # MIS must not be noisier overall (clip to display range — the metric
+    # that matters for images)
+    v_nee = np.clip(out["nee"], 0, 1).var(axis=2).mean()
+    v_mis = np.clip(out["mis"], 0, 1).var(axis=2).mean()
+    assert v_mis <= v_nee * 1.05, (v_mis, v_nee)
+
+
+def test_emission_mode_mis_requires_nee_one():
+    import dataclasses
+
+    import pytest
+
+    from light_transport_tpu.api import render
+    from light_transport_tpu.scene.cornell import cornell_box_scene
+
+    scene, cfg = cornell_box_scene(width=8, height=8, spp=1, max_depth=2)
+    cfg = dataclasses.replace(cfg, emission_mode="mis", nee_mode="all")
+    with pytest.raises(ValueError, match="mis"):
+        render(scene, cfg, seed=0)

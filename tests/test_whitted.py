@@ -168,3 +168,30 @@ def test_whitted_queue_full_tree_glass_depth5():
     err = np.abs(queued_tight - unrolled)
     assert np.quantile(err, 0.95) < 2e-3, np.quantile(err, [0.5, 0.95, 1.0])
     assert err.max() < 5e-2, err.max()
+
+
+def test_whitted_full_depth_indirect():
+    """indirect_mode='full' (VERDICT r3 item 9): the queue recurses the
+    hemisphere GI term at every node like src/render_old.py:186-194.  It
+    must add energy relative to no-indirect, stay close to the
+    primary-only estimate (the recursion's extra terms carry a 0.01*
+    albedo^2 factor), and stay finite/clipped."""
+    import numpy as np
+
+    from light_transport_tpu.integrators.whitted import render_whitted
+    from light_transport_tpu.models.presets import hard_shadow_scene
+
+    scene, cfg = hard_shadow_scene(width=48, height=48)
+    key = jax.random.key(2)
+    img0 = np.asarray(render_whitted(scene, cfg, key))
+    img_p = np.asarray(render_whitted(scene, cfg, key,
+                                      indirect_samples=4))
+    img_f = np.asarray(render_whitted(scene, cfg, key,
+                                      indirect_samples=4,
+                                      indirect_mode="full"))
+    assert np.isfinite(img_f).all()
+    # GI adds energy over the no-indirect render
+    assert img_f.mean() > img0.mean()
+    # ... and the full recursion adds only a small second-order term over
+    # the primary-only estimate (different RNG streams -> loose bound)
+    assert abs(img_f.mean() - img_p.mean()) < 0.05 * max(img_p.mean(), 1e-6)
