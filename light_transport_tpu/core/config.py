@@ -161,6 +161,18 @@ class PhotonRunConfig:
     # harder than the headline (r,z) physics grid buys back most of the
     # fold cost at a variance cost only the 2M-bin volume pays.
     vol_stride: int = 0
+    # Pallas windowed engine: rank roulette/absorption-dead lanes against
+    # the launch quota and respawn them every N stride windows instead of
+    # only at block start (0 = block start only — the default, and the
+    # semantics the flat-stream engine always uses).  Block-start-only
+    # respawn idles a lane from its death to the block end — measured 21%
+    # of all lane-steps at the full_scale preset.  Lanes that died by
+    # EXIT are excluded (they wait for the block-end record flush): ~74%
+    # of full_scale deaths are roulette, so most of the idle time comes
+    # back with no extra tally flushes (a per-window exit/detector flush
+    # variant measured +13 ms/block and lost on net).  Requires the
+    # windowed (rz_mm) tally mode.
+    respawn_windows: int = 0
     seed: int = 0
 
 

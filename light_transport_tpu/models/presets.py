@@ -89,7 +89,8 @@ def full_scale():
                           detector_nx=512, detector_extent=1.28,
                           vol_nx=128, vol_ny=128, vol_nz=128,
                           vol_dx=0.02, vol_dy=0.02, vol_dz=0.02,
-                          tally_stride=32, vol_stride=64)
+                          tally_stride=32, vol_stride=64,
+                          respawn_windows=1)
     return medium, cfg
 
 

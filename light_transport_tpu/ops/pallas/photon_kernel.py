@@ -264,6 +264,13 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
     ab_det = "det" in ablate
     ab_vol = "vol" in ablate
     ab_exits = "exits" in ablate
+    # per-window respawn (cfg.respawn_windows): quota-ranked respawn of
+    # roulette/absorption-dead lanes every N stride windows.  Lanes that
+    # died by EXIT stay dead until block end, so the once-per-block
+    # exit/detector record semantics (and their single flush) survive —
+    # flushing exits per window instead measured +13 ms/block (the 512²
+    # detector one-hot is ~3 ms per flush), eating the occupancy win.
+    respawn_w = int(cfg.respawn_windows) if (slim and not bench_mode) else 0
 
     def kernel_body(seed_ref, quota_ref, u_ref, px, py, pz, dx, dy, dz,
                     w_ref, tau_ref, layer_ref, opx, opy, opz, odx, ody, odz,
@@ -345,8 +352,10 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
         de_bin, de_val = zero_i, zero_f
 
         def respawn(x, y, z, ux, uy, uz, w, tau, layer, quota,
-                    launched, spec):
+                    launched, spec, eligible=None):
             dead = w <= 0.0
+            if eligible is not None:
+                dead = dead & eligible
             if bench_mode:
                 can = dead
                 n_r = jnp.sum(can.astype(jnp.float32))
@@ -673,6 +682,17 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             carry0 = carry0 + (zero_f,) * n_pv
 
             def window_body(wi, carry):
+                if respawn_w:
+                    # quota-ranked respawn at (every respawn_w-th) window
+                    # start, ONLY for lanes that did not exit this block
+                    # (dwx == 0) — exited lanes keep their frozen death
+                    # position for the block-end record flush.  Block
+                    # start is covered by the pre-loop respawn.
+                    do_r = (wi > 0) & (wi % respawn_w == 0)
+                    rs = respawn(*carry[:12], eligible=carry[14] == 0.0)
+                    carry = tuple(
+                        jnp.where(do_r, rs[i], carry[i]) for i in range(12)
+                    ) + carry[12:]
                 # reset the per-window pendings (the exit record and the
                 # counters persist across windows)
                 carry = carry[:15] + (zero_f,) * (4 + n_pv)
@@ -776,9 +796,10 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
         exit_val_ref[:] = ex_val
         det_bin_ref[:] = de_bin
         det_val_ref[:] = de_val
-        if det_mm:
-            # exit records are once-per-lane-per-block, so the detector
-            # image accumulates with a single MXU flush per program
+        if det_mm and not ab_det:
+            # exit records are once-per-lane-per-block (exited lanes are
+            # excluded from mid-block respawn), so the detector image
+            # accumulates with a single MXU flush per program
             de_ix = de_bin // nx_det
             de_iy = de_bin - de_ix * nx_det
             _onehot_pair_flush(det_acc_ref, de_ix, de_iy, de_val,
@@ -919,6 +940,11 @@ class PallasPhotonEngine:
         # in-kernel exit-record histogram: rides the slim windowed mode
         # (the block-end exit bins are already in registers there)
         self.ex_mm = self.rz_mm
+        if cfg.respawn_windows and not bench_mode and not self.rz_mm:
+            raise ValueError(
+                "respawn_windows requires the windowed tally mode "
+                "(tally_stride >= 2 with the rz grid small enough for the "
+                "in-kernel MXU folds)")
         med = {
             "mu_t": np.asarray(medium.mu_t), "mu_a": np.asarray(medium.mu_a),
             "g": np.asarray(medium.g), "n": np.asarray(medium.n),

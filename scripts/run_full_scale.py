@@ -117,6 +117,9 @@ def main():
         # compile-excluded throughput (the reference's own timing convention,
         # examples/ray-tracing.ipynb cells 12/14 separate JIT time)
         "steady_steps_per_sec": timings.get("steady_steps_per_sec"),
+        "ms_per_block": timings.get("ms_per_block"),
+        "steady_occupancy": timings.get("steady_occupancy"),
+        "steady_blocks": timings.get("steady_blocks"),
         "compile_plus_first_chunk_s": timings.get(
             "compile_plus_first_chunk_s"),
         "simulate_return_s": timings.get("simulate_return_s"),

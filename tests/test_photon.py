@@ -274,3 +274,53 @@ def test_pallas_engine_rounds_k_steps_to_strides():
     eng2 = PallasPhotonEngine(medium, cfg, ROWS * LANES, bench_mode=False,
                               k_steps=128, hw_prng=False)
     assert eng2.k_steps == 128
+
+
+def test_respawn_windows_exact_and_unbiased():
+    """cfg.respawn_windows=1 (per-window quota respawn in the Pallas
+    windowed engine): the launch quota stays exact, energy closes, and
+    every tally agrees statistically with the block-start-respawn engine
+    (same physics, different lane scheduling) while occupancy rises.
+    Runs the threefry interpret kernel on CPU."""
+    import dataclasses
+
+    from light_transport_tpu.ops.pallas.photon_kernel import (
+        LANES, ROWS, simulate_pallas,
+    )
+
+    medium = LayeredMedium.build(
+        [MediumConfig(mu_a=1.0, mu_s=9.0, g=0.7, n=1.37)], n_above=1.0)
+    # quota-rich regime (many blocks before the drain) so the occupancy
+    # delta of mid-block respawn is visible; k=32 with stride 4 gives 8
+    # respawn opportunities per block
+    base = PhotonRunConfig(n_photons=400_000, nr=32, nz=32, dr=0.03,
+                           dz=0.03,
+                           detector_nx=16, detector_extent=0.5,
+                           vol_nx=8, vol_ny=8, vol_nz=8,
+                           vol_dx=0.12, vol_dy=0.12, vol_dz=0.12,
+                           tally_stride=4, vol_stride=8)
+    res = {}
+    for rw in (0, 1):
+        cfg = dataclasses.replace(base, respawn_windows=rw)
+        timings = {}
+        tl = simulate_pallas(medium, cfg, seed=9, lanes=ROWS * LANES,
+                             k_steps=32, timings=timings)
+        assert tl.n_launched == cfg.n_photons, (rw, tl.n_launched)
+        assert abs(tl.energy_total() - 1.0) < 5e-3, (rw, tl.energy_total())
+        res[rw] = (tl, timings)
+    t0, t1 = res[0][0], res[1][0]
+    for name in ("total_reflectance", "total_transmittance",
+                 "total_absorption"):
+        a, b = getattr(t0, name)(), getattr(t1, name)()
+        se = np.sqrt(max(a, 1e-4) / base.n_photons) * 3 + 2e-3
+        assert abs(a - b) < 3 * se, (name, a, b)
+    # detector/volume totals close against each engine's own exits/absorbed
+    det0 = float(np.asarray(t0.detector_xy, np.float64).sum())
+    det1 = float(np.asarray(t1.detector_xy, np.float64).sum())
+    assert abs(det1 - det0) / max(det0, 1e-9) < 0.05
+    vol1 = float(np.asarray(t1.absorb_xyz, np.float64).sum())
+    assert abs(vol1 / float(t1.absorbed) - 1) < 0.05
+    # the point of the feature: occupancy must actually improve
+    assert (res[1][1]["steady_occupancy"]
+            > res[0][1]["steady_occupancy"] + 0.02), (
+        res[0][1]["steady_occupancy"], res[1][1]["steady_occupancy"])
