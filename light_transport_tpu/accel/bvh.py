@@ -57,12 +57,8 @@ class BVH:
     # fused per-iteration records (the only arrays the traversal gathers —
     # one row per table per step instead of 6-8 scattered columns, which is
     # what the TPU gather path wants):
-    node_rec: jnp.ndarray  # (M, 32) f32 [min3, max3, first:i32, count:i32,
-    # skip8: 8 x i32 octant ropes (next node after this subtree in the
-    # direction-ordered DFS), fc8: 8 x i32 octant near children, pad...]
-    # — per-ray octant ordering makes the stackless walk front-to-back, so
-    # nearest-hit t-pruning (and any-hit early exit) kills far subtrees
-    # earlier (r4; measured visit counts in PERF.md)
+    node_rec: jnp.ndarray  # (M, 16) f32 [min3, max3, first:i32, count:i32,
+    # skip:i32 (bitcast rope: next DFS node outside this subtree), pad...]
     leaf_rec: jnp.ndarray  # (M, 8 + 9*max_leaf) f32: per-node copy of its
     # leaf triangles [v0,e1,e2]*max_leaf (zeros for interior nodes)
     max_leaf: int = struct.field(pytree_node=False, default=4)
@@ -221,23 +217,21 @@ def build(mesh: TriangleMesh, max_leaf: int = 4,
     )
     # inflate bounds a hair for f32 slab-test robustness
     eps = 1e-5 * np.maximum(1.0, np.abs(nmax - nmin).max())
-    skip8, fc8 = _compute_ropes(nright, ncount, naxis, use_native)
+    skip = _compute_skip(nright, ncount)
     m = len(ncount)
     t_count = reordered.v0.shape[0]
     tri_flat = np.concatenate(
         [h_v0[order], h_e1[order], h_e2[order]], axis=1
     ).astype(np.float32)  # (T, 9) host staging for the leaf records
 
-    # fused records: one 32-wide node row (ints bitcast into f32 lanes) and
+    # fused records: one 16-wide node row (ints bitcast into f32 lanes) and
     # one leaf row holding all of a leaf's triangles — the only arrays the
     # traversal touches; the scalar SoA columns above stay host-inspectable
-    ints = np.concatenate(
-        [nfirst[:, None], ncount[:, None], skip8, fc8], axis=1
-    ).astype(np.int32)  # (M, 18)
-    node_rec = np.zeros((m, 32), np.float32)
+    ints = np.stack([nfirst, ncount, skip], axis=1).astype(np.int32)
+    node_rec = np.zeros((m, 16), np.float32)
     node_rec[:, 0:3] = nmin - eps
     node_rec[:, 3:6] = nmax + eps
-    node_rec[:, 6:24] = ints.view(np.float32)
+    node_rec[:, 6:9] = ints.view(np.float32)
     width = 9 * max_leaf
     pad_w = int(np.ceil((width) / 8.0) * 8)
     leaf_rec = np.zeros((m, pad_w), np.float32)
@@ -261,43 +255,22 @@ def build(mesh: TriangleMesh, max_leaf: int = 4,
     return bvh, reordered
 
 
-def _compute_ropes(nright: np.ndarray, ncount: np.ndarray,
-                   naxis: np.ndarray, use_native: bool = True):
-    """Octant-ordered rope tables: skip8[n, o] = next node after n's subtree
-    in the o-ordered DFS (M = done), fc8[n, o] = the near child entered
-    first.  Bit a of octant o is the sign bit of d[a]; a set bit makes the
-    right (upper-coordinate side of the SAH split) child nearer, so each
-    ray walks the tree front-to-back for ITS direction — the reference's
-    ``dir_is_neg[axis]`` ordered stack traversal (src/bvh_new.py:413-450),
-    recast for the stackless rope walk.  Octant 0 reproduces the old
-    unordered left-first rope exactly."""
-    if use_native:
-        try:
-            from light_transport_tpu.accel.native import compute_ropes_native
+def _compute_skip(nright: np.ndarray, ncount: np.ndarray) -> np.ndarray:
+    """Rope pointers: skip[n] = next DFS node outside n's subtree (M = done).
 
-            return compute_ropes_native(nright, ncount, naxis)
-        except Exception:
-            pass
+    Left child's rope is its right sibling; right child inherits the
+    parent's rope."""
     m = len(ncount)
-    skip8 = np.empty((m, 8), np.int32)
-    fc8 = np.empty((m, 8), np.int32)
-    for o in range(8):
-        stack = [(0, m)]
-        while stack:
-            node, s = stack.pop()
-            skip8[node, o] = s
-            if ncount[node] == 0:  # interior
-                left, right = node + 1, int(nright[node])
-                if (o >> int(naxis[node])) & 1:
-                    near, far = right, left
-                else:
-                    near, far = left, right
-                fc8[node, o] = near
-                stack.append((near, far))  # near's rope -> far sibling
-                stack.append((far, s))  # far's rope -> parent rope
-            else:
-                fc8[node, o] = s
-    return skip8, fc8
+    skip = np.empty(m, np.int32)
+    stack = [(0, m)]
+    while stack:
+        node, s = stack.pop()
+        skip[node] = s
+        if ncount[node] == 0:  # interior
+            right = int(nright[node])
+            stack.append((node + 1, right))  # left child -> right sibling
+            stack.append((right, s))  # right child -> parent rope
+    return skip
 
 
 # ---------------------------------------------------------------------------
@@ -365,30 +338,21 @@ def intersect_bvh(
 
     def make_walk(o, d, inv, tmin):
         """Roped-walk while_loop body over this lane set (closure)."""
-        # per-ray direction octant: bit a set <=> d[a] < 0 (the near child
-        # of a node split on axis a is then the right/upper one)
-        oct_ = ((d[:, 0] < 0).astype(jnp.int32)
-                + 2 * (d[:, 1] < 0).astype(jnp.int32)
-                + 4 * (d[:, 2] < 0).astype(jnp.int32))
 
         def body(carry):
             cursor, best_t, best_tri = carry
             active = cursor < m
             node = jnp.where(active, cursor, 0)
 
-            # exactly two row gathers per iteration: the fused 32-wide node
+            # exactly two row gathers per iteration: the fused 16-wide node
             # record (bounds + bitcast int fields) and the leaf record
             # holding all of the node's triangles
             rec = bvh.node_rec[node]
             hit_box = _slab(
                 o, inv, rec[:, 0:3], rec[:, 3:6], tmin, best_t
             ) & active
-            ints = jax.lax.bitcast_convert_type(rec[:, 6:24], jnp.int32)
-            first, count = ints[:, 0], ints[:, 1]
-            skip = jnp.take_along_axis(
-                ints[:, 2:10], oct_[:, None], axis=1)[:, 0]
-            fc = jnp.take_along_axis(
-                ints[:, 10:18], oct_[:, None], axis=1)[:, 0]
+            ints = jax.lax.bitcast_convert_type(rec[:, 6:9], jnp.int32)
+            first, count, skip = ints[:, 0], ints[:, 1], ints[:, 2]
             is_leaf = (count > 0) & hit_box
 
             def leaf_pass(args):
@@ -411,7 +375,7 @@ def intersect_bvh(
                 jnp.any(is_leaf), leaf_pass, lambda a: a, (best_t, best_tri)
             )
 
-            nxt = jnp.where(hit_box & (count == 0), fc, skip)
+            nxt = jnp.where(hit_box & (count == 0), node + 1, skip)
             if any_hit:
                 nxt = jnp.where(best_tri >= 0, m, nxt)
             cursor = jnp.where(active, nxt, cursor)

@@ -100,32 +100,3 @@ def build_native(verts: np.ndarray, centroid: np.ndarray, max_leaf: int):
         out_min[:m], out_max[:m], out_right[:m], out_first[:m],
         out_count[:m], out_axis[:m], order,
     )
-
-
-def compute_ropes_native(right: np.ndarray, count: np.ndarray,
-                         axis: np.ndarray):
-    """Octant-ordered rope tables via the C++ helper; raises when the
-    native library is unavailable (caller falls back to the python DFS)."""
-    lib = _load()
-    if lib is None:
-        raise RuntimeError("native builder unavailable")
-    if not hasattr(lib, "lt_compute_ropes"):
-        raise RuntimeError("liblt_native.so predates lt_compute_ropes")
-    lib.lt_compute_ropes.restype = None
-    lib.lt_compute_ropes.argtypes = [
-        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-    ]
-    m = len(count)
-    right = np.ascontiguousarray(right, np.int32)
-    count = np.ascontiguousarray(count, np.int32)
-    axis = np.ascontiguousarray(axis, np.int32)
-    skip8 = np.empty((m, 8), np.int32)
-    fc8 = np.empty((m, 8), np.int32)
-
-    def p(a):
-        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
-
-    lib.lt_compute_ropes(p(right), p(count), p(axis), m, p(skip8), p(fc8))
-    return skip8, fc8

@@ -256,38 +256,4 @@ int64_t lt_build_bvh(const double* lo, const double* hi,
   return m;
 }
 
-// Octant-ordered rope tables for the stackless traversal: for each of the
-// 8 direction-sign octants, skip8[node][o] = the next node visited after
-// node's subtree in the o-ordered (front-to-back) DFS, fc8[node][o] = the
-// near child entered first.  Bit a of o is the sign bit of d[a]; set bit
-// means the right (upper-coordinate) child is nearer.
-void lt_compute_ropes(const int32_t* right, const int32_t* count,
-                      const int32_t* axis, int64_t m,
-                      int32_t* skip8, int32_t* fc8) {
-  std::vector<std::pair<int32_t, int32_t>> stack;
-  stack.reserve(128);
-  for (int o = 0; o < 8; ++o) {
-    stack.clear();
-    stack.push_back({0, static_cast<int32_t>(m)});
-    while (!stack.empty()) {
-      const int32_t node = stack.back().first;
-      const int32_t s = stack.back().second;
-      stack.pop_back();
-      skip8[static_cast<int64_t>(node) * 8 + o] = s;
-      if (count[node] == 0) {
-        const int32_t l = node + 1;
-        const int32_t r = right[node];
-        const bool swap = (o >> axis[node]) & 1;
-        const int32_t nearc = swap ? r : l;
-        const int32_t farc = swap ? l : r;
-        fc8[static_cast<int64_t>(node) * 8 + o] = nearc;
-        stack.push_back({farc, s});
-        stack.push_back({nearc, farc});
-      } else {
-        fc8[static_cast<int64_t>(node) * 8 + o] = s;
-      }
-    }
-  }
-}
-
 }  // extern "C"

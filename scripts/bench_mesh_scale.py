@@ -47,6 +47,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nt", type=int, default=1450)
     ap.add_argument("--rays", type=int, default=1 << 20)
+    ap.add_argument("--bvh-only", action="store_true",
+                    help="skip the MXU path (re-measuring traversal work)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -70,18 +72,22 @@ def main():
                           (side * side, 3))
 
     # --- MXU gather path (coherence-sorted, A_MAX-capped id lists) -------
-    t0 = time.perf_counter()
-    tw = pack_tri_weights(mesh)
-    cb = cluster_bounds(mesh)
-    print(f"weights pack {time.perf_counter()-t0:.1f}s "
-          f"({tw.nbytes/1e9:.2f} GB, {tw.shape[2]//512} clusters)", flush=True)
+    if args.bvh_only:
+        tw = cb = None
+    else:
+        t0 = time.perf_counter()
+        tw = pack_tri_weights(mesh)
+        cb = cluster_bounds(mesh)
+        print(f"weights pack {time.perf_counter()-t0:.1f}s "
+              f"({tw.nbytes/1e9:.2f} GB, {tw.shape[2]//512} clusters)",
+              flush=True)
 
-    t0 = time.perf_counter()
-    mesh_d = jax.device_put(mesh)
-    tw_d = jax.device_put(tw)
-    cb_d = jax.device_put(cb)
-    jax.block_until_ready(tw_d)
-    print(f"device_put {time.perf_counter()-t0:.1f}s", flush=True)
+        t0 = time.perf_counter()
+        mesh_d = jax.device_put(mesh)
+        tw_d = jax.device_put(tw)
+        cb_d = jax.device_put(cb)
+        jax.block_until_ready(tw_d)
+        print(f"device_put {time.perf_counter()-t0:.1f}s", flush=True)
 
     @jax.jit
     def mxu(o, d, mesh, tw, cb):
@@ -106,11 +112,15 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best, h
 
-    b, h1c = steady(lambda oo, dd: mxu(oo, dd, mesh_d, tw_d, cb_d), oc, dc)
-    print(f"MXU gather camera: {b:.2f} s ({n/b/1e6:.2f} Mray/s)", flush=True)
-    b, h1 = steady(lambda oo, dd: mxu(oo, dd, mesh_d, tw_d, cb_d), o, d,
-                   reps=1)
-    print(f"MXU gather random: {b:.2f} s ({n/b/1e6:.2f} Mray/s)", flush=True)
+    if not args.bvh_only:
+        b, h1c = steady(lambda oo, dd: mxu(oo, dd, mesh_d, tw_d, cb_d),
+                        oc, dc)
+        print(f"MXU gather camera: {b:.2f} s ({n/b/1e6:.2f} Mray/s)",
+              flush=True)
+        b, h1 = steady(lambda oo, dd: mxu(oo, dd, mesh_d, tw_d, cb_d), o, d,
+                       reps=1)
+        print(f"MXU gather random: {b:.2f} s ({n/b/1e6:.2f} Mray/s)",
+              flush=True)
     # bounce-like: origins on the surface, cosine-weighted outward — what
     # a render's secondary rays actually look like on an opaque mesh
     pn = rng.normal(size=(n, 3))
@@ -126,8 +136,11 @@ def main():
     db = lx[:, None] * t1_ + ly[:, None] * t2_ + lz[:, None] * pn
     ob = jnp.asarray(pn * 1.001, jnp.float32)
     db = jnp.asarray(db, jnp.float32)
-    b, _ = steady(lambda oo, dd: mxu(oo, dd, mesh_d, tw_d, cb_d), ob, db)
-    print(f"MXU gather bounce: {b:.2f} s ({n/b/1e6:.2f} Mray/s)", flush=True)
+    if not args.bvh_only:
+        b, _ = steady(lambda oo, dd: mxu(oo, dd, mesh_d, tw_d, cb_d),
+                      ob, db)
+        print(f"MXU gather bounce: {b:.2f} s ({n/b/1e6:.2f} Mray/s)",
+              flush=True)
 
     # --- roped BVH walk --------------------------------------------------
     t0 = time.perf_counter()
@@ -151,6 +164,21 @@ def main():
     print(f"roped BVH bounce: {b:.2f} s ({n/b/1e6:.2f} Mray/s)", flush=True)
 
     # --- parity ----------------------------------------------------------
+    if args.bvh_only:
+        # cross-check the walk against the chunked brute-force reference
+        from light_transport_tpu.ops import intersect as xint
+        # 128 rays keeps the (rays, T) brute-force intermediate ~2 GB
+        hb = jax.jit(lambda oo, dd, mm: xint.intersect_rays(
+            oo, dd, mm))(o[:128], d[:128], mesh_rd)
+        h2s = jax.tree.map(lambda a: a[:128], h2)
+        vb, vw = np.asarray(hb.valid), np.asarray(h2s.valid)
+        tb, tw_ = np.asarray(hb.t), np.asarray(h2s.t)
+        both = vb & vw
+        dt = np.abs(tb[both] - tw_[both]) / np.maximum(tb[both], 1e-6)
+        print(f"parity vs brute (128 rays): valid agree "
+              f"{(vb == vw).mean():.6f}, t rel err max "
+              f"{dt.max() if both.any() else 0.0:.2e}", flush=True)
+        return
     v1, v2 = np.asarray(h1.valid), np.asarray(h2.valid)
     t1v, t2v = np.asarray(h1.t), np.asarray(h2.t)
     same_valid = (v1 == v2).mean()
