@@ -31,6 +31,10 @@ def _add_render(sub):
     p.add_argument("--sampler", choices=["uniform", "sobol"],
                    help="random-input construction for the path tracer "
                         "(sobol = padded Owen-scrambled QMC, ops/qmc.py)")
+    p.add_argument("--emission-mode", dest="emission_mode",
+                   choices=["first_hit", "always", "nee", "mis"],
+                   help="light-hit scoring rule (mis = power-heuristic "
+                        "NEE<->BSDF combination; see RenderConfig)")
     p.add_argument("--aperture", type=float,
                    help="thin-lens radius for depth of field (0 = pinhole)")
     p.add_argument("--focus", type=float, dest="focus_distance",
@@ -89,9 +93,14 @@ def main(argv=None):
         overrides = {
             k: getattr(args, k)
             for k in ("width", "height", "spp", "max_depth", "sampler",
-                      "aperture", "focus_distance")
+                      "aperture", "focus_distance", "emission_mode")
             if getattr(args, k) is not None
         }
+        if args.emission_mode and args.integrator not in (
+                "path", "adaptive", "cv"):
+            parser.error(
+                f"--emission-mode applies to the path-tracer family only "
+                f"(got --integrator {args.integrator})")
         if args.sampler == "sobol" and args.integrator not in (
                 "path", "adaptive"):
             parser.error(

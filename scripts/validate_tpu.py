@@ -131,6 +131,34 @@ def main():
           f"(|diff| {abs(r_pal-r_xla):.5f} vs 4se {4*se:.5f})", flush=True)
     ok &= abs(r_pal - r_xla) < 4 * se + 1e-3
 
+    # --- 4. slim windowed path (r4): strided tallies + in-kernel MXU folds
+    # + per-window respawn, at full_scale-like settings scaled down.  The
+    # CPU suite runs this in interpret mode; here it must Mosaic-compile
+    # and keep the quota exact and energy closed on hardware.
+    import dataclasses
+
+    cfg4 = PhotonRunConfig(n_photons=3_000_000, nr=128, nz=128,
+                           dr=0.01, dz=0.01,
+                           detector_nx=128, detector_extent=0.64,
+                           vol_nx=32, vol_ny=32, vol_nz=32,
+                           vol_dx=0.04, vol_dy=0.04, vol_dz=0.04,
+                           tally_stride=8, vol_stride=16,
+                           respawn_windows=1)
+    t0 = time.time()
+    t4 = simulate_pallas(medium, cfg4, seed=23,
+                         lanes=ROWS * LANES * 16, k_steps=64)
+    e4 = float(t4.energy_total())
+    rz4 = float(np.asarray(t4.absorb_rz, np.float64).sum())
+    vol4 = float(np.asarray(t4.absorb_xyz, np.float64).sum())
+    ab4 = float(t4.absorbed)
+    print(f"slim+respawn launched={t4.n_launched} (want {cfg4.n_photons}),"
+          f" energy={e4:.5f}, rz/abs={rz4/ab4:.4f}, vol/abs={vol4/ab4:.4f},"
+          f" {time.time()-t0:.1f}s", flush=True)
+    ok &= t4.n_launched == cfg4.n_photons
+    ok &= abs(e4 - 1.0) < 5e-3
+    ok &= abs(rz4 / ab4 - 1.0) < 0.02
+    ok &= abs(vol4 / ab4 - 1.0) < 0.05  # clipped-edge deposits excluded
+
     print("ALL GREEN" if ok else "FAILURES — see above", flush=True)
     return 0 if ok else 1
 
