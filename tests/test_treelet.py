@@ -1,0 +1,109 @@
+"""Treelet traversal kernel: exactness of the chunked tables and bit-parity
+with the XLA roped walk (interpret mode off-TPU; the Mosaic-compiled path
+is validated on hardware by scripts/validate_tpu.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from light_transport_tpu.accel import bvh as bvh_mod
+from light_transport_tpu.ops.pallas.treelet_kernel import (
+    build_treelet_tables,
+    intersect_bvh_treelet,
+    occluded_bvh_treelet,
+)
+from light_transport_tpu.scene.geometry import TriangleMesh
+
+
+def random_mesh(t, seed=0, spread=4.0):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(-spread, spread, size=(t, 1, 3))
+    tri = base + rng.normal(scale=0.4, size=(t, 3, 3))
+    return TriangleMesh.build(tri, np.zeros(t, np.int32))
+
+
+def random_rays(n, seed=1, spread=6.0):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-spread, spread, size=(n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_tables_reconstruct_exactly():
+    mesh = random_mesh(500, seed=3)
+    bvh, _ = bvh_mod.build(mesh)
+    tables = build_treelet_tables(bvh, T=64)
+    m = bvh.num_nodes
+    tab = np.asarray(tables.tab, np.float32)  # (n_t, 256, T)
+    flat = np.moveaxis(tab, 0, 1).reshape(256, -1)[:, :m]
+
+    def s3(r):
+        return flat[r] + flat[r + 1] + flat[r + 2]
+
+    np.testing.assert_array_equal(s3(0), np.asarray(bvh.bounds_min[:, 0]))
+    np.testing.assert_array_equal(s3(15), np.asarray(bvh.bounds_max[:, 2]))
+    ints = np.asarray(
+        jnp.asarray(bvh.node_rec[:, 6:9]).view(jnp.int32)
+        if hasattr(jnp.asarray(bvh.node_rec[:, 6:9]), "view")
+        else bvh.node_rec[:, 6:9])
+    import jax
+
+    ints = np.asarray(jax.lax.bitcast_convert_type(
+        bvh.node_rec[:, 6:9], jnp.int32))
+    np.testing.assert_array_equal(s3(18).astype(np.int64), ints[:, 0])
+    np.testing.assert_array_equal(flat[21].astype(np.int64), ints[:, 1])
+    np.testing.assert_array_equal(s3(22).astype(np.int64), ints[:, 2])
+    # leaf half: tri 0 component 0 = leaf_rec column 0
+    np.testing.assert_array_equal(
+        flat[128] + flat[129] + flat[130], np.asarray(bvh.leaf_rec[:, 0]))
+
+
+@pytest.mark.parametrize("t,n,T", [(40, 96, 32), (500, 300, 64),
+                                   (2000, 700, 128)])
+def test_treelet_matches_roped_walk(t, n, T):
+    mesh = random_mesh(t, seed=t)
+    bvh, ordered = bvh_mod.build(mesh)
+    tables = build_treelet_tables(bvh, T=T)
+    o, d = random_rays(n, seed=t + 1)
+    ref = bvh_mod.intersect_bvh(o, d, ordered, bvh)
+    got = intersect_bvh_treelet(o, d, tables, ray_tile=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.valid),
+                                  np.asarray(got.valid))
+    np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(got.tri))
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(got.t))
+
+
+def test_treelet_dead_lanes_and_stats():
+    mesh = random_mesh(300, seed=9)
+    bvh, ordered = bvh_mod.build(mesh)
+    tables = build_treelet_tables(bvh, T=64)
+    o, d = random_rays(200, seed=10)
+    tmax = jnp.where(jnp.arange(200) % 3 == 0, -jnp.inf, jnp.inf)
+    got, stats = intersect_bvh_treelet(
+        o, d, tables, t_max=tmax, ray_tile=128, interpret=True,
+        with_stats=True)
+    dead = np.arange(200) % 3 == 0
+    assert not np.asarray(got.valid)[dead].any()
+    # dead lanes fall off the root rope after exactly one visit
+    assert (np.asarray(stats["visits"])[dead] == 1).all()
+    assert (np.asarray(stats["loads"]) >= 1).all()
+    # live lanes must match a reference walk with the same per-lane t_max
+    ref = bvh_mod.intersect_bvh(o, d, ordered, bvh, t_max=tmax)
+    live = ~dead
+    np.testing.assert_array_equal(np.asarray(ref.valid)[live],
+                                  np.asarray(got.valid)[live])
+    np.testing.assert_array_equal(np.asarray(ref.tri)[live],
+                                  np.asarray(got.tri)[live])
+
+
+def test_treelet_any_hit():
+    mesh = random_mesh(500, seed=5)
+    bvh, ordered = bvh_mod.build(mesh)
+    tables = build_treelet_tables(bvh, T=64)
+    o, d = random_rays(300, seed=6)
+    dist = jnp.full((300,), 4.0)
+    ref = bvh_mod.occluded_bvh(o, d, ordered, bvh, dist)
+    got = occluded_bvh_treelet(o, d, tables, dist, ray_tile=128,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
