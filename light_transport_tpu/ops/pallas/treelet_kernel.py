@@ -70,14 +70,30 @@ class TreeletTables:
         return self.tab.shape[0]
 
 
+def _trunc_bf16(x):
+    """Truncate f32 to its top 16 bits (an exact-in-bf16 value), by integer
+    mantissa masking.  Round-to-nearest via ``astype(bf16)`` is NOT safe
+    here: the TPU compile path sets ``--xla_allow_excess_precision=true``,
+    which lets XLA elide f32->bf16->f32 convert round-trips inside a jit —
+    the residual ``x - hi`` then folds to zero and the tables silently
+    carry bf16 precision only (measured: every same-tri hit off at ~2^-8
+    relative).  Bit masking keeps the split value-exact under any
+    precision-propagation regime."""
+    return jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(x, jnp.int32)
+        & jnp.int32(np.int32(np.uint32(0xFFFF0000))),
+        jnp.float32)
+
+
 def _chunk3_float(x):
-    """f32 -> three bf16 mantissa windows; f32 sum reconstructs exactly."""
-    hi = x.astype(jnp.bfloat16)
-    r1 = x - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    r2 = r1 - mid.astype(jnp.float32)
-    lo = r2.astype(jnp.bfloat16)
-    return hi, mid, lo
+    """f32 -> three disjoint-mantissa windows (each exact in bf16); the
+    f32 sum of the three reconstructs x bit-exactly (8+8+8 >= 24 bits)."""
+    h = _trunc_bf16(x)
+    r1 = x - h          # exact: needs only the 16 mantissa bits h dropped
+    m = _trunc_bf16(r1)
+    r2 = r1 - m         # exact: <= 8 significant bits remain
+    return (h.astype(jnp.bfloat16), m.astype(jnp.bfloat16),
+            r2.astype(jnp.bfloat16))
 
 
 def _chunk3_int(x):
