@@ -29,13 +29,15 @@ bit-identical to the XLA walk (asserted in tests/test_treelet.py).
 Reference contract: same traversal semantics as accel/bvh.intersect_bvh,
 itself replacing ``intersect_bvh`` (src/bvh_new.py:413-482).
 
-Table row layout, node half (rows 0..127 of a (256, T) treelet slab):
+Table row layout, node half (rows 0..31 of a (160, T) treelet slab — kept
+to 32 rows so the per-iteration node-fetch matmul contracts 32xT, not the
+leaf half too):
   rows 3c+j, c in 0..5, j in 0..2:  bounds chunk j of
         [min.x, min.y, min.z, max.x, max.y, max.z][c]
   rows 18..20: ``first`` int chunks   rows 22..24: ``skip`` int chunks
   row 21: leaf prim count (small int, exact in bf16)
-Leaf half (rows 128..255): tri k (< max_leaf), component c (v0,e1,e2
-flattened, 0..8), chunk j -> row 128 + 27k + 3c + j.
+Leaf half (rows 32..159): tri k (< max_leaf), component c (v0,e1,e2
+flattened, 0..8), chunk j -> row 32 + 27k + 3c + j.
 """
 
 from __future__ import annotations
@@ -56,9 +58,14 @@ DEFAULT_T = 512  # nodes per treelet
 DEFAULT_R = 256  # rays per tile
 
 
+NODE_ROWS = 32   # 25 used; 32 keeps the fetch matmul one MXU pass deep
+LEAF_ROWS = 128  # 27 * max_leaf (<= 4) used
+TAB_ROWS = NODE_ROWS + LEAF_ROWS
+
+
 @struct.dataclass
 class TreeletTables:
-    """Chunked bf16 treelet slabs for the kernel: (n_treelets, 256, T)."""
+    """Chunked bf16 treelet slabs for the kernel: (n_treelets, 160, T)."""
 
     tab: jnp.ndarray
     T: int = struct.field(pytree_node=False, default=DEFAULT_T)
@@ -114,7 +121,7 @@ def build_treelet_tables(bvh, T: int = DEFAULT_T) -> TreeletTables:
     if m >= (1 << 24):
         raise ValueError(f"treelet tables need node count < 2^24, got {m}")
     max_leaf = bvh.max_leaf
-    if 27 * max_leaf > 128:
+    if 27 * max_leaf > LEAF_ROWS:
         raise ValueError(f"max_leaf {max_leaf} > 4 overflows the leaf slab")
     n_t = -(-m // T)
     mp = n_t * T
@@ -146,17 +153,19 @@ def build_treelet_tables(bvh, T: int = DEFAULT_T) -> TreeletTables:
     rows.extend(_chunk3_int(skip))
     node_half = jnp.stack(rows)  # (25, mp)
     node_half = jnp.concatenate(
-        [node_half, jnp.zeros((128 - node_half.shape[0], mp), jnp.bfloat16)])
+        [node_half,
+         jnp.zeros((NODE_ROWS - node_half.shape[0], mp), jnp.bfloat16)])
 
     lrows = []
     for c in range(9 * max_leaf):
         lrows.extend(_chunk3_float(leaf[:, c]))
     leaf_half = jnp.stack(lrows)  # (27*max_leaf, mp)
     leaf_half = jnp.concatenate(
-        [leaf_half, jnp.zeros((128 - leaf_half.shape[0], mp), jnp.bfloat16)])
+        [leaf_half,
+         jnp.zeros((LEAF_ROWS - leaf_half.shape[0], mp), jnp.bfloat16)])
 
-    tab = jnp.concatenate([node_half, leaf_half])  # (256, mp)
-    tab = jnp.moveaxis(tab.reshape(256, n_t, T), 1, 0)  # (n_t, 256, T)
+    tab = jnp.concatenate([node_half, leaf_half])  # (TAB_ROWS, mp)
+    tab = jnp.moveaxis(tab.reshape(TAB_ROWS, n_t, T), 1, 0)
     return TreeletTables(tab=tab, T=T, num_nodes=m, max_leaf=max_leaf)
 
 
@@ -193,6 +202,7 @@ def _kernel(feats_ref, tab_hbm, bt_ref, bi_ref, buf, loc_ref, sem, *,
     # load gives them a concrete layout.
     zrow = feats_ref[11:12, :].astype(jnp.int32)  # zeros, concrete layout
     cursor0 = zrow
+    iota = jax.lax.broadcasted_iota(jnp.int32, (T, R), 0)  # loop-invariant
     best_t0 = feats_ref[10:11, :]
     best_tri0 = zrow - 1
     visits0 = zrow
@@ -201,7 +211,7 @@ def _kernel(feats_ref, tab_hbm, bt_ref, bi_ref, buf, loc_ref, sem, *,
         return jnp.any(c[0] < M)
 
     def outer_body(c):
-        cursor, best_t, best_tri, visits, loads = c
+        cursor, best_t, best_tri, visits, loads, iters, leafs = c
         cm = jnp.where(cursor < M, cursor, M)
         # Mosaic can't full-reduce a (1, R) i32 (relayout to replicated
         # fails); stack to the probe-proven (8, R) shape first
@@ -221,7 +231,7 @@ def _kernel(feats_ref, tab_hbm, bt_ref, bi_ref, buf, loc_ref, sem, *,
             return jnp.any((cur >= base) & (cur < end))
 
         def inner_body(ic):
-            cursor, best_t, best_tri, visits = ic
+            cursor, best_t, best_tri, visits, iters, leafs = ic
             in_t = (cursor >= base) & (cursor < end)
             # round-trip through VMEM: a while-carry (1, R) i32 has a
             # fixed non-replicated layout, and Mosaic can't relayout it
@@ -229,10 +239,9 @@ def _kernel(feats_ref, tab_hbm, bt_ref, bi_ref, buf, loc_ref, sem, *,
             # replicated layout the broadcast wants
             loc_ref[:] = jnp.where(in_t, cursor - base, T)
             local = loc_ref[:]
-            iota = jax.lax.broadcasted_iota(jnp.int32, (T, R), 0)
             onehot = (iota == local).astype(jnp.bfloat16)  # (T, R)
-            qn = jnp.dot(buf[0:128, :], onehot,
-                         preferred_element_type=jnp.float32)  # (128, R)
+            qn = jnp.dot(buf[0:NODE_ROWS, :], onehot,
+                         preferred_element_type=jnp.float32)  # (32, R)
             bmin = jnp.concatenate([_sum3(qn, 0), _sum3(qn, 3),
                                     _sum3(qn, 6)])
             bmax = jnp.concatenate([_sum3(qn, 9), _sum3(qn, 12),
@@ -252,7 +261,7 @@ def _kernel(feats_ref, tab_hbm, bt_ref, bi_ref, buf, loc_ref, sem, *,
 
             def leaf_pass(args):
                 best_t, best_tri = args
-                ql = jnp.dot(buf[128:256, :], onehot,
+                ql = jnp.dot(buf[NODE_ROWS:TAB_ROWS, :], onehot,
                              preferred_element_type=jnp.float32)
                 for k in range(max_leaf):
                     b = 27 * k
@@ -283,34 +292,39 @@ def _kernel(feats_ref, tab_hbm, bt_ref, bi_ref, buf, loc_ref, sem, *,
                     best_tri = jnp.where(take, first + k, best_tri)
                 return best_t, best_tri
 
+            any_leaf = jnp.any(is_leaf)
             best_t, best_tri = jax.lax.cond(
-                jnp.any(is_leaf), leaf_pass, lambda a: a,
-                (best_t, best_tri))
+                any_leaf, leaf_pass, lambda a: a, (best_t, best_tri))
+            iters = iters + 1
+            leafs = leafs + any_leaf.astype(jnp.int32)
 
             nxt = jnp.where(hit_box & (count == 0.0), cursor + 1, skip)
             if any_hit:
                 nxt = jnp.where(best_tri >= 0, M, nxt)
             cursor = jnp.where(in_t, nxt, cursor)
             visits = visits + in_t.astype(jnp.int32)
-            return cursor, best_t, best_tri, visits
+            return cursor, best_t, best_tri, visits, iters, leafs
 
-        cursor, best_t, best_tri, visits = jax.lax.while_loop(
-            inner_cond, inner_body, (cursor, best_t, best_tri, visits))
-        return cursor, best_t, best_tri, visits, loads + 1
+        cursor, best_t, best_tri, visits, iters, leafs = jax.lax.while_loop(
+            inner_cond, inner_body,
+            (cursor, best_t, best_tri, visits, iters, leafs))
+        return cursor, best_t, best_tri, visits, loads + 1, iters, leafs
 
-    _, best_t, best_tri, visits, loads = jax.lax.while_loop(
+    _, best_t, best_tri, visits, loads, iters, leafs = jax.lax.while_loop(
         outer_cond, outer_body,
-        (cursor0, best_t0, best_tri0, visits0, jnp.int32(0)))
+        (cursor0, best_t0, best_tri0, visits0, jnp.int32(0),
+         jnp.int32(0), jnp.int32(0)))
 
     # Mosaic wants >=(8, 128) output blocks; row 0 carries the payload,
     # rows 1-2 of the int block carry the stats.  Concatenate instead of
     # broadcast_to: Mosaic can't relayout a concrete (1, R) vector to the
     # replicated layout a sublane broadcast wants.
-    R8 = jnp.zeros((5, R), jnp.int32)
+    R3 = jnp.zeros((3, R), jnp.int32)
+    z1 = jnp.zeros((1, R), jnp.int32)
     bt_ref[:] = jnp.concatenate(
         [best_t, jnp.zeros((7, R), jnp.float32)])
     bi_ref[:] = jnp.concatenate(
-        [best_tri, visits, jnp.zeros((1, R), jnp.int32) + loads, R8])
+        [best_tri, visits, z1 + loads, z1 + iters, z1 + leafs, R3])
 
 
 def intersect_bvh_treelet(
@@ -370,7 +384,7 @@ def intersect_bvh_treelet(
             jax.ShapeDtypeStruct((8 * n_tiles, R), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((256, T), jnp.bfloat16),
+            pltpu.VMEM((TAB_ROWS, T), jnp.bfloat16),
             pltpu.VMEM((1, R), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -387,7 +401,8 @@ def intersect_bvh_treelet(
         hit = valid
     if with_stats:
         return hit, {"visits": bi[:, 1, :].reshape(-1)[:n],
-                     "loads": bi[:, 2, 0]}
+                     "loads": bi[:, 2, 0], "iters": bi[:, 3, 0],
+                     "leafs": bi[:, 4, 0]}
     return hit
 
 

@@ -29,6 +29,11 @@ class Scene:
     lights: LightTable
     camera: np.ndarray  # (3,) pinhole position
     bvh: Optional["BVH"] = None  # set by with_bvh(); None = brute force
+    # optional treelet slabs for the Pallas kernel-resident traversal
+    # (ops/pallas/treelet_kernel.py) — set by with_treelet(); on TPU,
+    # dispatch routes big-mesh BVH queries through it (bit-identical to
+    # the roped walk, measured 1.2-8.5x faster at 4.2M tris, PERF.md)
+    treelet: Optional["TreeletTables"] = None
     # optional analytic sphere/plane primitives (reference Sphere/Plane,
     # src/primitives.py:41-66, made renderable — scene/analytic.py)
     analytic: Optional["AnalyticPrims"] = None
@@ -70,6 +75,21 @@ class Scene:
             analytic=self.analytic,
             watertight=self.watertight,
         )
+
+    def with_treelet(self, T: int = 512) -> "Scene":
+        """Attach treelet slabs for the Pallas kernel-resident traversal
+        (requires a BVH; ~320 B/node of extra HBM).  On TPU, dispatch then
+        routes every BVH-path query through the treelet kernel."""
+        import dataclasses
+
+        from light_transport_tpu.ops.pallas.treelet_kernel import (
+            build_treelet_tables,
+        )
+
+        if self.bvh is None:
+            raise ValueError("with_treelet() requires with_bvh() first")
+        return dataclasses.replace(
+            self, treelet=build_treelet_tables(self.bvh, T=T))
 
     def with_watertight(self, on: bool = True) -> "Scene":
         """Select the watertight triangle test for every scene query (the

@@ -137,18 +137,18 @@ def main():
         def fn(oo, dd):
             h, st = intersect_bvh_treelet(oo, dd, tab, ray_tile=rt,
                                           with_stats=True)
-            return h, st["visits"], st["loads"]
+            return h, st["visits"], st["loads"], st["iters"], st["leafs"]
         if args.no_sort:
             return fn(o, d)
-        lo_hi = None
         # stats need the sorted-frame loads; sort manually
         from light_transport_tpu.ops.raysort import ray_sort_key, scene_bounds
         lo, hi = scene_bounds(mesh_r)
         perm = jnp.argsort(ray_sort_key(o, d, lo, hi))
-        h, vis, loads = fn(o[perm], d[perm])
+        h, vis, loads, iters, leafs = fn(o[perm], d[perm])
         inv = jnp.zeros_like(perm).at[perm].set(
             jnp.arange(perm.shape[0], dtype=perm.dtype))
-        return jax.tree.map(lambda x: x[inv], h), vis[inv], loads
+        return jax.tree.map(lambda x: x[inv], h), vis[inv], loads, \
+            iters, leafs
 
     rays = make_rays(args.rays, rng)
     n = args.rays
@@ -163,13 +163,18 @@ def main():
         print(f"treelet    {name}: {bt:.2f} s "
               f"({o.shape[0]/bt/1e6:.2f} Mray/s)"
               + ("" if args.skip_walk else f"  [{bw/bt:.2f}x]"), flush=True)
-        _, vis, loads = tree_stats(o, d, tables)
+        _, vis, loads, iters, leafs = tree_stats(o, d, tables)
         vis = np.asarray(vis)
         loads = np.asarray(loads)
+        iters = np.asarray(iters)
+        leafs = np.asarray(leafs)
         print(f"  visits/ray mean {vis.mean():.1f} p99 "
               f"{np.percentile(vis, 99):.0f}; loads/tile mean "
               f"{loads.mean():.1f} max {loads.max()} "
-              f"(sum {loads.sum():,})", flush=True)
+              f"(sum {loads.sum():,}); iters sum {iters.sum():,} "
+              f"leaf-iters {leafs.sum():,} "
+              f"(occ {vis.sum()/max(iters.sum(),1)/rt*100:.0f}%)",
+              flush=True)
         if not args.skip_walk:
             ev = np.array_equal(np.asarray(hw.valid), np.asarray(ht.valid))
             et = np.array_equal(np.asarray(hw.tri), np.asarray(ht.tri))

@@ -1,0 +1,125 @@
+"""Sweep treelet size T and ray tile R on the bounce regime (one BVH build).
+
+Per-iteration cost scales with T (one-hot fetch is O(T*R) MACs + O(T*R)
+VPU compare); lockstep occupancy rises with T (bigger resident range =
+more lanes advance per iteration).  This measures where the product
+bottoms out.  Usage: python scripts/sweep_treelet.py [--nt 1450]
+[--rays 1048576] [--configs 256:256,512:256,512:128,1024:256]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+
+from light_transport_tpu.core.cache import enable_compile_cache
+enable_compile_cache()
+
+from light_transport_tpu.accel import bvh as bvh_mod
+from light_transport_tpu.ops.pallas.treelet_kernel import (
+    build_treelet_tables, intersect_bvh_treelet)
+from light_transport_tpu.ops.raysort import sorted_apply
+from light_transport_tpu.scene.geometry import (
+    TriangleMesh, uv_sphere_triangles)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nt", type=int, default=1450)
+    ap.add_argument("--rays", type=int, default=1 << 20)
+    ap.add_argument("--configs",
+                    default="256:256,512:256,512:128,1024:256,2048:256")
+    ap.add_argument("--regime", default="bounce")
+    args = ap.parse_args()
+
+    jax.block_until_ready(jnp.zeros((8, 128)) + 1.0)
+    rng = np.random.default_rng(0)
+    tris = uv_sphere_triangles(n_theta=args.nt, n_phi=args.nt)
+    mesh = TriangleMesh.build(tris, np.zeros(tris.shape[0], np.int32))
+    t0 = time.perf_counter()
+    bvh, mesh_r = bvh_mod.build(mesh)
+    print(f"tris {tris.shape[0]:,} nodes {bvh.num_nodes:,} "
+          f"build {time.perf_counter()-t0:.0f}s", flush=True)
+    bvh_d = jax.device_put(bvh)
+
+    n = args.rays
+    if args.regime == "bounce":
+        pn = rng.normal(size=(n, 3))
+        pn /= np.linalg.norm(pn, axis=1, keepdims=True)
+        u1, u2 = rng.random(n), rng.random(n)
+        r_ = np.sqrt(u1)
+        phi = 2 * np.pi * u2
+        lx, ly = r_ * np.cos(phi), r_ * np.sin(phi)
+        lz = np.sqrt(np.maximum(0.0, 1.0 - u1))
+        t1_ = np.cross(pn, np.where(np.abs(pn[:, :1]) < 0.9,
+                                    [[1.0, 0, 0]], [[0, 1.0, 0]]))
+        t1_ /= np.linalg.norm(t1_, axis=1, keepdims=True)
+        t2_ = np.cross(pn, t1_)
+        db = lx[:, None] * t1_ + ly[:, None] * t2_ + lz[:, None] * pn
+        o = jnp.asarray(pn * 1.001, jnp.float32)
+        d = jnp.asarray(db, jnp.float32)
+    else:  # shell
+        oo = rng.normal(size=(n, 3))
+        oo = 2.5 * oo / np.linalg.norm(oo, axis=1, keepdims=True)
+        dd = rng.normal(size=(n, 3))
+        dd = dd / np.linalg.norm(dd, axis=1, keepdims=True)
+        o, d = jnp.asarray(oo, jnp.float32), jnp.asarray(dd, jnp.float32)
+
+    for spec in args.configs.split(","):
+        T, R = (int(x) for x in spec.split(":"))
+        t0 = time.perf_counter()
+        tables = jax.jit(build_treelet_tables,
+                         static_argnames=("T",))(bvh_d, T=T)
+        jax.block_until_ready(tables.tab)
+        tb = time.perf_counter() - t0
+
+        @jax.jit
+        def tree(o, d):
+            return sorted_apply(
+                lambda oo, dd: intersect_bvh_treelet(oo, dd, tables,
+                                                     ray_tile=R),
+                mesh_r, o, d)
+
+        @jax.jit
+        def tree_stats(o, d):
+            def fn(oo, dd):
+                h, st = intersect_bvh_treelet(
+                    oo, dd, tables, ray_tile=R, with_stats=True)
+                return st["iters"], st["loads"]
+            return fn(*_sorted(o, d))
+
+        from light_transport_tpu.ops.raysort import ray_sort_key, \
+            scene_bounds
+
+        def _sorted(o, d):
+            lo, hi = scene_bounds(mesh_r)
+            perm = jnp.argsort(ray_sort_key(o, d, lo, hi))
+            return o[perm], d[perm]
+
+        force = lambda h: float(jnp.sum(h.t[:8]))
+        force(tree(o, d))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            h = tree(o, d)
+            force(h)
+            best = min(best, time.perf_counter() - t0)
+        iters, loads = tree_stats(o, d)
+        iters = int(np.asarray(iters).sum())
+        loads = int(np.asarray(loads).sum())
+        print(f"T={T:5d} R={R:3d}: {best:.2f} s "
+              f"({n/best/1e6:.2f} Mray/s)  iters {iters:,} "
+              f"({best/iters*1e9:.0f} ns/iter) loads {loads:,} "
+              f"[tables {tb:.0f}s]", flush=True)
+        del tables
+
+
+if __name__ == "__main__":
+    main()

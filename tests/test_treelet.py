@@ -35,8 +35,8 @@ def test_tables_reconstruct_exactly():
     bvh, _ = bvh_mod.build(mesh)
     tables = build_treelet_tables(bvh, T=64)
     m = bvh.num_nodes
-    tab = np.asarray(tables.tab, np.float32)  # (n_t, 256, T)
-    flat = np.moveaxis(tab, 0, 1).reshape(256, -1)[:, :m]
+    tab = np.asarray(tables.tab, np.float32)  # (n_t, TAB_ROWS, T)
+    flat = np.moveaxis(tab, 0, 1).reshape(tab.shape[1], -1)[:, :m]
 
     def s3(r):
         return flat[r] + flat[r + 1] + flat[r + 2]
@@ -55,8 +55,11 @@ def test_tables_reconstruct_exactly():
     np.testing.assert_array_equal(flat[21].astype(np.int64), ints[:, 1])
     np.testing.assert_array_equal(s3(22).astype(np.int64), ints[:, 2])
     # leaf half: tri 0 component 0 = leaf_rec column 0
+    from light_transport_tpu.ops.pallas.treelet_kernel import NODE_ROWS
+    lr = NODE_ROWS
     np.testing.assert_array_equal(
-        flat[128] + flat[129] + flat[130], np.asarray(bvh.leaf_rec[:, 0]))
+        flat[lr] + flat[lr + 1] + flat[lr + 2],
+        np.asarray(bvh.leaf_rec[:, 0]))
 
 
 @pytest.mark.parametrize("t,n,T", [(40, 96, 32), (500, 300, 64),
@@ -107,3 +110,46 @@ def test_treelet_any_hit():
     got = occluded_bvh_treelet(o, d, tables, dist, ray_tile=128,
                                interpret=True)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_dispatch_routes_treelet(monkeypatch):
+    """Scene.with_treelet() + TPU platform routes scene_intersect /
+    scene_occluded through the treelet kernel (forced interpret here) and
+    matches the roped-walk dispatch bit-exactly."""
+    import functools
+
+    import light_transport_tpu.ops.dispatch as dispatch
+    import light_transport_tpu.ops.pallas.treelet_kernel as tk
+    from light_transport_tpu.scene.material import (
+        Material, MaterialTable, presets)
+    from light_transport_tpu.scene.scene import Scene
+
+    mesh = random_mesh(400, seed=21)
+    mats = MaterialTable.build([Material(color=presets.WHITE_2)])
+    scene = Scene.build(mesh, mats, camera=np.zeros(3)).with_bvh()
+    o, d = random_rays(300, seed=22)
+
+    ref_hit = dispatch.scene_intersect(scene, o, d)
+    ref_occ = dispatch.scene_occluded(scene, o, d, 3.0)
+
+    scene_t = scene.with_treelet(T=64)
+    assert scene_t.treelet is not None
+    monkeypatch.setattr(dispatch, "_platform", lambda: "tpu")
+    # big-mesh regime: the MXU gather-cull bows out, the BVH branch decides
+    monkeypatch.setattr(dispatch, "_use_pallas_mxu",
+                        lambda *a, **k: False)
+    monkeypatch.setattr(
+        tk, "intersect_bvh_treelet",
+        functools.partial(tk.intersect_bvh_treelet, interpret=True))
+    monkeypatch.setattr(
+        tk, "occluded_bvh_treelet",
+        functools.partial(tk.occluded_bvh_treelet, interpret=True))
+    got_hit = dispatch.scene_intersect(scene_t, o, d)
+    got_occ = dispatch.scene_occluded(scene_t, o, d, 3.0)
+    np.testing.assert_array_equal(np.asarray(ref_hit.valid),
+                                  np.asarray(got_hit.valid))
+    np.testing.assert_array_equal(np.asarray(ref_hit.tri),
+                                  np.asarray(got_hit.tri))
+    np.testing.assert_array_equal(np.asarray(ref_hit.t),
+                                  np.asarray(got_hit.t))
+    np.testing.assert_array_equal(np.asarray(ref_occ), np.asarray(got_occ))
