@@ -296,6 +296,76 @@ def main():
             tail = [ln for ln in tail if "WARNING" not in ln][-3:]
             print(f"FAIL {name}: " + " | ".join(tail), flush=True)
 
+@probe
+def p_reshape_8x128():
+    """(8,128) -> (1,1024) sublane-to-lane reshape inside a kernel (the
+    K-packed one-hot flush needs records laid out along lanes)."""
+    jax, jnp, pl, pltpu = _imports()
+
+    def kern(x_ref, o_ref):
+        v = x_ref[:]  # (8, 128)
+        f = v.reshape(1, 1024)
+        o_ref[:] = jnp.broadcast_to(f, (8, 1024))
+
+    x = jnp.arange(8 * 128, dtype=jnp.float32).reshape(8, 128)
+    out = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 1024), jnp.float32),
+    )(x)
+    want = np.arange(8 * 128, dtype=np.float32)[None, :]
+    assert np.array_equal(np.asarray(out)[0:1], want), out[0, :6]
+
+
+@probe
+def p_packed_pair_flush():
+    """K-packed 2-D one-hot histogram: 8 record rows as one K=1024 dot."""
+    jax, jnp, pl, pltpu = _imports()
+    NI, NJ, ROWS, LANES = 64, 128, 8, 128
+    rng = np.random.default_rng(0)
+    ib = jnp.asarray(rng.integers(0, NI, (ROWS, LANES)), jnp.int32)
+    jb = jnp.asarray(rng.integers(0, NJ, (ROWS, LANES)), jnp.int32)
+    v = jnp.asarray(rng.normal(size=(ROWS, LANES)).astype(np.float32))
+
+    def kern(ib_ref, jb_ref, v_ref, o_ref):
+        L8 = ROWS * LANES
+        ibf = ib_ref[:].reshape(1, L8)
+        jbf = jb_ref[:].reshape(1, L8)
+        vf = v_ref[:].reshape(1, L8)
+        vhi = vf.astype(jnp.bfloat16).astype(jnp.float32)
+        vlo = vf - vhi
+        iota_i = jax.lax.broadcasted_iota(jnp.int32, (NI, L8), 0)
+        iota_j = jax.lax.broadcasted_iota(jnp.int32, (NJ, L8), 0)
+        a = (iota_i == ibf).astype(jnp.bfloat16)
+        m = iota_j == jbf
+        vh = jnp.where(m, vhi, 0.0).astype(jnp.bfloat16)
+        vl = jnp.where(m, vlo, 0.0).astype(jnp.bfloat16)
+        dn = (((1,), (1,)), ((), ()))
+        p = jax.lax.dot_general(a, vh, dn,
+                                preferred_element_type=jnp.float32)
+        p = p + jax.lax.dot_general(a, vl, dn,
+                                    preferred_element_type=jnp.float32)
+        o_ref[:] = p
+
+    out = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NI, NJ), jnp.float32),
+    )(ib, jb, v)
+    want = np.zeros((NI, NJ), np.float64)
+    ibn, jbn, vn = map(np.asarray, (ib, jb, v))
+    vhi = vn.astype(jnp.bfloat16).astype(np.float32)
+    vlo = vn - vhi
+    for r in range(ROWS):
+        for l in range(LANES):
+            want[ibn[r, l], jbn[r, l]] += (float(vhi[r, l])
+                                           + float(vlo[r, l]))
+    got = np.asarray(out, np.float64)
+    err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-30)
+    assert err < 1e-6, err
+
 
 if __name__ == "__main__":
     main()
