@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--configs",
                     default="256:256,512:256,512:128,1024:256,2048:256")
     ap.add_argument("--regime", default="bounce")
+    ap.add_argument("--key", default="dir",
+                    help="sort key: dir (direction-major, the MXU cull "
+                    "default) | origin (origin-major morton — treelet "
+                    "traversal locality is subtree-driven, which follows "
+                    "origin more than direction)")
     args = ap.parse_args()
 
     jax.block_until_ready(jnp.zeros((8, 128)) + 1.0)
@@ -80,28 +85,32 @@ def main():
         jax.block_until_ready(tables.tab)
         tb = time.perf_counter() - t0
 
+        from light_transport_tpu.ops.raysort import (
+            ray_sort_key, scene_bounds)
+
+        def sort_key(oo, dd, lo, hi):
+            if args.key == "dir":
+                return ray_sort_key(oo, dd, lo, hi)
+            # origin-major: 24-bit morton high, 6 direction bits low
+            k = ray_sort_key(oo, dd, lo, hi)
+            return ((k & jnp.uint32(0x00FFFFFF)) << 6) | (k >> 24)
+
         @jax.jit
         def tree(o, d):
-            return sorted_apply(
-                lambda oo, dd: intersect_bvh_treelet(oo, dd, tables,
-                                                     ray_tile=R),
-                mesh_r, o, d)
+            lo, hi = scene_bounds(mesh_r)
+            perm = jnp.argsort(sort_key(o, d, lo, hi))
+            inv = jnp.zeros_like(perm).at[perm].set(
+                jnp.arange(perm.shape[0], dtype=perm.dtype))
+            h = intersect_bvh_treelet(o[perm], d[perm], tables, ray_tile=R)
+            return jax.tree.map(lambda x: x[inv], h)
 
         @jax.jit
         def tree_stats(o, d):
-            def fn(oo, dd):
-                h, st = intersect_bvh_treelet(
-                    oo, dd, tables, ray_tile=R, with_stats=True)
-                return st["iters"], st["loads"]
-            return fn(*_sorted(o, d))
-
-        from light_transport_tpu.ops.raysort import ray_sort_key, \
-            scene_bounds
-
-        def _sorted(o, d):
             lo, hi = scene_bounds(mesh_r)
-            perm = jnp.argsort(ray_sort_key(o, d, lo, hi))
-            return o[perm], d[perm]
+            perm = jnp.argsort(sort_key(o, d, lo, hi))
+            _, st = intersect_bvh_treelet(
+                o[perm], d[perm], tables, ray_tile=R, with_stats=True)
+            return st["iters"], st["loads"]
 
         force = lambda h: float(jnp.sum(h.t[:8]))
         force(tree(o, d))

@@ -159,6 +159,45 @@ def main():
     ok &= abs(rz4 / ab4 - 1.0) < 0.02
     ok &= abs(vol4 / ab4 - 1.0) < 0.05  # clipped-edge deposits excluded
 
+    # --- 5. slim + respawn_steps (two-slot exits) on hardware --------------
+    cfg5 = dataclasses.replace(cfg4, respawn_steps=4, seed=0)
+    t0 = time.time()
+    t5 = simulate_pallas(medium, cfg5, seed=29,
+                         lanes=ROWS * LANES * 16, k_steps=64)
+    e5 = float(t5.energy_total())
+    r5 = float(t5.total_reflectance())
+    print(f"respawn_steps launched={t5.n_launched} (want {cfg5.n_photons}),"
+          f" energy={e5:.5f}, R_d={r5:.5f} (slim {float(t4.total_reflectance()):.5f}),"
+          f" {time.time()-t0:.1f}s", flush=True)
+    ok &= t5.n_launched == cfg5.n_photons
+    ok &= abs(e5 - 1.0) < 5e-3
+    ok &= abs(r5 - float(t4.total_reflectance())) < 3e-3
+
+    # --- 6. treelet traversal kernel: bit-parity vs the roped walk ---------
+    from light_transport_tpu.accel import bvh as bvh_mod
+    from light_transport_tpu.ops.pallas.treelet_kernel import (
+        build_treelet_tables,
+        intersect_bvh_treelet,
+        occluded_bvh_treelet,
+    )
+
+    t6 = tris_for(48)  # ~9k tris, a few treelets at T=512
+    mesh6 = TriangleMesh.build(t6, np.zeros(len(t6), np.int32))
+    bvh6, mesh6r = bvh_mod.build(mesh6)
+    tables6 = jax.jit(build_treelet_tables)(jax.device_put(bvh6))
+    ref6 = bvh_mod.intersect_bvh(o, d, mesh6r, bvh6)
+    got6 = intersect_bvh_treelet(o, d, tables6)
+    pv = np.array_equal(np.asarray(ref6.valid), np.asarray(got6.valid))
+    pi = np.array_equal(np.asarray(ref6.tri), np.asarray(got6.tri))
+    pt = np.array_equal(np.asarray(ref6.t), np.asarray(got6.t))
+    occ_r = bvh_mod.occluded_bvh(o, d, mesh6r, bvh6,
+                                 jnp.full((n,), 3.0))
+    occ_t = occluded_bvh_treelet(o, d, tables6, jnp.full((n,), 3.0))
+    po = np.array_equal(np.asarray(occ_r), np.asarray(occ_t))
+    print(f"treelet parity: valid {pv} tri {pi} t-bitwise {pt} "
+          f"occluded {po}", flush=True)
+    ok &= pv and pi and pt and po
+
     print("ALL GREEN" if ok else "FAILURES — see above", flush=True)
     return 0 if ok else 1
 
