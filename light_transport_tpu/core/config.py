@@ -173,14 +173,12 @@ class PhotonRunConfig:
     # variant measured +13 ms/block and lost on net).  Requires the
     # windowed (rz_mm) tally mode.
     respawn_windows: int = 0
-    # In-window respawn every N steps (0 = window boundaries only).  With
-    # this on, exit records move to a saved two-slot scheme (position
-    # copied at death instead of frozen in the live registers), so
-    # exit-dead lanes also respawn at the next boundary instead of idling
-    # to block end; a lane only idles after its SECOND unflushed exit of
-    # a block (rare).  Requires respawn_windows, the windowed tally mode,
-    # and the in-kernel exit/detector histogram flushes.
-    respawn_steps: int = 0
+    # NOTE: recovering the remaining exit-dead idle time (in-window
+    # respawn / saved two-slot exit records) was built, measured, and
+    # REVERTED in r4 — both variants lose net throughput on hardware
+    # (PERF.md §r4 negative results: a lax.cond in the step loop breaks
+    # Mosaic pipelining for +5.6 ms/block; the extra loop carries alone
+    # cost +4.6 ms of register pressure against a 7-point occupancy win).
     seed: int = 0
 
 

@@ -119,48 +119,49 @@ def _onehot_pair_flush(acc_ref, ib, jb, vals, ni: int, nj_pad: int,
     so unset/pending-empty lanes need no masking.
 
     Cost shape (measured r4, full_scale rz grid, per k=128 block at 64
-    tiles): the old per-row form measured 10.5 ms — VPU-bound on factor
+    tiles): this per-row form measures 10.5 ms — VPU-bound on factor
     construction (~5.6) + accumulator adds (~4.4), MXU ~5.6 partially
-    hidden.  The packed form below reshapes each 8-row record group to
-    one (1, 1024) lane vector and contracts a single K=1024 dot per
-    group, so the (ni, nj_pad) accumulator add runs once per group
-    instead of once per row (same MACs, 7/8 fewer register-file adds).
-    An earlier K=1024 attempt staged the bf16 FACTORS through a shared
-    VMEM scratch and lost 1.0 ms to a WAR hazard (the dot read the
-    scratch the next group's build overwrote); this version reshapes the
-    8x128 RECORDS in registers instead — no staging, no hazard.
-    Other "improvements" measured SLOWER and were reverted; kept as
-    notes so they aren't re-tried blind:
+    hidden.  Four "improvements" measured SLOWER or neutral and were
+    reverted; kept as notes so they aren't re-tried blind:
     - i-blocked occupancy masking via @pl.when: +1.4 ms (conditional
       regions break the software pipelining; acc slices round-trip VMEM);
+    - packing 8 rows into one K=1024 dot via bf16 VMEM scratch: +1.0 ms
+      (the dot reads the same scratch the next group's build overwrites —
+      a WAR hazard that serializes build against contraction);
+    - packing via in-register (8,128)->(1,1024) reshape of the RECORDS
+      (no scratch staging): rz unchanged (10.65 vs 10.5 same-phase), the
+      small exit flush +1.2 ms — the sublane-to-lane relayout costs what
+      the 7/8 fewer accumulator adds save;
     - lax.fori unroll of the step loop (1 vs 32): no change.
     """
     si_ref, sj_ref, sv_ref = scratch[:3]
     si_ref[:], sj_ref[:], sv_ref[:] = ib, jb, vals
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (ni, LANES), 0)
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (nj_pad, LANES), 0)
     dn = (((1,), (1,)), ((), ()))  # contract the lane dim of both factors
     group = 8  # f32/i32 sublane tile height — keeps dynamic slices aligned
-    L8 = group * LANES
-    iota_i = jax.lax.broadcasted_iota(jnp.int32, (ni, L8), 0)
-    iota_j = jax.lax.broadcasted_iota(jnp.int32, (nj_pad, L8), 0)
 
     def row_group(g, acc):
-        ib_g = si_ref[pl.ds(g * group, group), :].reshape(1, L8)
-        jb_g = sj_ref[pl.ds(g * group, group), :].reshape(1, L8)
-        v_g = sv_ref[pl.ds(g * group, group), :].reshape(1, L8)
-        # hi/lo value split once per group; the selects run in f32 layout
-        # (a bool mask against an i32-tiled iota cannot feed a bf16-layout
-        # select) and convert after (both halves are exactly bf16)
-        vhi = v_g.astype(jnp.bfloat16).astype(jnp.float32)
-        vlo = v_g - vhi
-        a = (iota_i == ib_g).astype(jnp.bfloat16)
-        m = iota_j == jb_g
-        v_hi = jnp.where(m, vhi, 0.0).astype(jnp.bfloat16)
-        v_lo = jnp.where(m, vlo, 0.0).astype(jnp.bfloat16)
-        p = jax.lax.dot_general(a, v_hi, dn,
-                                preferred_element_type=jnp.float32)
-        p = p + jax.lax.dot_general(a, v_lo, dn,
+        ib_g = si_ref[pl.ds(g * group, group), :]
+        jb_g = sj_ref[pl.ds(g * group, group), :]
+        v_g = sv_ref[pl.ds(g * group, group), :]
+        # hi/lo value split once per group; the per-row selects run in f32
+        # layout (a bool mask against an i32-tiled iota cannot feed a
+        # bf16-layout select — Mosaic rejects the (8,128)->(16,128)
+        # relayout) and convert after (both halves are exactly bf16)
+        vhi_g = v_g.astype(jnp.bfloat16).astype(jnp.float32)
+        vlo_g = v_g - vhi_g
+        for r in range(group):
+            a = (iota_i == ib_g[r:r + 1, :]).astype(jnp.bfloat16)
+            m = iota_j == jb_g[r:r + 1, :]
+            v_hi = jnp.where(m, vhi_g[r:r + 1, :], 0.0).astype(jnp.bfloat16)
+            v_lo = jnp.where(m, vlo_g[r:r + 1, :], 0.0).astype(jnp.bfloat16)
+            p = jax.lax.dot_general(a, v_hi, dn,
                                     preferred_element_type=jnp.float32)
-        return acc + p
+            p = p + jax.lax.dot_general(a, v_lo, dn,
+                                        preferred_element_type=jnp.float32)
+            acc = acc + p
+        return acc
 
     acc = jax.lax.fori_loop(0, ROWS // group, row_group,
                             jnp.zeros((ni, nj_pad), jnp.float32))
@@ -274,18 +275,20 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
     # flushing exits per window instead measured +13 ms/block (the 512²
     # detector one-hot is ~3 ms per flush), eating the occupancy win.
     respawn_w = int(cfg.respawn_windows) if (slim and not bench_mode) else 0
-    # in-window respawn (cfg.respawn_steps): additionally respawn every N
-    # steps INSIDE the window, and switch exit records to the saved
-    # two-slot scheme so exit-dead lanes respawn at boundaries too (they
-    # idle only after a second unflushed exit).  Slot 1 = (ex_x, ex_y,
-    # dwx) copied at death; slot 2 = the live position frozen as today.
-    respawn_s = int(getattr(cfg, "respawn_steps", 0)) if respawn_w else 0
-    slot2 = bool(respawn_s) and ex_mm and (cfg.detector_nx == 0 or det_mm) \
-        and not ab_exits
-    if not slot2:
-        # without the saved slots an exit record lives in the live
-        # position registers — mid-window respawn would corrupt it
-        respawn_s = 0
+    # NOTE (r4, measured and REVERTED — do not re-try blind): recovering
+    # the exit-dead lanes' idle time (occupancy 0.789 -> 0.860 at 5e7)
+    # via saved exit slots LOSES on net.  Two variants, same-phase A/B at
+    # the full_scale preset:
+    # - in-window respawn every N steps via lax.cond in the step loop:
+    #   +5.6 ms/block STATIC (the cond breaks Mosaic's software
+    #   pipelining; N=8 and N=16 cost identically) -> steady -8%;
+    # - window-boundary-only respawn with two-slot exit records (3 extra
+    #   (64,128) loop carries + ~6 selects/step + doubled ex/det flush,
+    #   no cond): +4.6 ms/block (register pressure in the register-bound
+    #   step loop) -> steady -5.5%.
+    # The exit-record position must freeze SOMEWHERE until the block
+    # flush, and every place to put it costs more than the 7% occupancy
+    # it buys.
 
     def kernel_body(seed_ref, quota_ref, u_ref, px, py, pz, dx, dy, dz,
                     w_ref, tau_ref, layer_ref, opx, opy, opz, odx, ody, odz,
@@ -451,9 +454,8 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             # pending position records instead of written to stream slots)
             if slim:
                 (x, y, z, ux, uy, uz, w, tau, layer, quota, launched, spec,
-                 steps, absorbed, dwx, ex_x, ex_y, dwx2,
-                 p_x, p_y, p_z, p_val) = carry[:22]
-                pv = carry[22:]
+                 steps, absorbed, dwx, p_x, p_y, p_z, p_val) = carry[:19]
+                pv = carry[19:]
             else:
                 (x, y, z, ux, uy, uz, w, tau, layer, quota, launched, spec,
                  steps, absorbed, ex_bin, ex_val, de_bin, de_val) = carry
@@ -586,22 +588,8 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
                     # exited bottom, 0 = no exit this block (exiting lanes
                     # always carry w > 0: alive requires it and boundary
                     # lanes don't drop weight)
-                    if slot2:
-                        # two-slot scheme (respawn_steps): the first exit
-                        # of the block copies its death position into slot
-                        # 1 and frees the lane for respawn; a second exit
-                        # freezes the live position as slot 2 (dwx2 != 0
-                        # blocks further respawn until the block flush)
-                        rec = jnp.where(exit_top, w, -w)
-                        first = exits & (dwx == 0.0)
-                        second = exits & (dwx != 0.0)
-                        ex_x = jnp.where(first, x, ex_x)
-                        ex_y = jnp.where(first, y, ex_y)
-                        dwx = jnp.where(first, rec, dwx)
-                        dwx2 = jnp.where(second, rec, dwx2)
-                    else:
-                        dwx = jnp.where(exits,
-                                        jnp.where(exit_top, w, -w), dwx)
+                    dwx = jnp.where(exits,
+                                    jnp.where(exit_top, w, -w), dwx)
                 if (not ab_rz) or (vol_shared and not ab_vol):
                     # pending deposit position: same phase-matched step and
                     # same (x, y, z, dw) as the flat stream path, so the
@@ -689,7 +677,7 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             z = jnp.where(hits_b & (w > 0.0), z + jnp.sign(uz) * 1e-6, z)
             if slim:
                 out = (x, y, z, ux, uy, uz, w, tau, layer, quota, launched,
-                       spec, steps, absorbed, dwx, ex_x, ex_y, dwx2,
+                       spec, steps, absorbed, dwx,
                        p_x, p_y, p_z, p_val) + tuple(pv)
             else:
                 out = (x, y, z, ux, uy, uz, w, tau, layer, quota, launched,
@@ -707,8 +695,6 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             carry0 = (x, y, z, ux, uy, uz, w, tau, layer, quota, launched,
                       spec, zero_f, zero_f,  # steps/absorbed accumulators
                       zero_f,                # sign-encoded exit record
-                      zero_f, zero_f,        # slot-1 saved death position
-                      zero_f,                # slot-2 exit record (dwx2)
                       zero_f, zero_f, zero_f, zero_f)  # p_x, p_y, p_z, p_val
             n_pv = 4 if (vol_windowed and not ab_vol) else 0
             carry0 = carry0 + (zero_f,) * n_pv
@@ -716,46 +702,26 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             def window_body(wi, carry):
                 if respawn_w:
                     # quota-ranked respawn at (every respawn_w-th) window
-                    # start.  Without the two-slot scheme, lanes that
-                    # exited this block are excluded (dwx == 0 gate): they
-                    # keep their frozen death position for the block-end
-                    # record flush.  With it, only a SECOND unflushed exit
-                    # (dwx2 != 0) blocks respawn.  Block start is covered
-                    # by the pre-loop respawn.
+                    # start, ONLY for lanes that did not exit this block
+                    # (dwx == 0) — exited lanes keep their frozen death
+                    # position for the block-end record flush.  Block
+                    # start is covered by the pre-loop respawn.
                     do_r = (wi > 0) & (wi % respawn_w == 0)
-                    elig = (carry[17] == 0.0) if slot2 \
-                        else (carry[14] == 0.0)
-                    rs = respawn(*carry[:12], eligible=elig)
+                    rs = respawn(*carry[:12], eligible=carry[14] == 0.0)
                     carry = tuple(
                         jnp.where(do_r, rs[i], carry[i]) for i in range(12)
                     ) + carry[12:]
-                # reset the per-window pendings (the exit records and the
+                # reset the per-window pendings (the exit record and the
                 # counters persist across windows)
-                carry = carry[:18] + (zero_f,) * (4 + n_pv)
+                carry = carry[:15] + (zero_f,) * (4 + n_pv)
                 takev = (phase_hi == (wi % vol_ratio)) if n_pv else None
 
                 def inner(si, c):
-                    c = step_body(wi * stride + si, c, si, takev)
-                    if respawn_s:
-                        # in-window respawn every respawn_s steps (window
-                        # boundaries are covered above); new photons start
-                        # mid-window — each of their steps still deposits
-                        # with probability exactly 1/stride (the lane
-                        # phase is uniform and independent of the physics
-                        # draws), so the thinned estimators stay unbiased
-                        def do_rs(cc):
-                            r12 = respawn(*cc[:12],
-                                          eligible=cc[17] == 0.0)
-                            return tuple(r12) + cc[12:]
-
-                        pred = ((si + 1) % respawn_s == 0) \
-                            & (si + 1 < stride)
-                        c = jax.lax.cond(pred, do_rs, lambda cc: cc, c)
-                    return c
+                    return step_body(wi * stride + si, c, si, takev)
 
                 carry = jax.lax.fori_loop(0, stride, inner, carry,
                                           unroll=unroll)
-                p_x, p_y, p_z, p_val = carry[18:22]
+                p_x, p_y, p_z, p_val = carry[15:19]
                 if not ab_rz:
                     r = jnp.sqrt(p_x * p_x + p_y * p_y)
                     ir = jnp.clip((r * inv_dr).astype(jnp.int32), 0, nr - 1)
@@ -769,7 +735,7 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
                         vx_s, vy_s, vz_s, vv = p_x, p_y, p_z, p_val
                         svidx = wi
                     else:
-                        vx_s, vy_s, vz_s, vv = carry[22:26]
+                        vx_s, vy_s, vz_s, vv = carry[19:23]
                         svidx = wi // vol_ratio
                     vx = jnp.clip(
                         (vx_s * inv_vdx + 0.5 * cfg.vol_nx)
@@ -798,26 +764,18 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             carry = jax.lax.fori_loop(0, k_steps // stride, window_body,
                                       carry0)
             (x, y, z, ux, uy, uz, w, tau, layer, quota, launched, spec,
-             steps_a, absorbed_a, dwx, sv_x, sv_y, dwx2) = carry[:18]
+             steps_a, absorbed_a, dwx) = carry[:15]
             steps = jnp.sum(steps_a)
             absorbed = jnp.sum(absorbed_a)
-            # block-end exit/detector records.  Without the two-slot
-            # scheme a lane exits at most once per block and its position
-            # freezes at death, so the bins of the final state ARE the
-            # exit bins (bitwise identical to the per-step records they
-            # replace).  With it, the first exit's position was saved into
-            # (sv_x, sv_y) at death and a rare second exit froze the live
-            # position — two record sets, two flushes.
+            # block-end exit/detector records: a lane exits at most once
+            # per block and its position freezes at death, so the bins of
+            # the final state ARE the exit bins (bitwise identical to the
+            # per-step records they replace)
             ex_bin, ex_val = zero_i, zero_f
             de_bin, de_val = zero_i, zero_f
-            de_bin2, de_val2 = zero_i, zero_f
             if not ab_exits:
-                if slot2:
-                    e1_x, e1_y = sv_x, sv_y
-                else:
-                    e1_x, e1_y = x, y
                 top = dwx > 0.0
-                r = jnp.sqrt(e1_x * e1_x + e1_y * e1_y)
+                r = jnp.sqrt(x * x + y * y)
                 ir = jnp.clip((r * inv_dr).astype(jnp.int32), 0, nr - 1)
                 ex_bin = jnp.where(top, ir, nr + ir)
                 ex_val = jnp.abs(dwx)  # 0 (no exit) contributes nothing
@@ -828,30 +786,13 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
                     # events whose chunk padding dominated its cost
                     _onehot_pair_flush(ex_acc_ref, ex_bin, zero_i, ex_val,
                                        2 * nr, LANES, mm_scratch)
-                    if slot2:
-                        top2 = dwx2 > 0.0
-                        r2 = jnp.sqrt(x * x + y * y)
-                        ir2 = jnp.clip((r2 * inv_dr).astype(jnp.int32),
-                                       0, nr - 1)
-                        ex_bin2 = jnp.where(top2, ir2, nr + ir2)
-                        _onehot_pair_flush(ex_acc_ref, ex_bin2, zero_i,
-                                           jnp.abs(dwx2), 2 * nr, LANES,
-                                           mm_scratch)
                 if nx_det > 0 and not ab_det:
-                    ix = jnp.clip(((e1_x + det_half) * det_scale)
+                    ix = jnp.clip(((x + det_half) * det_scale)
                                   .astype(jnp.int32), 0, nx_det - 1)
-                    iy = jnp.clip(((e1_y + det_half) * det_scale)
+                    iy = jnp.clip(((y + det_half) * det_scale)
                                   .astype(jnp.int32), 0, nx_det - 1)
                     de_bin = jnp.where(top, ix * nx_det + iy, 0)
                     de_val = jnp.where(top, dwx, 0.0)
-                    if slot2:
-                        ix2 = jnp.clip(((x + det_half) * det_scale)
-                                       .astype(jnp.int32), 0, nx_det - 1)
-                        iy2 = jnp.clip(((y + det_half) * det_scale)
-                                       .astype(jnp.int32), 0, nx_det - 1)
-                        top2 = dwx2 > 0.0
-                        de_bin2 = jnp.where(top2, ix2 * nx_det + iy2, 0)
-                        de_val2 = jnp.where(top2, dwx2, 0.0)
         else:
             carry0 = (x, y, z, ux, uy, uz, w, tau, layer, quota, launched,
                       spec, steps, absorbed, ex_bin, ex_val, de_bin, de_val)
@@ -874,18 +815,13 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
         det_bin_ref[:] = de_bin
         det_val_ref[:] = de_val
         if det_mm and not ab_det:
-            # exit records are once or (two-slot scheme) twice per lane
-            # per block, so the detector image accumulates with one MXU
-            # flush per record set per program
+            # exit records are once-per-lane-per-block (exited lanes are
+            # excluded from mid-block respawn), so the detector image
+            # accumulates with a single MXU flush per program
             de_ix = de_bin // nx_det
             de_iy = de_bin - de_ix * nx_det
             _onehot_pair_flush(det_acc_ref, de_ix, de_iy, de_val,
                                nx_det, det_pad, mm_scratch)
-            if slot2:
-                de_ix2 = de_bin2 // nx_det
-                de_iy2 = de_bin2 - de_ix2 * nx_det
-                _onehot_pair_flush(det_acc_ref, de_ix2, de_iy2, de_val2,
-                                   nx_det, det_pad, mm_scratch)
         if bench_mode:
             # streams unused: emit zeros into the 1-step placeholders
             rz_bins_ref[0] = zero_i
@@ -1027,18 +963,6 @@ class PallasPhotonEngine:
                 "respawn_windows requires the windowed tally mode "
                 "(tally_stride >= 2 with the rz grid small enough for the "
                 "in-kernel MXU folds)")
-        if getattr(cfg, "respawn_steps", 0) and not bench_mode:
-            if not cfg.respawn_windows:
-                raise ValueError("respawn_steps requires respawn_windows")
-            if not (self.ex_mm and (cfg.detector_nx == 0 or self.det_mm)):
-                raise ValueError(
-                    "respawn_steps needs the in-kernel exit/detector "
-                    "histogram flushes (ex_mm/det_mm) for its two-slot "
-                    "exit records")
-            if not 2 <= int(cfg.respawn_steps) <= self.stride:
-                raise ValueError(
-                    f"respawn_steps={cfg.respawn_steps}: must be in "
-                    f"[2, tally_stride={self.stride}]")
         med = {
             "mu_t": np.asarray(medium.mu_t), "mu_a": np.asarray(medium.mu_a),
             "g": np.asarray(medium.g), "n": np.asarray(medium.n),

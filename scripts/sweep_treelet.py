@@ -38,10 +38,10 @@ def main():
                     default="256:256,512:256,512:128,1024:256,2048:256")
     ap.add_argument("--regime", default="bounce")
     ap.add_argument("--key", default="dir",
-                    help="sort key: dir (direction-major, the MXU cull "
-                    "default) | origin (origin-major morton — treelet "
+                    help="csv of sort keys: dir (direction-major, the MXU "
+                    "cull default) | origin (origin-major morton — treelet "
                     "traversal locality is subtree-driven, which follows "
-                    "origin more than direction)")
+                    "origin more than direction) | none")
     args = ap.parse_args()
 
     jax.block_until_ready(jnp.zeros((8, 128)) + 1.0)
@@ -88,45 +88,57 @@ def main():
         from light_transport_tpu.ops.raysort import (
             ray_sort_key, scene_bounds)
 
-        def sort_key(oo, dd, lo, hi):
-            if args.key == "dir":
-                return ray_sort_key(oo, dd, lo, hi)
-            # origin-major: 24-bit morton high, 6 direction bits low
-            k = ray_sort_key(oo, dd, lo, hi)
-            return ((k & jnp.uint32(0x00FFFFFF)) << 6) | (k >> 24)
+        def make_sort_key(mode):
+            def sort_key(oo, dd, lo, hi):
+                k = ray_sort_key(oo, dd, lo, hi)
+                if mode == "dir":
+                    return k
+                # origin-major: 24-bit morton high, 6 direction bits low
+                return ((k & jnp.uint32(0x00FFFFFF)) << 6) | (k >> 24)
+            return sort_key
 
-        @jax.jit
-        def tree(o, d):
-            lo, hi = scene_bounds(mesh_r)
-            perm = jnp.argsort(sort_key(o, d, lo, hi))
-            inv = jnp.zeros_like(perm).at[perm].set(
-                jnp.arange(perm.shape[0], dtype=perm.dtype))
-            h = intersect_bvh_treelet(o[perm], d[perm], tables, ray_tile=R)
-            return jax.tree.map(lambda x: x[inv], h)
+        for mode in args.key.split(","):
+            sort_key = make_sort_key(mode)
 
-        @jax.jit
-        def tree_stats(o, d):
-            lo, hi = scene_bounds(mesh_r)
-            perm = jnp.argsort(sort_key(o, d, lo, hi))
-            _, st = intersect_bvh_treelet(
-                o[perm], d[perm], tables, ray_tile=R, with_stats=True)
-            return st["iters"], st["loads"]
+            @jax.jit
+            def tree(o, d):
+                if mode == "none":
+                    return intersect_bvh_treelet(o, d, tables, ray_tile=R)
+                lo, hi = scene_bounds(mesh_r)
+                perm = jnp.argsort(sort_key(o, d, lo, hi))
+                inv = jnp.zeros_like(perm).at[perm].set(
+                    jnp.arange(perm.shape[0], dtype=perm.dtype))
+                h = intersect_bvh_treelet(o[perm], d[perm], tables,
+                                          ray_tile=R)
+                return jax.tree.map(lambda x: x[inv], h)
 
-        force = lambda h: float(jnp.sum(h.t[:8]))
-        force(tree(o, d))
-        best = 1e9
-        for _ in range(3):
-            t0 = time.perf_counter()
-            h = tree(o, d)
-            force(h)
-            best = min(best, time.perf_counter() - t0)
-        iters, loads = tree_stats(o, d)
-        iters = int(np.asarray(iters).sum())
-        loads = int(np.asarray(loads).sum())
-        print(f"T={T:5d} R={R:3d}: {best:.2f} s "
-              f"({n/best/1e6:.2f} Mray/s)  iters {iters:,} "
-              f"({best/iters*1e9:.0f} ns/iter) loads {loads:,} "
-              f"[tables {tb:.0f}s]", flush=True)
+            @jax.jit
+            def tree_stats(o, d):
+                if mode == "none":
+                    _, st = intersect_bvh_treelet(o, d, tables, ray_tile=R,
+                                                  with_stats=True)
+                    return st["iters"], st["loads"]
+                lo, hi = scene_bounds(mesh_r)
+                perm = jnp.argsort(sort_key(o, d, lo, hi))
+                _, st = intersect_bvh_treelet(
+                    o[perm], d[perm], tables, ray_tile=R, with_stats=True)
+                return st["iters"], st["loads"]
+
+            force = lambda h: float(jnp.sum(h.t[:8]))
+            force(tree(o, d))
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                h = tree(o, d)
+                force(h)
+                best = min(best, time.perf_counter() - t0)
+            iters, loads = tree_stats(o, d)
+            iters = int(np.asarray(iters).sum())
+            loads = int(np.asarray(loads).sum())
+            print(f"T={T:5d} R={R:3d} key={mode:6s}: {best:.2f} s "
+                  f"({n/best/1e6:.2f} Mray/s)  iters {iters:,} "
+                  f"({best/iters*1e9:.0f} ns/iter) loads {loads:,} "
+                  f"[tables {tb:.0f}s]", flush=True)
         del tables
 
 

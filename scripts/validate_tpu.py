@@ -159,21 +159,7 @@ def main():
     ok &= abs(rz4 / ab4 - 1.0) < 0.02
     ok &= abs(vol4 / ab4 - 1.0) < 0.05  # clipped-edge deposits excluded
 
-    # --- 5. slim + respawn_steps (two-slot exits) on hardware --------------
-    cfg5 = dataclasses.replace(cfg4, respawn_steps=4, seed=0)
-    t0 = time.time()
-    t5 = simulate_pallas(medium, cfg5, seed=29,
-                         lanes=ROWS * LANES * 16, k_steps=64)
-    e5 = float(t5.energy_total())
-    r5 = float(t5.total_reflectance())
-    print(f"respawn_steps launched={t5.n_launched} (want {cfg5.n_photons}),"
-          f" energy={e5:.5f}, R_d={r5:.5f} (slim {float(t4.total_reflectance()):.5f}),"
-          f" {time.time()-t0:.1f}s", flush=True)
-    ok &= t5.n_launched == cfg5.n_photons
-    ok &= abs(e5 - 1.0) < 5e-3
-    ok &= abs(r5 - float(t4.total_reflectance())) < 3e-3
-
-    # --- 6. treelet traversal kernel: bit-parity vs the roped walk ---------
+    # --- 5. treelet traversal kernel: bit-parity vs the roped walk ---------
     from light_transport_tpu.accel import bvh as bvh_mod
     from light_transport_tpu.ops.pallas.treelet_kernel import (
         build_treelet_tables,

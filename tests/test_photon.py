@@ -324,48 +324,3 @@ def test_respawn_windows_exact_and_unbiased():
     assert (res[1][1]["steady_occupancy"]
             > res[0][1]["steady_occupancy"] + 0.02), (
         res[0][1]["steady_occupancy"], res[1][1]["steady_occupancy"])
-
-
-def test_respawn_steps_two_slot_exits():
-    """cfg.respawn_steps (in-window respawn + two-slot exit records): the
-    launch quota stays exact, energy closes, every tally agrees
-    statistically with the window-boundary-respawn engine, and occupancy
-    rises further.  Runs the threefry interpret kernel on CPU."""
-    import dataclasses
-
-    from light_transport_tpu.ops.pallas.photon_kernel import (
-        LANES, ROWS, simulate_pallas,
-    )
-
-    medium = LayeredMedium.build(
-        [MediumConfig(mu_a=1.0, mu_s=9.0, g=0.7, n=1.37)], n_above=1.0)
-    base = PhotonRunConfig(n_photons=400_000, nr=32, nz=32, dr=0.03,
-                           dz=0.03,
-                           detector_nx=16, detector_extent=0.5,
-                           vol_nx=8, vol_ny=8, vol_nz=8,
-                           vol_dx=0.12, vol_dy=0.12, vol_dz=0.12,
-                           tally_stride=4, vol_stride=8,
-                           respawn_windows=1)
-    res = {}
-    for rs in (0, 2):
-        cfg = dataclasses.replace(base, respawn_steps=rs)
-        timings = {}
-        tl = simulate_pallas(medium, cfg, seed=11, lanes=ROWS * LANES,
-                             k_steps=32, timings=timings)
-        assert tl.n_launched == cfg.n_photons, (rs, tl.n_launched)
-        assert abs(tl.energy_total() - 1.0) < 5e-3, (rs, tl.energy_total())
-        res[rs] = (tl, timings)
-    t0, t1 = res[0][0], res[2][0]
-    for name in ("total_reflectance", "total_transmittance",
-                 "total_absorption"):
-        a, b = getattr(t0, name)(), getattr(t1, name)()
-        se = np.sqrt(max(a, 1e-4) / base.n_photons) * 3 + 2e-3
-        assert abs(a - b) < 3 * se, (name, a, b)
-    det0 = float(np.asarray(t0.detector_xy, np.float64).sum())
-    det1 = float(np.asarray(t1.detector_xy, np.float64).sum())
-    assert abs(det1 - det0) / max(det0, 1e-9) < 0.05
-    vol1 = float(np.asarray(t1.absorb_xyz, np.float64).sum())
-    assert abs(vol1 / float(t1.absorbed) - 1) < 0.05
-    assert (res[2][1]["steady_occupancy"]
-            > res[0][1]["steady_occupancy"] + 0.01), (
-        res[0][1]["steady_occupancy"], res[2][1]["steady_occupancy"])
