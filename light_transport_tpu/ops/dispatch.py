@@ -43,8 +43,11 @@ def _use_pallas_mxu(scene: Scene, coherent: bool = False) -> bool:
     if t > MXU_MAX_TRIS:
         # camera-grid primaries keep tight cull tubes (few admitted
         # clusters/tile) and beat the BVH 3.2x even at 4.2M tris; spread
-        # rays overflow the A_MAX id lists and lose 5.6x (PERF.md)
-        return coherent
+        # rays overflow the A_MAX id lists and lose 5.6x (PERF.md).
+        # With treelet slabs attached the treelet kernel wins primaries
+        # too (0.53 s vs the MXU's 1.53 s at 4.2M tris), so it takes
+        # everything.
+        return coherent and scene.treelet is None
     # tiny scenes: the plain fused VPU brute force is already ~free
     return t > 48
 
