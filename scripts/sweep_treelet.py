@@ -125,7 +125,18 @@ def main():
                 return st["iters"], st["loads"]
 
             force = lambda h: float(jnp.sum(h.t[:8]))
-            force(tree(o, d))
+            # the tunnel's remote-compile helper intermittently stalls and
+            # drops the connection (broken pipe) mid-compile — retry
+            for attempt in range(3):
+                try:
+                    force(tree(o, d))
+                    break
+                except Exception as e:
+                    print(f"compile attempt {attempt} failed: "
+                          f"{type(e).__name__}; retrying", flush=True)
+                    time.sleep(20)
+            else:
+                raise RuntimeError("compile failed 3x")
             best = 1e9
             for _ in range(3):
                 t0 = time.perf_counter()
