@@ -186,8 +186,19 @@ def _dot_rows(a, b):
     return jnp.sum(a * b, axis=0, keepdims=True)
 
 
-def _kernel(feats_ref, tab_hbm, bt_ref, bi_ref, buf, loc_ref, sem, *,
-            T, M, max_leaf, any_hit):
+def _kernel(feats_ref, *refs, T, M, max_leaf, any_hit, max_loads=0):
+    """Treelet walk over one ray tile.
+
+    ``max_loads == 0``: walk every lane to completion (one-launch mode).
+    ``max_loads > 0`` (queued mode): two extra state refs precede
+    ``tab_hbm`` — (8, R) f32 [row 0 best_t] and (8, R) i32 [row 0 cursor,
+    row 1 best_tri]; the walk resumes from them and stops after at most
+    ``max_loads`` treelet residencies, writing the updated cursor out so
+    the wavefront driver can re-sort lanes by treelet between launches."""
+    if max_loads:
+        sf_ref, si_ref, tab_hbm, bt_ref, bi_ref, buf, loc_ref, sem = refs
+    else:
+        tab_hbm, bt_ref, bi_ref, buf, loc_ref, sem = refs
     R = feats_ref.shape[1]
     o = feats_ref[0:3, :]
     d = feats_ref[3:6, :]
@@ -201,14 +212,22 @@ def _kernel(feats_ref, tab_hbm, bt_ref, bi_ref, buf, loc_ref, sem, *,
     # destination but not in source").  Deriving the inits from a VMEM
     # load gives them a concrete layout.
     zrow = feats_ref[11:12, :].astype(jnp.int32)  # zeros, concrete layout
-    cursor0 = zrow
     iota = jax.lax.broadcasted_iota(jnp.int32, (T, R), 0)  # loop-invariant
-    best_t0 = feats_ref[10:11, :]
-    best_tri0 = zrow - 1
+    if max_loads:
+        cursor0 = si_ref[0:1, :]
+        best_tri0 = si_ref[1:2, :]
+        best_t0 = sf_ref[0:1, :]
+    else:
+        cursor0 = zrow
+        best_t0 = feats_ref[10:11, :]
+        best_tri0 = zrow - 1
     visits0 = zrow
 
     def outer_cond(c):
-        return jnp.any(c[0] < M)
+        live = jnp.any(c[0] < M)
+        if max_loads:
+            return live & (c[4] < max_loads)
+        return live
 
     def outer_body(c):
         cursor, best_t, best_tri, visits, loads, iters, leafs = c
@@ -310,21 +329,50 @@ def _kernel(feats_ref, tab_hbm, bt_ref, bi_ref, buf, loc_ref, sem, *,
             (cursor, best_t, best_tri, visits, iters, leafs))
         return cursor, best_t, best_tri, visits, loads + 1, iters, leafs
 
-    _, best_t, best_tri, visits, loads, iters, leafs = jax.lax.while_loop(
-        outer_cond, outer_body,
-        (cursor0, best_t0, best_tri0, visits0, jnp.int32(0),
-         jnp.int32(0), jnp.int32(0)))
+    cursor, best_t, best_tri, visits, loads, iters, leafs = \
+        jax.lax.while_loop(
+            outer_cond, outer_body,
+            (cursor0, best_t0, best_tri0, visits0, jnp.int32(0),
+             jnp.int32(0), jnp.int32(0)))
 
     # Mosaic wants >=(8, 128) output blocks; row 0 carries the payload,
     # rows 1-2 of the int block carry the stats.  Concatenate instead of
     # broadcast_to: Mosaic can't relayout a concrete (1, R) vector to the
     # replicated layout a sublane broadcast wants.
-    R3 = jnp.zeros((3, R), jnp.int32)
     z1 = jnp.zeros((1, R), jnp.int32)
     bt_ref[:] = jnp.concatenate(
         [best_t, jnp.zeros((7, R), jnp.float32)])
-    bi_ref[:] = jnp.concatenate(
-        [best_tri, visits, z1 + loads, z1 + iters, z1 + leafs, R3])
+    if max_loads:
+        bi_ref[:] = jnp.concatenate(
+            [best_tri, cursor, visits, z1 + loads, z1 + iters, z1 + leafs,
+             jnp.zeros((2, R), jnp.int32)])
+    else:
+        bi_ref[:] = jnp.concatenate(
+            [best_tri, visits, z1 + loads, z1 + iters, z1 + leafs,
+             jnp.zeros((3, R), jnp.int32)])
+
+
+def _make_feats(origins, directions, t_min, t_max, R):
+    """(16, n_pad) per-ray feature rows, padded to a tile multiple with
+    dead lanes (empty ray interval)."""
+    n = origins.shape[0]
+    n_pad = -(-n // R) * R
+    tmin_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    tmax_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    inv_d = 1.0 / jnp.where(jnp.abs(directions) < 1e-20,
+                            jnp.where(directions < 0, -1e-20, 1e-20),
+                            directions)
+    feats = jnp.concatenate([
+        origins.T, directions.T, inv_d.T, tmin_b[None, :], tmax_b[None, :],
+        jnp.zeros((5, n), jnp.float32),
+    ])  # (16, n)
+    if n_pad != n:
+        pad = jnp.zeros((16, n_pad - n), jnp.float32)
+        pad = pad.at[5, :].set(1.0)        # direction z=1
+        pad = pad.at[8, :].set(1e20)       # its inv
+        pad = pad.at[10, :].set(-jnp.inf)  # dead: empty interval
+        feats = jnp.concatenate([feats, pad], axis=1)
+    return feats, n_pad
 
 
 def intersect_bvh_treelet(
@@ -345,22 +393,7 @@ def intersect_bvh_treelet(
     the root's rope after one visit and report no hit."""
     n = origins.shape[0]
     R = ray_tile
-    n_pad = -(-n // R) * R
-    tmin_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
-    tmax_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    inv_d = 1.0 / jnp.where(jnp.abs(directions) < 1e-20,
-                            jnp.where(directions < 0, -1e-20, 1e-20),
-                            directions)
-    feats = jnp.concatenate([
-        origins.T, directions.T, inv_d.T, tmin_b[None, :], tmax_b[None, :],
-        jnp.zeros((5, n), jnp.float32),
-    ])  # (16, n)
-    if n_pad != n:
-        pad = jnp.zeros((16, n_pad - n), jnp.float32)
-        pad = pad.at[5, :].set(1.0)        # direction z=1
-        pad = pad.at[8, :].set(1e20)       # its inv
-        pad = pad.at[10, :].set(-jnp.inf)  # dead: empty interval
-        feats = jnp.concatenate([feats, pad], axis=1)
+    feats, n_pad = _make_feats(origins, directions, t_min, t_max, R)
     n_tiles = n_pad // R
     T = tables.T
     kern = functools.partial(_kernel, T=T, M=tables.num_nodes,
@@ -412,3 +445,162 @@ def occluded_bvh_treelet(origins, directions, tables, max_dist,
     return intersect_bvh_treelet(
         origins, directions, tables, t_min=t_min, t_max=max_dist,
         any_hit=True, ray_tile=ray_tile, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Wavefront (queued) traversal: re-sort lanes by resident treelet between
+# bounded kernel launches.
+#
+# The single-launch kernel is iteration-bound on incoherent rays: lanes in
+# a tile sit in DIFFERENT treelets, the min-cursor hop serializes them, and
+# lockstep occupancy collapses to ~4% on the 4.2M-tri bounce regime
+# (PERF.md §treelet).  The fix is scheduling, not the kernel: bound each
+# launch to ``loads_per_pass`` treelet residencies, return each lane's
+# cursor, and re-sort lanes by cursor between launches so a tile's lanes
+# converge to the SAME resident treelet.  The rope cursor is strictly
+# increasing in DFS order, so sorted-by-cursor stays near-sorted and every
+# pass strictly advances the global min cursor (no livelock; mixed tiles
+# still progress through the kernel's min-cursor hop).
+#
+# Scheduling never changes per-ray results: each lane's walk is a
+# deterministic function of (ray, BVH), so the wavefront output is
+# bit-identical to the single-launch kernel and the XLA roped walk.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _queued_chunk(T, M, max_leaf, any_hit, R, n_tiles, loads_per_pass,
+                  passes_per_sync, interpret):
+    """Jitted ``passes_per_sync``-pass wavefront chunk for one static
+    config (cached so repeated calls reuse the compiled executable)."""
+    kern = functools.partial(_kernel, T=T, M=M, max_leaf=max_leaf,
+                             any_hit=any_hit, max_loads=loads_per_pass)
+    call = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((16, R), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, R), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, R), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # treelet slabs in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((8, R), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, R), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((8 * n_tiles, R), jnp.float32),
+            jax.ShapeDtypeStruct((8 * n_tiles, R), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TAB_ROWS, T), jnp.bfloat16),
+            pltpu.VMEM((1, R), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )
+
+    def one_pass(tab, carry):
+        feats, best_t, cursor, best_tri, orig, vis, it_a, ld_a, lf_a = carry
+        # done lanes key to +inf so they pack last; ties keep order
+        key = jnp.where(cursor < M, cursor, jnp.int32(0x7FFFFFFF))
+        perm = jnp.argsort(key)
+        feats = feats[:, perm]
+        best_t, cursor, best_tri = (best_t[perm], cursor[perm],
+                                    best_tri[perm])
+        orig, vis = orig[perm], vis[perm]
+        sf = jnp.zeros((n_tiles, 8, R), jnp.float32)
+        sf = sf.at[:, 0, :].set(best_t.reshape(n_tiles, R))
+        si = jnp.zeros((n_tiles, 8, R), jnp.int32)
+        si = si.at[:, 0, :].set(cursor.reshape(n_tiles, R))
+        si = si.at[:, 1, :].set(best_tri.reshape(n_tiles, R))
+        bt, bi = call(feats, sf.reshape(8 * n_tiles, R),
+                      si.reshape(8 * n_tiles, R), tab)
+        bt = bt.reshape(n_tiles, 8, R)
+        bi = bi.reshape(n_tiles, 8, R)
+        best_t = bt[:, 0, :].reshape(-1)
+        best_tri = bi[:, 0, :].reshape(-1)
+        cursor = bi[:, 1, :].reshape(-1)
+        vis = vis + bi[:, 2, :].reshape(-1)
+        ld_a = ld_a + jnp.sum(bi[:, 3, 0])
+        it_a = it_a + jnp.sum(bi[:, 4, 0])
+        lf_a = lf_a + jnp.sum(bi[:, 5, 0])
+        return (feats, best_t, cursor, best_tri, orig, vis,
+                it_a, ld_a, lf_a)
+
+    def sync_chunk(carry, tab):
+        return jax.lax.scan(lambda c, _: (one_pass(tab, c), None),
+                            carry, None, length=passes_per_sync)[0]
+
+    return sync_chunk if interpret else jax.jit(sync_chunk)
+
+
+def intersect_bvh_treelet_queued(
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    tables: TreeletTables,
+    t_min=T_EPS,
+    t_max=jnp.inf,
+    any_hit: bool = False,
+    ray_tile: int = DEFAULT_R,
+    interpret: bool = False,
+    with_stats: bool = False,
+    loads_per_pass: int = 4,
+    passes_per_sync: int = 8,
+    max_sync_rounds: int = 4096,
+):
+    """Wavefront treelet traversal: sorted passes of bounded launches.
+
+    Same contract as :func:`intersect_bvh_treelet` (bit-identical hits,
+    dead lanes via ``t_max = -inf``).  ``loads_per_pass`` bounds treelet
+    residencies per launch; ``passes_per_sync`` passes run inside one
+    ``lax.scan`` dispatch between host-side all-done checks (a while_loop
+    around pallas_call compiles pathologically slowly — CLAUDE.md)."""
+    from light_transport_tpu.core.hostio import host_get
+
+    n = origins.shape[0]
+    R = ray_tile
+    feats, n_pad = _make_feats(origins, directions, t_min, t_max, R)
+    n_tiles = n_pad // R
+    M = tables.num_nodes
+    chunk = _queued_chunk(tables.T, M, tables.max_leaf, any_hit, R,
+                          n_tiles, loads_per_pass, passes_per_sync,
+                          interpret)
+
+    z = jnp.int32(0)
+    carry = (feats,
+             feats[10, :],                                  # best_t = tmax
+             jnp.zeros((n_pad,), jnp.int32),                # cursor at root
+             jnp.full((n_pad,), -1, jnp.int32),
+             jnp.arange(n_pad, dtype=jnp.int32),
+             jnp.zeros((n_pad,), jnp.int32), z, z, z)
+    passes = 0
+    for _ in range(max_sync_rounds):
+        carry = chunk(carry, tables.tab)
+        passes += passes_per_sync
+        if not bool(host_get(jnp.any(carry[2] < M))):
+            break
+    else:
+        raise RuntimeError(
+            f"treelet wavefront did not converge in "
+            f"{max_sync_rounds * passes_per_sync} passes")
+
+    _, best_t, cursor, best_tri, orig, vis, it_a, ld_a, lf_a = carry
+    inv = jnp.zeros((n_pad,), jnp.int32).at[orig].set(
+        jnp.arange(n_pad, dtype=jnp.int32))
+    best_t = best_t[inv][:n]
+    best_tri = best_tri[inv][:n]
+    valid = best_tri >= 0
+    hit = Hit(t=jnp.where(valid, best_t, jnp.inf), tri=best_tri,
+              valid=valid)
+    if any_hit:
+        hit = valid
+    if with_stats:
+        return hit, {"visits": vis[inv][:n], "loads": ld_a,
+                     "iters": it_a, "leafs": lf_a, "passes": passes}
+    return hit

@@ -10,6 +10,7 @@ from light_transport_tpu.accel import bvh as bvh_mod
 from light_transport_tpu.ops.pallas.treelet_kernel import (
     build_treelet_tables,
     intersect_bvh_treelet,
+    intersect_bvh_treelet_queued,
     occluded_bvh_treelet,
 )
 from light_transport_tpu.scene.geometry import TriangleMesh
@@ -110,6 +111,60 @@ def test_treelet_any_hit():
     got = occluded_bvh_treelet(o, d, tables, dist, ray_tile=128,
                                interpret=True)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+@pytest.mark.parametrize("L,P", [(1, 4), (2, 2), (4, 8)])
+def test_queued_matches_roped_walk(L, P):
+    """The wavefront driver (bounded launches + re-sort by cursor) is
+    bit-identical to the XLA walk for every (loads_per_pass,
+    passes_per_sync) schedule — scheduling cannot change per-ray walks."""
+    mesh = random_mesh(2000, seed=7)
+    bvh, ordered = bvh_mod.build(mesh)
+    tables = build_treelet_tables(bvh, T=64)
+    o, d = random_rays(700, seed=8)
+    ref = bvh_mod.intersect_bvh(o, d, ordered, bvh)
+    got, st = intersect_bvh_treelet_queued(
+        o, d, tables, ray_tile=128, interpret=True, with_stats=True,
+        loads_per_pass=L, passes_per_sync=P)
+    np.testing.assert_array_equal(np.asarray(ref.valid),
+                                  np.asarray(got.valid))
+    np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(got.tri))
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(got.t))
+    # re-sorting must CONVERGE lanes: fewer lockstep iterations than the
+    # single-launch kernel on the same rays (3979 there, ~2100-2600 here)
+    _, st1 = intersect_bvh_treelet(o, d, tables, ray_tile=128,
+                                   interpret=True, with_stats=True)
+    assert int(st["iters"]) < int(np.asarray(st1["iters"]).sum())
+    # per-ray node visits are schedule-invariant
+    np.testing.assert_array_equal(np.asarray(st["visits"]),
+                                  np.asarray(st1["visits"]))
+
+
+def test_queued_any_hit_and_dead_lanes():
+    mesh = random_mesh(500, seed=5)
+    bvh, ordered = bvh_mod.build(mesh)
+    tables = build_treelet_tables(bvh, T=64)
+    o, d = random_rays(300, seed=6)
+    dist = jnp.full((300,), 4.0)
+    ref = bvh_mod.occluded_bvh(o, d, ordered, bvh, dist)
+    got = intersect_bvh_treelet_queued(
+        o, d, tables, t_max=dist, any_hit=True, ray_tile=128,
+        interpret=True, loads_per_pass=2)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    tmax = jnp.where(jnp.arange(300) % 3 == 0, -jnp.inf, jnp.inf)
+    got2, st = intersect_bvh_treelet_queued(
+        o, d, tables, t_max=tmax, ray_tile=128, interpret=True,
+        with_stats=True, loads_per_pass=2)
+    dead = np.arange(300) % 3 == 0
+    assert not np.asarray(got2.valid)[dead].any()
+    assert (np.asarray(st["visits"])[dead] == 1).all()
+    ref2 = bvh_mod.intersect_bvh(o, d, ordered, bvh, t_max=tmax)
+    live = ~dead
+    np.testing.assert_array_equal(np.asarray(ref2.tri)[live],
+                                  np.asarray(got2.tri)[live])
+    np.testing.assert_array_equal(np.asarray(ref2.t)[live],
+                                  np.asarray(got2.t)[live])
 
 
 def test_dispatch_routes_treelet(monkeypatch):
