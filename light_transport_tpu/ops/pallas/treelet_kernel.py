@@ -186,16 +186,18 @@ def _dot_rows(a, b):
     return jnp.sum(a * b, axis=0, keepdims=True)
 
 
-def _kernel(feats_ref, *refs, T, M, max_leaf, any_hit, max_loads=0):
+def _kernel(feats_ref, *refs, T, M, max_leaf, any_hit, resume=False,
+            max_loads=0):
     """Treelet walk over one ray tile.
 
-    ``max_loads == 0``: walk every lane to completion (one-launch mode).
-    ``max_loads > 0`` (queued mode): two extra state refs precede
+    ``resume=False``: start every lane at the root (one-launch mode).
+    ``resume=True`` (wavefront mode): two extra state refs precede
     ``tab_hbm`` — (8, R) f32 [row 0 best_t] and (8, R) i32 [row 0 cursor,
-    row 1 best_tri]; the walk resumes from them and stops after at most
-    ``max_loads`` treelet residencies, writing the updated cursor out so
-    the wavefront driver can re-sort lanes by treelet between launches."""
-    if max_loads:
+    row 1 best_tri]; the walk resumes from them and the updated cursor is
+    written out so the wavefront driver can re-sort lanes by treelet
+    between launches.  ``max_loads > 0`` additionally stops the launch
+    after that many treelet residencies (0 = walk to completion)."""
+    if resume:
         sf_ref, si_ref, tab_hbm, bt_ref, bi_ref, buf, loc_ref, sem = refs
     else:
         tab_hbm, bt_ref, bi_ref, buf, loc_ref, sem = refs
@@ -213,7 +215,7 @@ def _kernel(feats_ref, *refs, T, M, max_leaf, any_hit, max_loads=0):
     # load gives them a concrete layout.
     zrow = feats_ref[11:12, :].astype(jnp.int32)  # zeros, concrete layout
     iota = jax.lax.broadcasted_iota(jnp.int32, (T, R), 0)  # loop-invariant
-    if max_loads:
+    if resume:
         cursor0 = si_ref[0:1, :]
         best_tri0 = si_ref[1:2, :]
         best_t0 = sf_ref[0:1, :]
@@ -342,7 +344,7 @@ def _kernel(feats_ref, *refs, T, M, max_leaf, any_hit, max_loads=0):
     z1 = jnp.zeros((1, R), jnp.int32)
     bt_ref[:] = jnp.concatenate(
         [best_t, jnp.zeros((7, R), jnp.float32)])
-    if max_loads:
+    if resume:
         bi_ref[:] = jnp.concatenate(
             [best_tri, cursor, visits, z1 + loads, z1 + iters, z1 + leafs,
              jnp.zeros((2, R), jnp.int32)])
@@ -469,13 +471,13 @@ def occluded_bvh_treelet(origins, directions, tables, max_dist,
 
 
 @functools.lru_cache(maxsize=None)
-def _queued_chunk(T, M, max_leaf, any_hit, R, n_tiles, loads_per_pass,
-                  passes_per_sync, interpret):
-    """Jitted ``passes_per_sync``-pass wavefront chunk for one static
-    config (cached so repeated calls reuse the compiled executable)."""
+def _resume_call(T, M, max_leaf, any_hit, R, n_tiles, max_loads,
+                 interpret):
+    """pallas_call for one resume-mode launch (cached per static config)."""
     kern = functools.partial(_kernel, T=T, M=M, max_leaf=max_leaf,
-                             any_hit=any_hit, max_loads=loads_per_pass)
-    call = pl.pallas_call(
+                             any_hit=any_hit, resume=True,
+                             max_loads=max_loads)
+    return pl.pallas_call(
         kern,
         grid=(n_tiles,),
         in_specs=[
@@ -505,6 +507,14 @@ def _queued_chunk(T, M, max_leaf, any_hit, R, n_tiles, loads_per_pass,
         interpret=interpret,
     )
 
+
+def _make_pass(T, M, max_leaf, any_hit, R, n_tiles, max_loads, interpret):
+    """One wavefront pass: sort lanes by cursor, resume the bounded walk.
+
+    Pure traced function of (tab, carry) — usable inside jit/scan."""
+    call = _resume_call(T, M, max_leaf, any_hit, R, n_tiles, max_loads,
+                        interpret)
+
     def one_pass(tab, carry):
         feats, best_t, cursor, best_tri, orig, vis, it_a, ld_a, lf_a = carry
         # done lanes key to +inf so they pack last; ties keep order
@@ -533,11 +543,94 @@ def _queued_chunk(T, M, max_leaf, any_hit, R, n_tiles, loads_per_pass,
         return (feats, best_t, cursor, best_tri, orig, vis,
                 it_a, ld_a, lf_a)
 
+    return one_pass
+
+
+@functools.lru_cache(maxsize=None)
+def _queued_chunk(T, M, max_leaf, any_hit, R, n_tiles, loads_per_pass,
+                  passes_per_sync, interpret):
+    """Jitted ``passes_per_sync``-pass wavefront chunk for one static
+    config (cached so repeated calls reuse the compiled executable)."""
+    one_pass = _make_pass(T, M, max_leaf, any_hit, R, n_tiles,
+                          loads_per_pass, interpret)
+
     def sync_chunk(carry, tab):
         return jax.lax.scan(lambda c, _: (one_pass(tab, c), None),
                             carry, None, length=passes_per_sync)[0]
 
     return sync_chunk if interpret else jax.jit(sync_chunk)
+
+
+def _wavefront_init(feats, n_pad):
+    z = jnp.int32(0)
+    return (feats,
+            feats[10, :],                                  # best_t = tmax
+            jnp.zeros((n_pad,), jnp.int32),                # cursor at root
+            jnp.full((n_pad,), -1, jnp.int32),
+            jnp.arange(n_pad, dtype=jnp.int32),
+            jnp.zeros((n_pad,), jnp.int32), z, z, z)
+
+
+def _wavefront_finish(carry, n, any_hit, with_stats, passes):
+    _, best_t, cursor, best_tri, orig, vis, it_a, ld_a, lf_a = carry
+    n_pad = orig.shape[0]
+    inv = jnp.zeros((n_pad,), jnp.int32).at[orig].set(
+        jnp.arange(n_pad, dtype=jnp.int32))
+    best_t = best_t[inv][:n]
+    best_tri = best_tri[inv][:n]
+    valid = best_tri >= 0
+    hit = Hit(t=jnp.where(valid, best_t, jnp.inf), tri=best_tri,
+              valid=valid)
+    if any_hit:
+        hit = valid
+    if with_stats:
+        return hit, {"visits": vis[inv][:n], "loads": ld_a,
+                     "iters": it_a, "leafs": lf_a, "passes": passes}
+    return hit
+
+
+def intersect_bvh_treelet_wavefront(
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    tables: TreeletTables,
+    t_min=T_EPS,
+    t_max=jnp.inf,
+    any_hit: bool = False,
+    ray_tile: int = DEFAULT_R,
+    interpret: bool = False,
+    with_stats: bool = False,
+    loads_per_pass: int = 4,
+    max_passes: int = 16,
+):
+    """Fully-traceable wavefront traversal (usable inside jit / scan /
+    shard_map, unlike the host-driven :func:`intersect_bvh_treelet_queued`).
+
+    Runs ``max_passes`` cond-gated sorted passes of ``loads_per_pass``
+    treelet residencies, then ONE unbounded resume launch that walks any
+    stragglers to completion — so ``max_passes`` is purely a performance
+    knob, never a correctness bound.  Bit-identical to the XLA roped walk
+    and both other treelet drivers."""
+    n = origins.shape[0]
+    R = ray_tile
+    feats, n_pad = _make_feats(origins, directions, t_min, t_max, R)
+    n_tiles = n_pad // R
+    M = tables.num_nodes
+    args = (tables.T, M, tables.max_leaf, any_hit, R, n_tiles)
+    one_pass = _make_pass(*args, loads_per_pass, interpret)
+    finish = _make_pass(*args, 0, interpret)  # unbounded resume launch
+
+    def step(carry, _):
+        alive = jnp.any(carry[2] < M)
+        carry = jax.lax.cond(alive, lambda c: one_pass(tables.tab, c),
+                             lambda c: c, carry)
+        return carry, None
+
+    carry = _wavefront_init(feats, n_pad)
+    if max_passes > 0:
+        carry, _ = jax.lax.scan(step, carry, None, length=max_passes)
+    carry = finish(tables.tab, carry)
+    return _wavefront_finish(carry, n, any_hit, with_stats,
+                             max_passes + 1)
 
 
 def intersect_bvh_treelet_queued(
@@ -572,13 +665,7 @@ def intersect_bvh_treelet_queued(
                           n_tiles, loads_per_pass, passes_per_sync,
                           interpret)
 
-    z = jnp.int32(0)
-    carry = (feats,
-             feats[10, :],                                  # best_t = tmax
-             jnp.zeros((n_pad,), jnp.int32),                # cursor at root
-             jnp.full((n_pad,), -1, jnp.int32),
-             jnp.arange(n_pad, dtype=jnp.int32),
-             jnp.zeros((n_pad,), jnp.int32), z, z, z)
+    carry = _wavefront_init(feats, n_pad)
     passes = 0
     for _ in range(max_sync_rounds):
         carry = chunk(carry, tables.tab)
@@ -590,17 +677,4 @@ def intersect_bvh_treelet_queued(
             f"treelet wavefront did not converge in "
             f"{max_sync_rounds * passes_per_sync} passes")
 
-    _, best_t, cursor, best_tri, orig, vis, it_a, ld_a, lf_a = carry
-    inv = jnp.zeros((n_pad,), jnp.int32).at[orig].set(
-        jnp.arange(n_pad, dtype=jnp.int32))
-    best_t = best_t[inv][:n]
-    best_tri = best_tri[inv][:n]
-    valid = best_tri >= 0
-    hit = Hit(t=jnp.where(valid, best_t, jnp.inf), tri=best_tri,
-              valid=valid)
-    if any_hit:
-        hit = valid
-    if with_stats:
-        return hit, {"visits": vis[inv][:n], "loads": ld_a,
-                     "iters": it_a, "leafs": lf_a, "passes": passes}
-    return hit
+    return _wavefront_finish(carry, n, any_hit, with_stats, passes)

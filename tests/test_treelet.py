@@ -11,6 +11,7 @@ from light_transport_tpu.ops.pallas.treelet_kernel import (
     build_treelet_tables,
     intersect_bvh_treelet,
     intersect_bvh_treelet_queued,
+    intersect_bvh_treelet_wavefront,
     occluded_bvh_treelet,
 )
 from light_transport_tpu.scene.geometry import TriangleMesh
@@ -138,6 +139,41 @@ def test_queued_matches_roped_walk(L, P):
     # per-ray node visits are schedule-invariant
     np.testing.assert_array_equal(np.asarray(st["visits"]),
                                   np.asarray(st1["visits"]))
+
+
+@pytest.mark.parametrize("mp", [0, 2, 16])
+def test_wavefront_jittable_matches_roped_walk(mp):
+    """The fully-traceable wavefront (scan of cond-gated passes + one
+    unbounded finish launch) is bit-identical at ANY max_passes —
+    max_passes is a perf knob, never a correctness bound — and composes
+    with jit."""
+    import jax
+
+    mesh = random_mesh(2000, seed=7)
+    bvh, ordered = bvh_mod.build(mesh)
+    tables = build_treelet_tables(bvh, T=64)
+    o, d = random_rays(700, seed=8)
+    ref = bvh_mod.intersect_bvh(o, d, ordered, bvh)
+    got = jax.jit(lambda o, d: intersect_bvh_treelet_wavefront(
+        o, d, tables, ray_tile=128, interpret=True, loads_per_pass=2,
+        max_passes=mp))(o, d)
+    np.testing.assert_array_equal(np.asarray(ref.valid),
+                                  np.asarray(got.valid))
+    np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(got.tri))
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(got.t))
+
+
+def test_wavefront_any_hit():
+    mesh = random_mesh(500, seed=5)
+    bvh, ordered = bvh_mod.build(mesh)
+    tables = build_treelet_tables(bvh, T=64)
+    o, d = random_rays(300, seed=6)
+    dist = jnp.full((300,), 4.0)
+    ref = bvh_mod.occluded_bvh(o, d, ordered, bvh, dist)
+    got = intersect_bvh_treelet_wavefront(
+        o, d, tables, t_max=dist, any_hit=True, ray_tile=128,
+        interpret=True, loads_per_pass=2, max_passes=4)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
 def test_queued_any_hit_and_dead_lanes():
