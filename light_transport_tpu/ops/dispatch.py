@@ -31,6 +31,16 @@ from light_transport_tpu.scene.scene import Scene
 # integrators' depth-0 camera primaries), which rides the MXU at any size.
 MXU_MAX_TRIS = 1_048_576
 
+# Treelet traversal scheduling (scenes with .treelet on TPU): the
+# wavefront driver re-sorts lanes by cursor between bounded launches,
+# fixing the single-launch kernel's lockstep-occupancy collapse on
+# incoherent rays (PERF.md §treelet-wavefront).  Knobs measured on the
+# 4.2M-tri regimes; flip TREELET_WAVEFRONT off to get the single-launch
+# kernel back.
+TREELET_WAVEFRONT = True
+WAVEFRONT_LOADS_PER_PASS = 4
+WAVEFRONT_MAX_PASSES = 12
+
 
 def _platform() -> str:
     return jax.devices()[0].platform
@@ -105,6 +115,7 @@ def scene_intersect(scene: Scene, origins, directions,
             # 1.2-8.5x faster at 4.2M tris (PERF.md §treelet)
             from light_transport_tpu.ops.pallas.treelet_kernel import (
                 intersect_bvh_treelet,
+                intersect_bvh_treelet_wavefront,
             )
             from light_transport_tpu.ops.raysort import sorted_apply
 
@@ -112,14 +123,24 @@ def scene_intersect(scene: Scene, origins, directions,
             tmax = jnp.full((n,), jnp.inf, origins.dtype) \
                 if active is None else \
                 jnp.where(active, jnp.inf, -jnp.inf).astype(origins.dtype)
-            hit = sorted_apply(
-                lambda o, d, tm: intersect_bvh_treelet(
-                    o, d, scene.treelet, t_max=tm),
-                scene.mesh,
-                jax.lax.stop_gradient(origins),
-                jax.lax.stop_gradient(directions), tmax,
-                inactive=None if active is None else ~active,
-            )
+            if TREELET_WAVEFRONT:
+                # self-sorting (per-pass cursor sort subsumes the static
+                # dir-Morton pre-sort; dead lanes pack last on their own)
+                hit = intersect_bvh_treelet_wavefront(
+                    jax.lax.stop_gradient(origins),
+                    jax.lax.stop_gradient(directions), scene.treelet,
+                    t_max=tmax,
+                    loads_per_pass=WAVEFRONT_LOADS_PER_PASS,
+                    max_passes=WAVEFRONT_MAX_PASSES)
+            else:
+                hit = sorted_apply(
+                    lambda o, d, tm: intersect_bvh_treelet(
+                        o, d, scene.treelet, t_max=tm),
+                    scene.mesh,
+                    jax.lax.stop_gradient(origins),
+                    jax.lax.stop_gradient(directions), tmax,
+                    inactive=None if active is None else ~active,
+                )
         else:
             from light_transport_tpu.accel import bvh as bvh_mod
 
@@ -231,20 +252,29 @@ def scene_occluded(scene: Scene, origins, directions, max_dist,
         md = jnp.broadcast_to(jnp.asarray(max_dist, origins.dtype), (n,))
         if scene.treelet is not None and _platform() == "tpu":
             from light_transport_tpu.ops.pallas.treelet_kernel import (
+                intersect_bvh_treelet_wavefront,
                 occluded_bvh_treelet,
             )
             from light_transport_tpu.ops.raysort import sorted_apply
 
             if active is not None:
                 md = jnp.where(active, md, -jnp.inf)
-            occ = sorted_apply(
-                lambda o, d, m: occluded_bvh_treelet(
-                    o, d, scene.treelet, m),
-                scene.mesh,
-                jax.lax.stop_gradient(origins),
-                jax.lax.stop_gradient(directions), md,
-                inactive=None if active is None else ~active,
-            )
+            if TREELET_WAVEFRONT:
+                occ = intersect_bvh_treelet_wavefront(
+                    jax.lax.stop_gradient(origins),
+                    jax.lax.stop_gradient(directions), scene.treelet,
+                    t_max=md, any_hit=True,
+                    loads_per_pass=WAVEFRONT_LOADS_PER_PASS,
+                    max_passes=WAVEFRONT_MAX_PASSES)
+            else:
+                occ = sorted_apply(
+                    lambda o, d, m: occluded_bvh_treelet(
+                        o, d, scene.treelet, m),
+                    scene.mesh,
+                    jax.lax.stop_gradient(origins),
+                    jax.lax.stop_gradient(directions), md,
+                    inactive=None if active is None else ~active,
+                )
         else:
             from light_transport_tpu.accel import bvh as bvh_mod
 

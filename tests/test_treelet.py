@@ -203,10 +203,12 @@ def test_queued_any_hit_and_dead_lanes():
                                   np.asarray(got2.t)[live])
 
 
-def test_dispatch_routes_treelet(monkeypatch):
+@pytest.mark.parametrize("wavefront", [False, True])
+def test_dispatch_routes_treelet(monkeypatch, wavefront):
     """Scene.with_treelet() + TPU platform routes scene_intersect /
     scene_occluded through the treelet kernel (forced interpret here) and
-    matches the roped-walk dispatch bit-exactly."""
+    matches the roped-walk dispatch bit-exactly — via either scheduling
+    (single-launch or wavefront)."""
     import functools
 
     import light_transport_tpu.ops.dispatch as dispatch
@@ -229,12 +231,17 @@ def test_dispatch_routes_treelet(monkeypatch):
     # big-mesh regime: the MXU gather-cull bows out, the BVH branch decides
     monkeypatch.setattr(dispatch, "_use_pallas_mxu",
                         lambda *a, **k: False)
+    monkeypatch.setattr(dispatch, "TREELET_WAVEFRONT", wavefront)
     monkeypatch.setattr(
         tk, "intersect_bvh_treelet",
         functools.partial(tk.intersect_bvh_treelet, interpret=True))
     monkeypatch.setattr(
         tk, "occluded_bvh_treelet",
         functools.partial(tk.occluded_bvh_treelet, interpret=True))
+    monkeypatch.setattr(
+        tk, "intersect_bvh_treelet_wavefront",
+        functools.partial(tk.intersect_bvh_treelet_wavefront,
+                          interpret=True, ray_tile=128, max_passes=3))
     got_hit = dispatch.scene_intersect(scene_t, o, d)
     got_occ = dispatch.scene_occluded(scene_t, o, d, 3.0)
     np.testing.assert_array_equal(np.asarray(ref_hit.valid),
