@@ -39,7 +39,7 @@ def _medium():
 
 def bench_pallas_engine(trials: int = 5,
                         tiles: int = 32, k_steps: int = 96,
-                        blocks: int = 384):
+                        blocks: int = 384, sink=None):
     # r3 asymptote sweep (PERF.md §block-count asymptote): throughput climbs
     # with blocks-per-dispatch until per-call overhead amortizes out —
     # (tiles=8,k=64,blocks=32) measured 2.2e9 while the same kernel at
@@ -63,7 +63,9 @@ def bench_pallas_engine(trials: int = 5,
 
     step(0).block_until_ready()  # compile + warmup
 
-    per_trial = []
+    # ``sink``: caller-shared list — per-trial values land there as they
+    # complete, so a wall-budget timeout mid-loop still salvages a number
+    per_trial = sink if sink is not None else []
     # best-of-N over a few minutes: tunnel throughput swings +-30% hour to
     # hour with no code change (PERF.md §bench drift — the r1 2.54e9 vs r2
     # 2.04e9 delta reproduced with bit-identical kernels); per-trial values
@@ -178,23 +180,74 @@ def _backend_alive(timeout_s: float = 300.0) -> bool:
     return "devs" in out
 
 
+def _run_bounded(fn, timeout_s: float, label: str):
+    """Run ``fn()`` on a daemon thread with a hard wall bound.
+
+    Tunnel compiles are not interruptible from Python (the r4 bench hung
+    >driver-timeout inside one, BENCH_r04 rc=124), so the only safe shape
+    is: do the work on a thread we can abandon, and keep the main thread
+    free to print the JSON artifact no matter what.  Returns
+    ``(ok, value_or_error_string)``."""
+    import threading
+
+    out = {}
+
+    def run():
+        try:
+            out["val"] = fn()
+        except Exception as e:  # pragma: no cover - backend-dependent
+            out["err"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(max(timeout_s, 1.0))
+    if "val" in out:
+        return True, out["val"]
+    if "err" in out:
+        return False, out["err"]
+    return False, f"{label} timed out after {timeout_s:.0f}s"
+
+
+# Total wall budget.  The driver gives the bench a finite slot; a single
+# tunnel compile can sit 5-35 min (PERF.md §environment), so every phase
+# below runs under _run_bounded against this deadline and the JSON line is
+# printed with whatever was captured when it expires.
+WALL_BUDGET_S = float(__import__("os").environ.get("LT_BENCH_BUDGET_S",
+                                                   1200.0))
+
+
 def main():
+    import os
     import sys
 
-    if not _backend_alive():
+    t_start = time.monotonic()
+    deadline = t_start + WALL_BUDGET_S
+
+    def remaining() -> float:
+        return deadline - time.monotonic()
+
+    def emit(rec):
+        rec.setdefault("wall_s", round(time.monotonic() - t_start, 1))
+        print(json.dumps(rec))
+        sys.stdout.flush()
+        # skip backend teardown: a thread abandoned mid-compile can wedge
+        # atexit handlers, and the artifact is already out
+        os._exit(0)
+
+    if not _backend_alive(min(300.0, WALL_BUDGET_S / 2)):
         print("device backend unreachable (tunnel dark?) — recording an "
               "error line instead of hanging", file=sys.stderr)
-        print(json.dumps({
+        emit({
             "metric": "photon_scatter_steps_per_sec_per_chip",
             "value": 0.0,
             "unit": "steps/s/chip",
             "vs_baseline": 0.0,
             "error": "TPU backend init timed out (axon tunnel unreachable);"
-                     " see PERF.md for the last measured value (9.98e9)",
-        }))
-        return
+                     " see PERF.md for the last measured value (10.46e9)",
+        })
 
     best = prov = None
+    partial = []  # (steps/s, shape, trials) from timed-out attempts
     # the axon tunnel fails compiles/transfers transiently (CLAUDE.md);
     # falling back to the ~15x-slower XLA engine on a flake would record a
     # misleading number, so retry the Pallas bench first — the asymptote
@@ -202,19 +255,53 @@ def main():
     # executable is less compile-helper-hungry
     for attempt, shape in enumerate([(32, 96, 384), (32, 96, 384),
                                      (16, 96, 96)]):
-        try:
-            best, prov = bench_pallas_engine(
-                tiles=shape[0], k_steps=shape[1], blocks=shape[2])
+        budget = min(600.0, remaining() - 120.0)  # reserve fallback+parity
+        if budget < 60.0:
+            print("wall budget exhausted before pallas attempt "
+                  f"{attempt + 1}", file=sys.stderr)
             break
-        except Exception as e:
-            print(f"pallas bench attempt {attempt + 1} {shape} failed "
-                  f"({type(e).__name__}: {e})", file=sys.stderr)
-            time.sleep(20)
-    if best is None:
-        print("pallas bench failed 3x; falling back to the XLA engine",
+        sink = []
+        ok, res = _run_bounded(
+            lambda s=shape, k=sink: bench_pallas_engine(
+                tiles=s[0], k_steps=s[1], blocks=s[2], sink=k),
+            budget, f"pallas attempt {attempt + 1} {shape}")
+        if ok:
+            best, prov = res
+            break
+        print(f"pallas bench attempt {attempt + 1} {shape} failed: {res}",
               file=sys.stderr)
-        best = bench_xla_engine()
-        prov = {"engine": "xla_superstep_fallback"}
+        if sink:  # salvage completed trials from the timed-out attempt
+            partial.append((max(sink), shape, [round(v) for v in sink]))
+        if remaining() > 140.0:
+            time.sleep(20)
+    if best is None and partial:
+        val, shape, trials = max(partial, key=lambda p: p[0])
+        best, prov = val, {
+            "engine": "pallas_bench_mode_partial",
+            "tiles": shape[0], "k_steps": shape[1], "blocks": shape[2],
+            "trials_steps_per_sec": trials,
+            "note": "attempt hit its wall bound; best completed trial",
+        }
+    if best is None and remaining() > 90.0:
+        print("pallas bench yielded nothing; falling back to the XLA "
+              "engine", file=sys.stderr)
+        ok, res = _run_bounded(bench_xla_engine,
+                               min(300.0, remaining() - 30.0),
+                               "xla fallback")
+        if ok:
+            best, prov = res, {"engine": "xla_superstep_fallback"}
+        else:
+            print(f"xla fallback failed: {res}", file=sys.stderr)
+    if best is None:
+        emit({
+            "metric": "photon_scatter_steps_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "steps/s/chip",
+            "vs_baseline": 0.0,
+            "error": "all bench attempts failed or timed out within the "
+                     f"{WALL_BUDGET_S:.0f}s wall budget; last measured "
+                     "value 10.46e9 (PERF.md)",
+        })
 
     rec = {
         "metric": "photon_scatter_steps_per_sec_per_chip",
@@ -224,15 +311,24 @@ def main():
         **prov,
     }
     for attempt in range(2):
-        try:
-            rec.update(parity_check())
-            break
-        except Exception as e:  # parity must never break the throughput rec
-            print(f"parity check attempt {attempt + 1} failed "
-                  f"({type(e).__name__}: {e})", file=sys.stderr)
+        budget = min(300.0, remaining() - 10.0)
+        if budget < 30.0:
             rec["parity_ok"] = False
+            rec["parity_error"] = "wall budget exhausted"
+            break
+        ok, res = _run_bounded(parity_check, budget,
+                               f"parity attempt {attempt + 1}")
+        if ok:
+            rec.update(res)
+            break
+        # parity must never break the throughput record
+        print(f"parity check attempt {attempt + 1} failed: {res}",
+              file=sys.stderr)
+        rec["parity_ok"] = False
+        rec["parity_error"] = str(res)
+        if remaining() > 50.0:
             time.sleep(20)
-    print(json.dumps(rec))
+    emit(rec)
 
 
 if __name__ == "__main__":

@@ -116,10 +116,25 @@ def build_treelet_tables(bvh, T: int = DEFAULT_T) -> TreeletTables:
     """Pack a built BVH (accel/bvh.BVH) into chunked treelet slabs.
 
     Runs on device with jnp ops (no host round-trips over the tunnel);
-    ~512 B/node of extra HBM (1.3 GB at 2.6M nodes)."""
+    160 bf16 rows = ~320 B/node of extra HBM (0.83 GB at 2.6M nodes).
+
+    Index-range contract: ``first + k`` (leaf prim indices) must stay
+    below 2^24 or _chunk3_int silently drops the high bits.  Checked
+    here when the BVH arrays are concrete; Scene.with_treelet() also
+    enforces it statically from the mesh triangle count (a mesh with
+    max_leaf=4 can hold up to ~2x num_nodes triangles, so the node-count
+    check alone does not cover it)."""
     m = bvh.num_nodes
     if m >= (1 << 24):
         raise ValueError(f"treelet tables need node count < 2^24, got {m}")
+    if not isinstance(jnp.asarray(bvh.node_rec), jax.core.Tracer):
+        ints_chk = jax.lax.bitcast_convert_type(bvh.node_rec[:, 6:9],
+                                                jnp.int32)
+        max_prim = int(jnp.max(ints_chk[:, 0] + ints_chk[:, 1]))
+        if max_prim > (1 << 24):
+            raise ValueError(
+                f"treelet tables need leaf prim indices < 2^24, got "
+                f"{max_prim} (mesh too large for the bf16 int split)")
     max_leaf = bvh.max_leaf
     if 27 * max_leaf > LEAF_ROWS:
         raise ValueError(f"max_leaf {max_leaf} > 4 overflows the leaf slab")
@@ -369,9 +384,16 @@ def _make_feats(origins, directions, t_min, t_max, R):
         jnp.zeros((5, n), jnp.float32),
     ])  # (16, n)
     if n_pad != n:
+        # pad lanes carry the live-lane inv_d convention for direction
+        # (0, 0, 1): inv = (1e20, 1e20, 1.0).  The values never matter —
+        # t_max = -inf gives an empty interval, so the lane dies at the
+        # root — but keeping them formula-consistent avoids a trap if the
+        # dead-lane convention ever changes.
         pad = jnp.zeros((16, n_pad - n), jnp.float32)
         pad = pad.at[5, :].set(1.0)        # direction z=1
-        pad = pad.at[8, :].set(1e20)       # its inv
+        pad = pad.at[6, :].set(1e20)       # inv of x=0 (clamped)
+        pad = pad.at[7, :].set(1e20)       # inv of y=0 (clamped)
+        pad = pad.at[8, :].set(1.0)        # inv of z=1
         pad = pad.at[10, :].set(-jnp.inf)  # dead: empty interval
         feats = jnp.concatenate([feats, pad], axis=1)
     return feats, n_pad
@@ -470,7 +492,10 @@ def occluded_bvh_treelet(origins, directions, tables, max_dist,
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=None)
+# bounded: every distinct ray-batch size (n_tiles) pins another
+# pallas_call / jitted executable; long-running renders with varying
+# wavefront widths would otherwise grow these caches without limit
+@functools.lru_cache(maxsize=32)
 def _resume_call(T, M, max_leaf, any_hit, R, n_tiles, max_loads,
                  interpret):
     """pallas_call for one resume-mode launch (cached per static config)."""
@@ -546,7 +571,7 @@ def _make_pass(T, M, max_leaf, any_hit, R, n_tiles, max_loads, interpret):
     return one_pass
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _queued_chunk(T, M, max_leaf, any_hit, R, n_tiles, loads_per_pass,
                   passes_per_sync, interpret):
     """Jitted ``passes_per_sync``-pass wavefront chunk for one static

@@ -88,6 +88,12 @@ class Scene:
 
         if self.bvh is None:
             raise ValueError("with_treelet() requires with_bvh() first")
+        if self.mesh.v0.shape[0] > (1 << 24):
+            # leaf prim indices (first + k) are packed as three 8-bit bf16
+            # digits; >= 2^24 would silently drop high bits (ADVICE r4)
+            raise ValueError(
+                f"treelet tables support up to 2^24 triangles, got "
+                f"{self.mesh.v0.shape[0]:,}")
         return dataclasses.replace(
             self, treelet=build_treelet_tables(self.bvh, T=T))
 
