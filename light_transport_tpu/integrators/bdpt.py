@@ -54,7 +54,12 @@ from light_transport_tpu.core import math as lm
 from light_transport_tpu.core.config import RenderConfig
 from light_transport_tpu.ops import intersect, sampling
 from light_transport_tpu.scene.lights import sample_light_points
-from light_transport_tpu.scene.material import BSDF_DIFFUSE, BSDF_MIRROR, BSDF_TRANSMISSIVE
+from light_transport_tpu.scene.material import (
+    BSDF_DIFFUSE,
+    BSDF_GLOSSY,
+    BSDF_MIRROR,
+    BSDF_TRANSMISSIVE,
+)
 from light_transport_tpu.scene.scene import Scene
 
 INV_PI = lm.INV_PI
@@ -66,7 +71,7 @@ class Vertices(NamedTuple):
 
     pos: jnp.ndarray  # (N, L, 3)
     ns: jnp.ndarray  # (N, L, 3) shading normal, oriented against arrival
-    diffuse: jnp.ndarray  # (N, L, 3) BSDF albedo
+    diffuse: jnp.ndarray  # (N, L, 3) BSDF albedo (kd)
     beta: jnp.ndarray  # (N, L, 3) throughput up to and including this vertex
     pdf_fwd: jnp.ndarray  # (N, L) forward area density of this vertex
     pdf_rev: jnp.ndarray  # (N, L) reverse area density
@@ -74,6 +79,12 @@ class Vertices(NamedTuple):
     is_light: jnp.ndarray  # (N, L)
     is_delta: jnp.ndarray  # (N, L) specular (mirror/transmissive) vertex
     emit: jnp.ndarray  # (N, L, 3) emitted radiance if on a light
+    # glossy (modified Phong) support: ks, exponent, and the unit incoming
+    # propagation direction at arrival (the Phong lobe axis is
+    # reflect(win, ns)); ks == 0 rows degenerate exactly to diffuse
+    spec: jnp.ndarray  # (N, L, 3)
+    shin: jnp.ndarray  # (N, L)
+    win: jnp.ndarray  # (N, L, 3)
 
 
 def _hit(scene, o, d, ray_chunk, active=None):
@@ -126,6 +137,9 @@ def random_walk(
         "is_light": jnp.zeros((n, max_len), bool),
         "is_delta": jnp.zeros((n, max_len), bool),
         "emit": jnp.zeros((n, max_len, 3)),
+        "spec": jnp.zeros((n, max_len, 3)),
+        "shin": jnp.zeros((n, max_len)),
+        "win": jnp.zeros((n, max_len, 3)),
     }
 
     o, d = origins, directions
@@ -161,8 +175,12 @@ def random_walk(
         bsdf = mats.bsdf[mat_id]
         is_delta = (bsdf == BSDF_MIRROR) | (bsdf == BSDF_TRANSMISSIVE)
         is_diffuse = bsdf == BSDF_DIFFUSE
+        is_glossy = bsdf == BSDF_GLOSSY
         is_light = hit_is_light & ok
         emit = mats.emission_rgb[mat_id]
+        kd = mats.diffuse[mat_id]
+        ks = mats.specular[mat_id]
+        shin_v = mats.shininess[mat_id]
 
         pdf_fwd = _to_area(pdf_dir, o, hp, ns)
 
@@ -183,6 +201,15 @@ def random_walk(
         fields["emit"] = fields["emit"].at[:, step].set(
             jnp.where(is_light[:, None], emit, 0.0)
         )
+        fields["spec"] = fields["spec"].at[:, step].set(
+            jnp.where((ok & is_glossy)[:, None], ks, 0.0)
+        )
+        fields["shin"] = fields["shin"].at[:, step].set(
+            jnp.where(ok, shin_v, 0.0)
+        )
+        fields["win"] = fields["win"].at[:, step].set(
+            jnp.where(ok[:, None], d, 0.0)
+        )
 
         if step == max_len - 1:
             break
@@ -201,19 +228,44 @@ def random_walk(
         refract_now = (bsdf == BSDF_TRANSMISSIVE) & ~tir & (u[..., 0] > refl_p)
         spec_dir = jnp.where(refract_now[:, None], t_dir, m_dir)
 
-        new_dir = jnp.where(is_diffuse[:, None], d_dir, spec_dir)
+        # glossy: rescaled-u0 lobe mix, exactly the PT _bounce rule (the
+        # ks recorded above is zeroed for non-glossy vertices, so kd-only
+        # rows reduce to the cosine sampler)
+        ks_w = jnp.where(is_glossy[:, None], ks, 0.0)
+        q_spec = sampling.glossy_mix(kd, ks_w)
+        pick_spec = u[..., 0] < q_spec
+        u0r = jnp.clip(jnp.where(
+            pick_spec, u[..., 0] / jnp.maximum(q_spec, 1e-12),
+            (u[..., 0] - q_spec) / jnp.maximum(1.0 - q_spec, 1e-12)),
+            0.0, 1.0)
+        gd_dir, _ = sampling.cosine_weighted_hemisphere(ns, u0r, u[..., 1])
+        gs_dir = sampling.sample_phong_lobe(m_dir, shin_v, u0r, u[..., 1])
+        g_dir = jnp.where(pick_spec[:, None], gs_dir, gd_dir)
+        g_pdf = sampling.glossy_pdf(kd, ks_w, shin_v, ns, m_dir, g_dir)
+        g_ok = (g_pdf > 0.0) & (lm.dot(g_dir, ns) > 0.0)
+        g_f = sampling.glossy_f(kd, ks_w, shin_v, m_dir, g_dir)
+
+        new_dir = jnp.where(
+            is_diffuse[:, None], d_dir,
+            jnp.where(is_glossy[:, None], g_dir, spec_dir))
+        scatter = is_diffuse | is_glossy
         new_o = jnp.where(
             refract_now[:, None], hp - eps * ns,
-            jnp.where(is_diffuse[:, None], hp + eps * new_dir, hp + eps * ns),
+            jnp.where(scatter[:, None], hp + eps * new_dir, hp + eps * ns),
         )
 
         # reverse pdf of the *previous* vertex: density of re-generating it
-        # from here (diffuse |cos|/pi; delta -> 0, remapped to 1 in MIS)
+        # from here (diffuse |cos|/pi; glossy: the mixed lobe with the
+        # REVERSED incoming -new_dir; delta -> 0, remapped to 1 in MIS)
         to_prev = prev_pos - hp
         dprev = jnp.sqrt(jnp.maximum(lm.dot(to_prev, to_prev), 1e-20))
         w_prev = to_prev / dprev[:, None]
         rev_solid = jnp.where(
-            is_diffuse, jnp.abs(lm.dot(ns, w_prev)) * INV_PI, 0.0
+            is_diffuse, jnp.abs(lm.dot(ns, w_prev)) * INV_PI,
+            jnp.where(
+                is_glossy,
+                _lobe_pdf_solid(kd, ks_w, shin_v, ns, -new_dir, w_prev),
+                0.0),
         )
         rev_area = rev_solid * jnp.abs(lm.dot(prev_ns, w_prev)) / (dprev * dprev)
         if step > 0:
@@ -227,10 +279,15 @@ def random_walk(
             is_diffuse[:, None],
             mats.diffuse[mat_id] * INV_PI
             * (cos_o / jnp.where(pdf_ok, d_pdf, 1.0))[:, None],
-            1.0,  # delta: f/pdf == 1 for mirror; Fresnel split below
+            jnp.where(
+                is_glossy[:, None],
+                g_f * jnp.where(
+                    g_ok, cos_o / jnp.where(g_ok, g_pdf, 1.0),
+                    0.0)[:, None],
+                1.0),  # delta: f/pdf == 1 for mirror; Fresnel split below
         )
         beta = beta * jnp.where(ok[:, None], scale, 1.0)
-        alive = ok & (is_diffuse & pdf_ok | is_delta)
+        alive = ok & (is_diffuse & pdf_ok | is_glossy & g_ok | is_delta)
 
         # carried-medium update: a followed refraction crosses the
         # interface (entering from outside / exiting from inside)
@@ -246,7 +303,9 @@ def random_walk(
 
         prev_pos, prev_ns, have_prev = hp, ns, ok
         o, d = new_o, new_dir
-        pdf_dir = jnp.where(is_diffuse, d_pdf, 0.0)  # delta pdf -> 0/remap
+        # true forward sampling density (delta pdf -> 0/remap)
+        pdf_dir = jnp.where(is_diffuse, d_pdf,
+                            jnp.where(is_glossy, g_pdf, 0.0))
 
     return Vertices(**fields)
 
@@ -306,12 +365,52 @@ def _camera_pdf_dir(scene, cfg, directions):
 
 def _diffuse_pdf_area(v_ns, from_pos, to_pos, to_ns):
     """Area density of a cosine-sampled diffuse bounce scattered at
-    ``from_pos`` (shading normal ``v_ns``) toward ``to_pos``."""
+    ``from_pos`` (shading normal ``v_ns``) toward ``to_pos``.  Kept for
+    light-EMISSION densities (cosine by construction); surface vertices go
+    through the glossy-aware :func:`_vertex_pdf_area`."""
     w = to_pos - from_pos
     d2 = jnp.maximum(lm.dot(w, w), 1e-20)
     wn = w / jnp.sqrt(d2)[..., None]
     return _to_area(jnp.abs(lm.dot(v_ns, wn)) * INV_PI, from_pos, to_pos,
                     to_ns)
+
+
+def _lobe_pdf_solid(kd, ks, shin, ns, win, wn):
+    """MIS density model of the surface sampler: the |cos|/pi cosine model
+    (what ``_diffuse_pdf_area`` always used) mixed with the true Phong
+    lobe about ``reflect(win, ns)`` by the luminance lobe weight.  ks == 0
+    reduces bitwise to the old cosine model, so diffuse scenes are
+    unchanged.  Every strategy's hypothetical density uses THIS function,
+    which keeps the balance-heuristic weights a partition of unity
+    (unbiasedness needs consistency, not exactness, in the weights)."""
+    q = sampling.glossy_mix(kd, ks)
+    p_diff = jnp.abs(lm.dot(ns, wn)) * INV_PI
+    m = lm.reflect(win, ns)
+    return (1.0 - q) * p_diff + q * sampling.phong_pdf(m, wn, shin)
+
+
+def _vertex_pdf_area(v: Vertices, k: int, to_pos, to_ns, w_in=None):
+    """Area density of walk vertex ``k`` scattering toward ``to_pos``.
+
+    ``w_in`` overrides the recorded incoming direction for HYPOTHETICAL
+    reversed strategies (e.g. "cam[j] scattering backward given incoming
+    from the light"): pass the unit propagation direction INTO the
+    vertex."""
+    win = v.win[:, k] if w_in is None else w_in
+    w = to_pos - v.pos[:, k]
+    d2 = jnp.maximum(lm.dot(w, w), 1e-20)
+    wn = w / jnp.sqrt(d2)[..., None]
+    solid = _lobe_pdf_solid(v.diffuse[:, k], v.spec[:, k], v.shin[:, k],
+                            v.ns[:, k], win, wn)
+    return _to_area(solid, v.pos[:, k], to_pos, to_ns)
+
+
+def _vertex_f(v: Vertices, k: int, w_out):
+    """BSDF value at walk vertex ``k`` toward unit ``w_out``: kd/pi plus
+    the modified-Phong specular lobe (exactly kd/pi when ks == 0)."""
+    m = lm.reflect(v.win[:, k], v.ns[:, k])
+    return sampling.glossy_f(v.diffuse[:, k], v.spec[:, k], v.shin[:, k],
+                             m, w_out)
 
 
 def cam_side_mis(cam: Vertices, j: int, pt_rev, ptm_rev,
@@ -367,12 +466,16 @@ def light_side_mis(lv: Vertices, l0: dict, pdf_area_light, end: int,
             rev = qsm_rev
         elif k == 0:
             # rev density of the light origin: walk vertex 0 scattering
-            # back toward it (diffuse |cos|/pi; delta -> 0/remap)
+            # back toward it (delta -> 0/remap).  This branch fires only
+            # for end >= 2, so the reversed walk reaches lv[0] traveling
+            # from lv[1] (glossy lobe needs the incoming direction)
             diff0 = ~lv.is_delta[:, 0]
+            v01 = lv.pos[:, 0] - lv.pos[:, 1]
+            w01 = v01 / jnp.sqrt(
+                jnp.maximum(lm.dot(v01, v01), 1e-20))[..., None]
             rev = jnp.where(
                 diff0,
-                _diffuse_pdf_area(lv.ns[:, 0], lv.pos[:, 0],
-                                  l0["pos"], l0["ns"]),
+                _vertex_pdf_area(lv, 0, l0["pos"], l0["ns"], w_in=w01),
                 0.0,
             )
         else:
@@ -462,7 +565,7 @@ def render_bdpt(
         cos_c = lm.dot(cns, wi)
         cos_l = lm.dot(ln, -wi)
         g = jnp.abs(cos_c * cos_l) / d2
-        f_cam = cam.diffuse[:, j] * INV_PI
+        f_cam = _vertex_f(cam, j, wi)
         contrib = cam.beta[:, j] * f_cam * lrad * (g / pdf_pos)[:, None]
         blocked = _occluded(scene, cp + lm.EPSILON * cns, wi,
                             dist * (1 - 1e-3), ray_chunk, active=ok)
@@ -471,13 +574,14 @@ def render_bdpt(
         # MIS
         # qs (sampled light vertex) rev: density of cam[j] scattering toward
         # the light point, area measure at the light
-        qs_rev = _diffuse_pdf_area(cns, cp, lp, ln)
-        # pt (= cam[j]) rev: light emitting toward it
+        qs_rev = _vertex_pdf_area(cam, j, lp, ln)
+        # pt (= cam[j]) rev: light emitting toward it (cosine emission)
         pt_rev = _diffuse_pdf_area(ln, lp, cp, cns)
         # ptMinus rev: cam[j] scattering backward given incoming from light
+        # (hypothetical reversed walk: propagation into cam[j] is -wi)
         if j > 0:
-            ptm_rev = _diffuse_pdf_area(cns, cp, cam.pos[:, j - 1],
-                                        cam.ns[:, j - 1])
+            ptm_rev = _vertex_pdf_area(cam, j, cam.pos[:, j - 1],
+                                       cam.ns[:, j - 1], w_in=-wi)
         else:
             ptm_rev = jnp.zeros((n,))
         denom_cam = cam_side_mis(cam, j, pt_rev, ptm_rev, light_tracing)
@@ -522,8 +626,8 @@ def render_bdpt(
             dist = jnp.sqrt(d2)
             wi = to_l / dist[:, None]
             g = jnp.abs(lm.dot(cns, wi) * lm.dot(lns, -wi)) / d2
-            f_cam = cam.diffuse[:, j] * INV_PI
-            f_light = lv.diffuse[:, i] * INV_PI
+            f_cam = _vertex_f(cam, j, wi)
+            f_light = _vertex_f(lv, i, -wi)
             contrib = (
                 cam.beta[:, j] * f_cam * f_light * lv.beta[:, i]
                 * g[:, None]
@@ -532,19 +636,21 @@ def render_bdpt(
                                 dist * (1 - 1e-3), ray_chunk, active=ok)
             ok = ok & ~blocked
 
-            # junction rev densities
-            pt_rev = _diffuse_pdf_area(lns, lp_, cp, cns)
-            qs_rev = _diffuse_pdf_area(cns, cp, lp_, lns)
+            # junction rev densities (hypothetical incoming directions:
+            # the reversed walk reaches cam[j] traveling -wi, and the
+            # reversed-camera walk reaches lv[i] traveling +wi)
+            pt_rev = _vertex_pdf_area(lv, i, cp, cns)
+            qs_rev = _vertex_pdf_area(cam, j, lp_, lns)
             if j > 0:
-                ptm_rev = _diffuse_pdf_area(cns, cp, cam.pos[:, j - 1],
-                                            cam.ns[:, j - 1])
+                ptm_rev = _vertex_pdf_area(cam, j, cam.pos[:, j - 1],
+                                           cam.ns[:, j - 1], w_in=-wi)
             else:
                 ptm_rev = jnp.zeros((n,))
             if i > 0:
                 qsm_pos, qsm_ns = lv.pos[:, i - 1], lv.ns[:, i - 1]
             else:
                 qsm_pos, qsm_ns = l0["pos"], l0["ns"]
-            qsm_rev = _diffuse_pdf_area(lns, lp_, qsm_pos, qsm_ns)
+            qsm_rev = _vertex_pdf_area(lv, i, qsm_pos, qsm_ns, w_in=wi)
 
             denom_cam = cam_side_mis(cam, j, pt_rev, ptm_rev, light_tracing)
             # at the cap ((i+1)+(j+1) == max_d) the s'=0 alternative would
@@ -604,7 +710,7 @@ def render_bdpt(
             r_s = jnp.abs(cam_pos[2] - cfg.f_distance) / cos_c
             we = r_s * r_s / (a_samp * cos_c)  # importance, solid-angle
             cos_p = jnp.abs(lm.dot(p_ns, w_dir))
-            f_p = lv.diffuse[:, i] * INV_PI
+            f_p = _vertex_f(lv, i, w_dir)
             contrib = lv.beta[:, i] * f_p * ((cos_p / r2) * we)[:, None]
 
             blocked = _occluded(scene, p_pos + lm.EPSILON * w_dir, w_dir,
@@ -618,7 +724,10 @@ def render_bdpt(
                 qsm_pos, qsm_ns = lv.pos[:, i - 1], lv.ns[:, i - 1]
             else:
                 qsm_pos, qsm_ns = l0["pos"], l0["ns"]
-            qsm_rev = _diffuse_pdf_area(p_ns, p_pos, qsm_pos, qsm_ns)
+            # hypothetical reversed (camera-side) walk reaches P traveling
+            # camera -> P, i.e. along -w_dir
+            qsm_rev = _vertex_pdf_area(lv, i, qsm_pos, qsm_ns,
+                                       w_in=-w_dir)
             # at i = max_d-1 the splat path has max_d+1 surface vertices;
             # the s'=0 alternative is unreachable for the camera walk
             denom = light_side_mis(lv, l0, pdf_area_light, i + 1, qs_rev,

@@ -48,6 +48,7 @@ from light_transport_tpu.ops import sampling
 from light_transport_tpu.scene.lights import geometry_term, sample_light_points
 from light_transport_tpu.scene.material import (
     BSDF_DIFFUSE,
+    BSDF_GLOSSY,
     BSDF_MIRROR,
     BSDF_TRANSMISSIVE,
 )
@@ -271,9 +272,17 @@ def _bounce(
 
     shadow_o = hit_p + eps * n_s
     f_diffuse = diffuse_rgb * lm.INV_PI
+    # glossy (modified Phong) surface attributes; the mirror direction of
+    # the incoming ray about the shading normal is both the mirror-branch
+    # direction below and the Phong lobe axis
+    spec_rgb = mats.specular[mat_id]
+    shin = mats.shininess[mat_id]
+    is_glossy = bsdf == BSDF_GLOSSY
+    m_dir = lm.reflect(state.direction, n_s)
     # only lanes whose NEE contribution survives the `shade` mask below
     # need real shadow rays; the rest are culled inside dispatch
-    nee_active = hit_ok & (bsdf == BSDF_DIFFUSE) & ~scatter_evt
+    nee_active = hit_ok & ((bsdf == BSDF_DIFFUSE) | is_glossy) \
+        & ~scatter_evt
     if cfg.nee_mode == "all":
         # legacy all-lights estimator (cast_all_shadow_rays,
         # src/light_samples.py:119-143): one shadow ray per light triangle
@@ -286,7 +295,11 @@ def _bounce(
             lp_i = jnp.broadcast_to(lp_rows[li], shadow_o.shape)
             ln_i = jnp.broadcast_to(lt_.normal[li], shadow_o.shape)
             g_i, wi_i, dist_i = geometry_term(shadow_o, n_s, lp_i, ln_i)
-            contrib = lt_.radiance[li] * f_diffuse \
+            f_i = jnp.where(
+                is_glossy[:, None],
+                sampling.glossy_f(diffuse_rgb, spec_rgb, shin, m_dir, wi_i),
+                f_diffuse)
+            contrib = lt_.radiance[li] * f_i \
                 * (g_i * lt_.area[li])[:, None]
             if cfg.shadow_mode == "transmittance":
                 contrib = contrib * scene_transmittance(
@@ -305,16 +318,27 @@ def _bounce(
             u[:, rng.U_LIGHT1]
         )
         g_term, wi, dist = geometry_term(shadow_o, n_s, lp, ln)
-        # contract: src/light_samples.py:55-59 — L * f * G / pdf_area
-        direct = lrad * f_diffuse \
+        # contract: src/light_samples.py:55-59 — L * f * G / pdf_area;
+        # glossy vertices evaluate the full modified-Phong f toward the
+        # sampled light point
+        f_view = jnp.where(
+            is_glossy[:, None],
+            sampling.glossy_f(diffuse_rgb, spec_rgb, shin, m_dir, wi),
+            f_diffuse)
+        direct = lrad * f_view \
             * (g_term / jnp.maximum(pdf_area, 1e-30))[:, None]
         if cfg.emission_mode == "mis":
             # the NEE side of the power heuristic: compete against the
-            # cosine-BSDF density of the same direction
+            # BSDF sampling density of the same direction (cosine for
+            # diffuse, the mixed cosine+Phong lobe for glossy)
             cos_phi_l = jnp.abs(lm.dot(ln, -wi))
             p_nee_sa = pdf_area * dist * dist / jnp.maximum(cos_phi_l,
                                                             1e-12)
-            p_b_hyp = jnp.maximum(lm.dot(wi, n_s), 0.0) * lm.INV_PI
+            p_b_hyp = jnp.where(
+                is_glossy,
+                sampling.glossy_pdf(diffuse_rgb, spec_rgb, shin, n_s,
+                                    m_dir, wi),
+                jnp.maximum(lm.dot(wi, n_s), 0.0) * lm.INV_PI)
             w_nee = p_nee_sa * p_nee_sa / jnp.maximum(
                 p_nee_sa * p_nee_sa + p_b_hyp * p_b_hyp, 1e-30)
             direct = direct * w_nee[:, None]
@@ -341,8 +365,36 @@ def _bounce(
     diffuse_tp_scale = f_diffuse * (cos_o / safe_pdf)[:, None]
     diffuse_new_o = hit_p + eps * d_dir  # src/path_tracing.py:82
 
+    # --- glossy branch: sampled modified Phong -----------------------------
+    # Lobe choice consumes NO extra uniform: u0 is split at the specular
+    # probability q and rescaled to [0,1) on each side (independent of the
+    # branch taken), keeping the NUM_U uniform-tensor contract — and the
+    # threefry stream of every non-glossy scene — bitwise unchanged.
+    # Diffuse lanes above keep the UNrescaled u0 for golden-image parity.
+    q_spec = sampling.glossy_mix(diffuse_rgb, spec_rgb)
+    u0 = u[:, rng.U_BSDF0]
+    pick_spec = u0 < q_spec
+    u0r = jnp.clip(jnp.where(
+        pick_spec, u0 / jnp.maximum(q_spec, 1e-12),
+        (u0 - q_spec) / jnp.maximum(1.0 - q_spec, 1e-12)), 0.0, 1.0)
+    gd_dir, _ = sampling.cosine_weighted_hemisphere(
+        n_s, u0r, u[:, rng.U_BSDF1])
+    gs_dir = sampling.sample_phong_lobe(m_dir, shin, u0r,
+                                        u[:, rng.U_BSDF1])
+    g_dir = jnp.where(pick_spec[:, None], gs_dir, gd_dir)
+    g_pdf = sampling.glossy_pdf(diffuse_rgb, spec_rgb, shin, n_s, m_dir,
+                                g_dir)
+    cos_g = lm.dot(g_dir, n_s)
+    # below-horizon Phong samples terminate with zero contribution (the
+    # wrong-hemisphere rule of src/utils.py:158-160, applied to the lobe)
+    g_ok = (g_pdf > 0.0) & (cos_g > 0.0)
+    g_f = sampling.glossy_f(diffuse_rgb, spec_rgb, shin, m_dir, g_dir)
+    glossy_tp_scale = g_f * jnp.where(
+        g_ok, cos_g / jnp.where(g_ok, g_pdf, 1.0), 0.0)[:, None]
+    glossy_new_o = hit_p + eps * g_dir
+
     # --- mirror branch (src/path_tracing.py:103-106) -----------------------
-    m_dir = lm.reflect(state.direction, n_s)
+    # (m_dir computed above: it doubles as the Phong lobe axis)
     mirror_new_o = hit_p + eps * n_s
 
     # --- transmissive branch (src/path_tracing.py:108-141) -----------------
@@ -372,27 +424,34 @@ def _bounce(
     is_diffuse = bsdf == BSDF_DIFFUSE
     is_mirror = bsdf == BSDF_MIRROR
     is_trans = bsdf == BSDF_TRANSMISSIVE
-    bsdf_ok = is_diffuse | is_mirror | is_trans  # else: terminate (:143-145)
+    # else: terminate (:143-145); glossy is this framework's extension
+    bsdf_ok = is_diffuse | is_glossy | is_mirror | is_trans
 
     new_dir = jnp.where(
         is_diffuse[:, None],
         d_dir,
-        jnp.where(is_mirror[:, None], m_dir, trans_dir),
+        jnp.where(
+            is_glossy[:, None], g_dir,
+            jnp.where(is_mirror[:, None], m_dir, trans_dir)),
     )
     new_o = jnp.where(
         is_diffuse[:, None],
         diffuse_new_o,
-        jnp.where(is_mirror[:, None], mirror_new_o, trans_new_o),
+        jnp.where(
+            is_glossy[:, None], glossy_new_o,
+            jnp.where(is_mirror[:, None], mirror_new_o, trans_new_o)),
     )
     # in-scatter events preempt the surface interaction entirely
     new_dir = jnp.where(scatter_evt[:, None], hg_dir, new_dir)
     new_o = jnp.where(scatter_evt[:, None], scat_o, new_o)
     tp_scale = jnp.where(
         is_diffuse[:, None], diffuse_tp_scale,
-        jnp.where(is_trans[:, None], trans_tp_scale[:, None], 1.0),
+        jnp.where(
+            is_glossy[:, None], glossy_tp_scale,
+            jnp.where(is_trans[:, None], trans_tp_scale[:, None], 1.0)),
     )
 
-    shade = hit_ok & is_diffuse & ~scatter_evt
+    shade = hit_ok & (is_diffuse | is_glossy) & ~scatter_evt
     direct_contrib = jnp.where(shade[:, None], tp_arr * direct, 0.0)
     radiance = radiance + direct_contrib
 
@@ -400,7 +459,8 @@ def _bounce(
                                 tp_scale, 1.0)
 
     alive = state.alive & (
-        scatter_evt | (hit_ok & bsdf_ok & (pdf_ok | ~is_diffuse))
+        scatter_evt | (hit_ok & bsdf_ok & (pdf_ok | ~is_diffuse)
+                       & (g_ok | ~is_glossy))
     )
 
     # --- Russian roulette (src/path_tracing.py:147-155) --------------------
@@ -415,7 +475,11 @@ def _bounce(
     new_tp = new_tp * rr_scale[:, None]
     alive = alive & ~rr_kill
 
-    log_pdf = jnp.where(shade & pdf_ok, jnp.log(safe_pdf), 0.0)
+    sample_pdf_ok = jnp.where(is_glossy, g_ok, pdf_ok)
+    sample_pdf = jnp.where(is_glossy, g_pdf, safe_pdf)
+    log_pdf = jnp.where(shade & sample_pdf_ok,
+                        jnp.log(jnp.where(shade & sample_pdf_ok,
+                                          sample_pdf, 1.0)), 0.0)
 
     if cfg.shadow_mode == "transmittance":
         # transparent-shadow convention: the attenuated straight-line NEE
@@ -462,8 +526,10 @@ def _bounce(
         radiance=radiance,
         alive=alive,
         emit_ok=scatter_evt | (hit_ok & is_mirror) | trans_emit,
-        prev_pdf=jnp.where(hit_ok & is_diffuse & ~scatter_evt & pdf_ok,
-                           d_pdf, 0.0),
+        prev_pdf=jnp.where(
+            hit_ok & ~scatter_evt
+            & (is_diffuse & pdf_ok | is_glossy & g_ok),
+            sample_pdf, 0.0),
         med_sig_a=med_sig_a,
         med_sig_s=med_sig_s,
         med_g=new_med_g,

@@ -31,14 +31,20 @@ from light_transport_tpu.scene.scene import Scene
 # integrators' depth-0 camera primaries), which rides the MXU at any size.
 MXU_MAX_TRIS = 1_048_576
 
-# Treelet traversal scheduling (scenes with .treelet on TPU): the
-# wavefront driver re-sorts lanes by cursor between bounded launches,
-# fixing the single-launch kernel's lockstep-occupancy collapse on
-# incoherent rays (PERF.md §treelet-wavefront).  Knobs measured on the
-# 4.2M-tri regimes; flip TREELET_WAVEFRONT off to get the single-launch
-# kernel back.
+# Treelet traversal scheduling (scenes with .treelet on TPU), measured
+# 2026-08-19 on the 4.2M-tri regimes (PERF.md §treelet-wavefront,
+# artifacts/treelet_wavefront.json, all rows bit-exact vs the roped walk):
+#   - incoherent rays (bounce/shadow/shell): the wavefront driver's
+#     per-pass cursor re-sort fixes the single-launch kernel's lockstep
+#     collapse — bounce 2.99 s vs single-launch 3.64 s vs roped 6.17 s
+#     (2.06x the roped walk at loads_per_pass=2, max_passes=12);
+#   - coherent camera grids: the single-launch kernel wins outright
+#     (0.53 s vs the wavefront's 1.46-2.62 s — re-sorting already-sorted
+#     lanes pays pure overhead), so ``coherent=True`` traffic keeps the
+#     dir-Morton pre-sorted single launch.
+# Flip TREELET_WAVEFRONT off to force single-launch everywhere.
 TREELET_WAVEFRONT = True
-WAVEFRONT_LOADS_PER_PASS = 4
+WAVEFRONT_LOADS_PER_PASS = 2
 WAVEFRONT_MAX_PASSES = 12
 
 
@@ -123,9 +129,11 @@ def scene_intersect(scene: Scene, origins, directions,
             tmax = jnp.full((n,), jnp.inf, origins.dtype) \
                 if active is None else \
                 jnp.where(active, jnp.inf, -jnp.inf).astype(origins.dtype)
-            if TREELET_WAVEFRONT:
+            if TREELET_WAVEFRONT and not coherent:
                 # self-sorting (per-pass cursor sort subsumes the static
-                # dir-Morton pre-sort; dead lanes pack last on their own)
+                # dir-Morton pre-sort; dead lanes pack last on their own).
+                # Coherent camera grids skip this: single-launch measured
+                # 3x faster there (header table).
                 hit = intersect_bvh_treelet_wavefront(
                     jax.lax.stop_gradient(origins),
                     jax.lax.stop_gradient(directions), scene.treelet,

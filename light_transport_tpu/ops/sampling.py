@@ -71,6 +71,59 @@ def uniform_hemisphere(normal: jnp.ndarray, u0, u1):
     return direction, pdf
 
 
+def sample_phong_lobe(axis: jnp.ndarray, shininess, u0, u1):
+    """Direction from the normalized Phong lobe about ``axis``:
+    p(w) = (n+1)/(2 pi) * cos(alpha)^n with alpha the angle to ``axis``.
+
+    Inverse CDF: cos(alpha) = u0^(1/(n+1)), phi = 2 pi u1.  Promotes the
+    reference's Whitted-only Phong specular term (src/brdf.py:36-48) into
+    a sampled BSDF lobe.  May return directions below the surface horizon
+    for low exponents — callers zero those (cos_theta <= 0) like the
+    wrong-hemisphere rule of cosine sampling (src/utils.py:158-160)."""
+    cos_a = jnp.power(jnp.clip(u0, 1e-12, 1.0), 1.0 / (shininess + 1.0))
+    sin_a = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_a * cos_a))
+    phi = 2.0 * jnp.pi * u1
+    local = jnp.stack(
+        [sin_a * jnp.cos(phi), sin_a * jnp.sin(phi), cos_a], axis=-1)
+    return lm.to_world(local, axis)
+
+
+def phong_pdf(axis: jnp.ndarray, w: jnp.ndarray, shininess):
+    """Solid-angle pdf of :func:`sample_phong_lobe`:
+    (n+1)/(2 pi) * max(0, dot(axis, w))^n."""
+    cos_a = jnp.maximum(lm.dot(axis, w), 0.0)
+    return (shininess + 1.0) * lm.INV_2PI * jnp.power(cos_a, shininess)
+
+
+def glossy_mix(kd_rgb: jnp.ndarray, ks_rgb: jnp.ndarray):
+    """Specular-lobe selection probability of the modified-Phong BSDF:
+    q = lum(ks) / (lum(kd) + lum(ks)), 0 when both are black."""
+    kd_l = lm.luminance(kd_rgb)
+    ks_l = lm.luminance(ks_rgb)
+    return ks_l / jnp.maximum(kd_l + ks_l, 1e-12)
+
+
+def glossy_pdf(kd_rgb, ks_rgb, shininess, n_s, refl_dir, w):
+    """Combined solid-angle pdf of the modified-Phong sampler: the
+    luminance-weighted mixture of the cosine lobe about ``n_s`` and the
+    Phong lobe about the mirror direction ``refl_dir``."""
+    q = glossy_mix(kd_rgb, ks_rgb)
+    p_diff = jnp.maximum(lm.dot(n_s, w), 0.0) * lm.INV_PI
+    return (1.0 - q) * p_diff + q * phong_pdf(refl_dir, w, shininess)
+
+
+def glossy_f(kd_rgb, ks_rgb, shininess, refl_dir, w):
+    """Modified-Phong BRDF value (Lafortune-Willems normalization):
+    f = kd/pi + ks (n+2)/(2 pi) cos(alpha)^n, alpha to the mirror
+    direction.  Energy-conserving when kd + ks <= 1 per channel.
+    Promotes src/brdf.py:36-48 (Whitted-only in the reference) into the
+    path-transport material model."""
+    cos_a = jnp.maximum(lm.dot(refl_dir, w), 0.0)
+    spec = (shininess + 2.0) * lm.INV_2PI \
+        * jnp.power(cos_a, shininess)
+    return kd_rgb * lm.INV_PI + ks_rgb * spec[..., None]
+
+
 def schlick_r0(n1, n2):
     """R0 = ((n1-n2)/(n1+n2))^2 (src/path_tracing.py:118)."""
     r = (n1 - n2) / (n1 + n2)

@@ -25,6 +25,12 @@ BSDF_DIFFUSE = 0
 BSDF_MIRROR = 1
 BSDF_TRANSMISSIVE = 2
 BSDF_NONE = 3
+# Glossy (modified Phong): kd/pi diffuse lobe + ks (n+2)/(2 pi) cos^n
+# specular lobe about the mirror direction — the reference's Phong
+# specular term (src/brdf.py:36-48, Whitted-only there) promoted into a
+# sampled, NEE/MIS-aware BSDF.  Opt-in via Material(is_glossy=True);
+# reads color.diffuse (kd), color.specular (ks) and shininess (n).
+BSDF_GLOSSY = 4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,9 +77,16 @@ class Material:
     sigma_a: tuple = (0.0, 0.0, 0.0)
     sigma_s: float = 0.0
     medium_g: float = 0.0
+    # Sampled glossy (modified Phong) surface: checked before the
+    # reference flag chain because the reference has no such capability
+    # (its Phong terms are Whitted-only, src/brdf.py:12-48); energy
+    # conservation needs color.diffuse + color.specular <= 1 per channel.
+    is_glossy: bool = False
 
     @property
     def bsdf(self) -> int:
+        if self.is_glossy:
+            return BSDF_GLOSSY
         if self.is_diffuse:
             return BSDF_DIFFUSE
         if self.is_mirror:

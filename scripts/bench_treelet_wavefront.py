@@ -115,24 +115,33 @@ def main():
         print(f"{driver:14s} {regime:7s}: {secs:.2f} s "
               f"({args.rays / secs / 1e6:.2f} Mray/s){extra}", flush=True)
 
+    # big arrays (BVH rows, mesh, treelet slab) MUST travel as jit
+    # ARGUMENTS: closed-over constants are embedded in the remote-compile
+    # request body and the tunnel helper rejects it (HTTP 413) — the
+    # PERF.md §mesh-scale rule, re-learned here the hard way
+    mesh_d = jax.device_put(mesh_r)
+
     if not args.skip_roped:
-        roped = jax.jit(
-            lambda o, d: bvh_mod.intersect_bvh(o, d, mesh_r, bvh_d))
+        roped = jax.jit(bvh_mod.intersect_bvh)
         for regime in regimes:
             o, d = rays[regime]
-            secs, h = timeit(roped, o, d)
+            secs, h = timeit(lambda o, d: roped(o, d, mesh_d, bvh_d), o, d)
             ref_hits[regime] = h
             record("roped", regime, secs)
 
     @jax.jit
-    def single(o, d):
+    def single_call(o, d, tab):
         # dispatch's single-launch convention: dir-major Morton pre-sort
         perm = jnp.argsort(ray_sort_key(o, d, lo, hi))
         inv = jnp.zeros_like(perm).at[perm].set(
             jnp.arange(perm.shape[0], dtype=perm.dtype))
-        h = intersect_bvh_treelet(o[perm], d[perm], tables,
+        h = intersect_bvh_treelet(o[perm], d[perm],
+                                  tables.replace(tab=tab),
                                   interpret=interp)
         return jax.tree.map(lambda x: x[inv], h)
+
+    def single(o, d):
+        return single_call(o, d, tables.tab)
 
     for regime in regimes:
         o, d = rays[regime]

@@ -187,6 +187,8 @@ def test_mis_partition_of_unity():
         valid=(cam.valid & False).at[:, 0].set(cam.valid[:, 0]),
         is_light=cam.is_light & False, is_delta=cam.is_delta & False,
         emit=cam.emit * 0.0,
+        spec=cam.spec * 0.0, shin=cam.shin * 0.0,
+        win=cam.win * 0.0,
     )._replace()
     lv_c = lv_c._replace(pos=lv_c.pos.at[:, 0].set(v1),
                          ns=lv_c.ns.at[:, 0].set(v1ns))
@@ -283,6 +285,8 @@ def test_mis_partition_of_unity_s2():
         is_light=cam.is_light & False,
         is_delta=cam.is_delta & False,
         emit=cam.emit * 0.0,
+        spec=cam.spec * 0.0, shin=cam.shin * 0.0,
+        win=cam.win * 0.0,
     )
     l0 = dict(pos=lp, ns=ln)
     denom_a = cam_side_mis(cam, 0, p_mv1, zeros, True) \
@@ -322,6 +326,8 @@ def test_mis_partition_of_unity_s2():
         is_light=cam.is_light & False,
         is_delta=cam.is_delta & False,
         emit=cam.emit * 0.0,
+        spec=cam.spec * 0.0, shin=cam.shin * 0.0,
+        win=cam.win * 0.0,
     )
     denom_d = light_side_mis(lv_d, l0, pdf_area_light, 2, cam_area_v1, p_m)
     w_d = 1.0 / (1.0 + denom_d)
@@ -405,6 +411,8 @@ def test_mis_partition_of_unity_at_depth_cap():
         is_light=cam.is_light & False,
         is_delta=cam.is_delta & False,
         emit=cam.emit * 0.0,
+        spec=cam.spec * 0.0, shin=cam.shin * 0.0,
+        win=cam.win * 0.0,
     )
     l0 = dict(pos=lp, ns=ln)
     denom_b = cam_side_mis(cam, 0, p_mv1, zeros, True) \
@@ -430,6 +438,8 @@ def test_mis_partition_of_unity_at_depth_cap():
         is_light=cam.is_light & False,
         is_delta=cam.is_delta & False,
         emit=cam.emit * 0.0,
+        spec=cam.spec * 0.0, shin=cam.shin * 0.0,
+        win=cam.win * 0.0,
     )
     denom_d = light_side_mis(lv_d, l0, pdf_area_light, 2, cam_area_v1,
                              p_m, skip_s0=True)
