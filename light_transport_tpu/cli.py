@@ -41,6 +41,12 @@ def _add_render(sub):
                    help="in-focus plane distance from the camera")
     p.add_argument("--sharded", action="store_true",
                    help="shard lanes over all devices")
+    p.add_argument("--preview", action="store_true",
+                   help="also write an HTML index next to --out with the "
+                        "image embedded plus scene/config stats and "
+                        "variant commands (the zero-dependency stand-in "
+                        "for the reference's Streamlit panel; for a live "
+                        "server run python -m light_transport_tpu.gui)")
     p.add_argument("--out", default="render.png")
 
 
@@ -141,6 +147,9 @@ def main(argv=None):
               f"depth={cfg.max_depth})")
         written = _save_png(args.out, img)
         print(f"wrote {written}")
+        if args.preview:
+            idx = _write_preview(args.out, img, scene, cfg, args, dt)
+            print(f"wrote {idx}")
         return 0
 
     if args.cmd == "simulate":
@@ -180,6 +189,71 @@ def main(argv=None):
         )
         return 0
     return 1
+
+
+def _write_preview(out_path, img, scene, cfg, args, elapsed_s):
+    """Self-contained HTML index for ``render --preview``: the image
+    (base64-embedded, so the file works anywhere), the stats panel the
+    reference's Streamlit app surfaces after a render (elapsed, triangle
+    count — app.py:253-256), and ready-to-run variant commands.  The live
+    form-driven equivalent is ``python -m light_transport_tpu.gui``."""
+    import base64
+    import html as _html
+    import io
+    import os
+
+    import numpy as np
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        buf = io.BytesIO()
+        plt.imsave(buf, np.clip(np.asarray(img), 0, 1), format="png")
+        img_tag = ('<img src="data:image/png;base64,'
+                   + base64.b64encode(buf.getvalue()).decode()
+                   + '" width="480">')
+    except Exception:
+        img_tag = f"<p>(image written to {_html.escape(out_path)})</p>"
+
+    stats = {
+        "preset": args.preset,
+        "integrator": args.integrator,
+        "size": f"{cfg.width}x{cfg.height}",
+        "spp": cfg.spp,
+        "max_depth": cfg.max_depth,
+        "seed": args.seed,
+        "triangles": int(scene.mesh.v0.shape[0]),
+        "elapsed_s": round(elapsed_s, 2),
+        "image_mean": round(float(np.asarray(img).mean()), 4),
+    }
+    rows = "".join(
+        f"<tr><th>{_html.escape(str(k))}</th>"
+        f"<td>{_html.escape(str(v))}</td></tr>" for k, v in stats.items())
+    base = "python -m light_transport_tpu.cli render"
+    variants = "".join(
+        f"<li><code>{_html.escape(v)}</code></li>" for v in (
+            f"{base} --preset {args.preset} --integrator {args.integrator} "
+            f"--spp {cfg.spp * 4} --preview",
+            f"{base} --preset {args.preset} --integrator bdpt --preview",
+            f"{base} --preset {args.preset} --sampler sobol --preview",
+            "python -m light_transport_tpu.gui  # live form-driven panel",
+        ))
+    page = (
+        "<!doctype html><html><head><title>light_transport_tpu preview"
+        "</title><style>body{font-family:system-ui,sans-serif;margin:2rem;"
+        "max-width:60rem}table{border-collapse:collapse}td,th{padding:"
+        ".2rem .8rem;border:1px solid #ddd;text-align:left}img{image-"
+        "rendering:pixelated;border:1px solid #888}</style></head><body>"
+        f"<h1>light_transport_tpu render</h1>{img_tag}"
+        f"<h2>Stats</h2><table>{rows}</table>"
+        f"<h2>Variants</h2><ul>{variants}</ul></body></html>")
+    idx = os.path.splitext(out_path)[0] + ".html"
+    with open(idx, "w") as f:
+        f.write(page)
+    return idx
 
 
 def _save_png(path, img):

@@ -180,6 +180,13 @@ class _Presets:
         color=GLASS, shininess=96, reflection=0.2, ior=1.5,
         transmission=1.0, is_diffuse=False, is_mirror=False,
     )
+    # sampled glossy (this framework's extension — the reference keeps
+    # Phong terms Whitted-only, src/brdf.py:12-48); kd + ks <= 1
+    GLOSSY_MAT = Material(
+        color=Color.of((0.0, 0.0, 0.0), (0.25, 0.25, 0.30),
+                       (0.65, 0.65, 0.60)),
+        shininess=40.0, is_diffuse=False, is_glossy=True,
+    )
 
 
 presets = _Presets()

@@ -49,6 +49,45 @@ def small_light_scene(width, height, spp, max_depth, shrink=5.0):
 from light_transport_tpu.core.config import RenderConfig  # noqa: E402
 
 
+def glossy_floor_scene(width, height, spp, max_depth, shininess=80.0,
+                       half=4.0, emission=12.0):
+    """The regime MIS was built for (r5): a glossy floor under a large
+    area light.  NEE's area sampling sees the Phong lobe's cos^n swing
+    wildly across the light's solid angle at highlight pixels, while BSDF
+    sampling follows the lobe — the power heuristic should trade them
+    per-direction."""
+    from light_transport_tpu.scene.geometry import (TriangleMesh,
+                                                    concat_meshes,
+                                                    quad_triangles)
+    from light_transport_tpu.scene.material import (Color, Material,
+                                                    MaterialTable)
+    from light_transport_tpu.scene.scene import Scene
+
+    dim = 7.5
+    glossy = Material(color=Color.of((0, 0, 0), (0.10, 0.10, 0.10),
+                                     (0.85, 0.85, 0.85)),
+                      shininess=shininess, is_diffuse=False,
+                      is_glossy=True)
+    source = Material(color=Color.of((1, 1, 1), (1, 1, 1), (1, 1, 1)),
+                      shininess=1, emission=emission)
+    mats = MaterialTable.build([glossy, source])
+    fq = quad_triangles((-dim, -2.0, -dim), (dim, -2.0, -dim),
+                        (dim, -2.0, dim), (-dim, -2.0, dim))
+    floor = TriangleMesh.build(fq, np.zeros(2, np.int32))
+    lq = quad_triangles((-half, dim - 0.01, -half),
+                        (half, dim - 0.01, -half),
+                        (half, dim - 0.01, half),
+                        (-half, dim - 0.01, half))
+    lights = TriangleMesh.build(lq, np.full(2, 1, np.int32),
+                                np.ones(2, bool))
+    mesh = concat_meshes([floor, lights])
+    scene = Scene.build(mesh, mats, camera=[0.0, 0.0, dim + 0.5])
+    cfg = RenderConfig(width=width, height=height, spp=spp,
+                       max_depth=max_depth,
+                       f_distance=dim + 0.5 - dim / 2)
+    return scene, cfg
+
+
 def clipped_var(scene, cfg, mode, seeds):
     import jax
 
@@ -73,9 +112,13 @@ def main():
     stock, cfg = cornell_box_scene(width=48, height=48, spp=16, max_depth=4)
     small, cfg2 = small_light_scene(48, 48, 16, 4)
     large, cfg3 = small_light_scene(48, 48, 16, 4, shrink=0.25)
+    gl80, cfg4 = glossy_floor_scene(48, 48, 16, 3, shininess=80.0)
+    gl400, cfg5 = glossy_floor_scene(48, 48, 16, 3, shininess=400.0)
     for label, sc, cf in (("stock", stock, cfg),
                           ("small-bright", small, cfg2),
-                          ("large-close", large, cfg3)):
+                          ("large-close", large, cfg3),
+                          ("glossy-n80", gl80, cfg4),
+                          ("glossy-n400", gl400, cfg5)):
         v_nee, m_nee = clipped_var(sc, cf, "nee", seeds)
         v_mis, m_mis = clipped_var(sc, cf, "mis", seeds)
         rows.append((label, v_nee, v_mis, v_nee / max(v_mis, 1e-30),
