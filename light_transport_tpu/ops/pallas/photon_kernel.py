@@ -168,6 +168,39 @@ def _onehot_pair_flush(acc_ref, ib, jb, vals, ni: int, nj_pad: int,
     acc_ref[:] = acc_ref[:] + acc
 
 
+def _flush_group(acc_ref, ir_ref, iz_ref, v_ref, g, ni: int, nj_pad: int):
+    """One 8-row group of the rz one-hot flush, reading STAGED records
+    from persistent VMEM scratch — the unit of the r5 interleaved flush
+    (VERDICT r4 item 3 / BACKLOG): window ``wi-1``'s records are flushed
+    one group at a time between window ``wi``'s step chunks, so the
+    flush's MXU contractions overlap the step loop's VPU physics instead
+    of serializing after it.  Identical math to one ``row_group`` of
+    :func:`_onehot_pair_flush` (same bf16 hi/lo split, f32 accumulator);
+    only the accumulation ORDER into ``acc_ref`` differs (per-group adds
+    instead of one block add), a pure f32 re-association."""
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (ni, LANES), 0)
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (nj_pad, LANES), 0)
+    dn = (((1,), (1,)), ((), ()))
+    group = 8
+    ib_g = ir_ref[pl.ds(g * group, group), :]
+    jb_g = iz_ref[pl.ds(g * group, group), :]
+    v_g = v_ref[pl.ds(g * group, group), :]
+    vhi_g = v_g.astype(jnp.bfloat16).astype(jnp.float32)
+    vlo_g = v_g - vhi_g
+    acc = None
+    for r in range(group):
+        a = (iota_i == ib_g[r:r + 1, :]).astype(jnp.bfloat16)
+        m = iota_j == jb_g[r:r + 1, :]
+        v_hi = jnp.where(m, vhi_g[r:r + 1, :], 0.0).astype(jnp.bfloat16)
+        v_lo = jnp.where(m, vlo_g[r:r + 1, :], 0.0).astype(jnp.bfloat16)
+        p = jax.lax.dot_general(a, v_hi, dn,
+                                preferred_element_type=jnp.float32)
+        p = p + jax.lax.dot_general(a, v_lo, dn,
+                                    preferred_element_type=jnp.float32)
+        acc = p if acc is None else acc + p
+    acc_ref[:] = acc_ref[:] + acc
+
+
 def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
                  k_steps: int = K_STEPS, stride: int = 1,
                  vol_stride: int = 0, hw_prng: bool = True,
@@ -175,7 +208,8 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
                  rz_mm: bool = False, nz_pad: int = 0,
                  det_mm: bool = False, det_pad: int = 0,
                  ex_mm: bool = False,
-                 ablate: frozenset = frozenset()):
+                 ablate: frozenset = frozenset(),
+                 interleave: bool = False):
     """Bake the (tiny, static) medium tables into the kernel as constants.
 
     ``hw_prng=False`` is the off-TPU fallback (VERDICT.md r2 item 1): the
@@ -268,6 +302,13 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
     ab_det = "det" in ablate
     ab_vol = "vol" in ablate
     ab_exits = "exits" in ablate
+    # interleaved rz flush (r5): stage each window's deposit records in
+    # persistent VMEM scratch and flush them during the NEXT window, one
+    # 8-row group per step chunk — the flush's MXU contractions and
+    # factor builds overlap the step loop instead of serializing after it.
+    # Requires the stride to split evenly into ROWS//8 chunks.
+    inter_rz = (bool(interleave) and rz_mm and not ab_rz
+                and k_steps % stride == 0 and stride % (ROWS // 8) == 0)
     # per-window respawn (cfg.respawn_windows): quota-ranked respawn of
     # roulette/absorption-dead lanes every N stride windows.  Lanes that
     # died by EXIT stay dead until block end, so the once-per-block
@@ -312,8 +353,16 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             ex_acc_ref = tail_refs[t_i]
             t_i += 1
         counters_ref = tail_refs[t_i]
+        pend_scr = None
         if rz_mm or det_mm or ex_mm:
             mm_scratch = tail_refs[t_i + 1:t_i + 4]
+            if inter_rz:
+                # persistent staging for the interleaved rz flush: the
+                # PREVIOUS window's (ir, iz, val*stride) records, flushed
+                # one 8-row group per step chunk of the CURRENT window.
+                # Scratch persists across grid programs, so the pipeline
+                # drains across tiles; the last program flushes the tail.
+                pend_scr = tail_refs[t_i + 4:t_i + 7]
         pid = pl.program_id(0)
         if hw_prng:
             pltpu.prng_seed(seed_ref[0] + pid * 7919)
@@ -324,6 +373,12 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
             @pl.when(pid == 0)
             def _zero_rz():
                 rz_acc_ref[:] = jnp.zeros((nr, nz_pad), jnp.float32)
+                if inter_rz:
+                    # empty staging for the first window's flush (val 0 =
+                    # no contribution; bins then point at bin 0 harmlessly)
+                    pend_scr[0][:] = jnp.zeros((ROWS, LANES), jnp.int32)
+                    pend_scr[1][:] = jnp.zeros((ROWS, LANES), jnp.int32)
+                    pend_scr[2][:] = jnp.zeros((ROWS, LANES), jnp.float32)
         if det_mm:
             @pl.when(pid == 0)
             def _zero_det():
@@ -716,20 +771,49 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
                 carry = carry[:15] + (zero_f,) * (4 + n_pv)
                 takev = (phase_hi == (wi % vol_ratio)) if n_pv else None
 
-                def inner(si, c):
-                    return step_body(wi * stride + si, c, si, takev)
+                if inter_rz:
+                    # step chunks with one staged-group flush between each:
+                    # the records flushed here are the PREVIOUS window's
+                    # (zeros on the very first window of program 0 — val 0
+                    # contributes nothing), so the MXU contractions overlap
+                    # this window's VPU physics
+                    n_grp = ROWS // 8
+                    sub = stride // n_grp
 
-                carry = jax.lax.fori_loop(0, stride, inner, carry,
-                                          unroll=unroll)
+                    def chunk(g, c):
+                        def inner(si, cc):
+                            s_in = g * sub + si
+                            return step_body(wi * stride + s_in, cc, s_in,
+                                             takev)
+                        c = jax.lax.fori_loop(0, sub, inner, c,
+                                              unroll=unroll)
+                        _flush_group(rz_acc_ref, pend_scr[0], pend_scr[1],
+                                     pend_scr[2], g, nr, nz_pad)
+                        return c
+
+                    carry = jax.lax.fori_loop(0, n_grp, chunk, carry)
+                else:
+                    def inner(si, c):
+                        return step_body(wi * stride + si, c, si, takev)
+
+                    carry = jax.lax.fori_loop(0, stride, inner, carry,
+                                              unroll=unroll)
                 p_x, p_y, p_z, p_val = carry[15:19]
                 if not ab_rz:
                     r = jnp.sqrt(p_x * p_x + p_y * p_y)
                     ir = jnp.clip((r * inv_dr).astype(jnp.int32), 0, nr - 1)
                     iz = jnp.clip((p_z * inv_dz).astype(jnp.int32),
                                   0, nz - 1)
-                    _onehot_pair_flush(rz_acc_ref, ir, iz,
-                                       p_val * float(stride), nr, nz_pad,
-                                       mm_scratch)
+                    if inter_rz:
+                        # stage for the next window's interleaved flush
+                        # (WAR on pend_scr: every group was read above)
+                        pend_scr[0][:] = ir
+                        pend_scr[1][:] = iz
+                        pend_scr[2][:] = p_val * float(stride)
+                    else:
+                        _onehot_pair_flush(rz_acc_ref, ir, iz,
+                                           p_val * float(stride), nr,
+                                           nz_pad, mm_scratch)
                 if (vol_shared or n_pv) and not ab_vol:
                     if vol_shared:
                         vx_s, vy_s, vz_s, vv = p_x, p_y, p_z, p_val
@@ -763,6 +847,17 @@ def _make_kernel(medium_host: dict, cfg: PhotonRunConfig, bench_mode: bool,
 
             carry = jax.lax.fori_loop(0, k_steps // stride, window_body,
                                       carry0)
+            if inter_rz:
+                # drain: the LAST program flushes the final staged window
+                # (earlier programs leave it for the next program's first
+                # window — the pipeline runs straight through the grid)
+                @pl.when(pid == pl.num_programs(0) - 1)
+                def _drain_rz():
+                    def dg(g, _):
+                        _flush_group(rz_acc_ref, pend_scr[0], pend_scr[1],
+                                     pend_scr[2], g, nr, nz_pad)
+                        return 0
+                    jax.lax.fori_loop(0, ROWS // 8, dg, 0)
             (x, y, z, ux, uy, uz, w, tau, layer, quota, launched, spec,
              steps_a, absorbed_a, dwx) = carry[:15]
             steps = jnp.sum(steps_a)
@@ -908,7 +1003,8 @@ class PallasPhotonEngine:
                  k_steps: int = K_STEPS, hw_prng: bool | None = None,
                  unroll: int = 1,
                  rz_mm: bool | None = None, det_mm: bool | None = None,
-                 ablate: frozenset = frozenset()):
+                 ablate: frozenset = frozenset(),
+                 interleave_flush: bool = False):
         assert lanes % (ROWS * LANES) == 0, (lanes, ROWS * LANES)
         self.cfg = cfg
         self.lanes = lanes
@@ -985,6 +1081,19 @@ class PallasPhotonEngine:
                 f"or the full inner trip count ({inner_trip} here — the "
                 f"{'stride window' if self.rz_mm else 'k_steps loop'})")
         self.ablate = frozenset(ablate)
+        # interleaved rz flush (r5 A/B knob): stage each window's deposit
+        # records and flush them between the NEXT window's step chunks —
+        # overlap instead of serialization.  Same per-record math as
+        # _onehot_pair_flush; grids differ only by f32 add re-association.
+        self.interleave = (bool(interleave_flush) and self.rz_mm
+                           and "rz" not in self.ablate
+                           and self.stride % (ROWS // 8) == 0)
+        if interleave_flush and not self.interleave:
+            raise ValueError(
+                f"interleave_flush requires the windowed rz_mm mode with "
+                f"tally_stride a multiple of {ROWS // 8} "
+                f"(got rz_mm={self.rz_mm}, stride={self.stride}, "
+                f"ablate={sorted(self.ablate)})")
         self.kernel = _make_kernel(med, cfg, bench_mode, k_steps,
                                    stride=self.stride,
                                    vol_stride=self.vol_stride,
@@ -994,7 +1103,8 @@ class PallasPhotonEngine:
                                    det_mm=self.det_mm,
                                    det_pad=self.det_pad,
                                    ex_mm=self.ex_mm,
-                                   ablate=self.ablate)
+                                   ablate=self.ablate,
+                                   interleave=self.interleave)
 
     def zero_state(self):
         shape = (self.n_tiles * ROWS, LANES)
@@ -1103,6 +1213,11 @@ class PallasPhotonEngine:
             scratch_shapes = [pltpu.VMEM((ROWS, LANES), i32),
                               pltpu.VMEM((ROWS, LANES), i32),
                               pltpu.VMEM((ROWS, LANES), f32)]
+            if self.interleave:
+                # persistent staging for the interleaved rz flush
+                scratch_shapes += [pltpu.VMEM((ROWS, LANES), i32),
+                                   pltpu.VMEM((ROWS, LANES), i32),
+                                   pltpu.VMEM((ROWS, LANES), f32)]
         outs = pl.pallas_call(
             self.kernel,
             grid=(self.n_tiles,),
@@ -1220,7 +1335,8 @@ def simulate_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
                     timings: dict = None,
                     checkpoint_path: str = None,
                     checkpoint_every: int = 16,
-                    _ablate: frozenset = frozenset()):
+                    _ablate: frozenset = frozenset(),
+                    interleave_flush: bool = False):
     """Unbiased run of cfg.n_photons via per-tile launch quotas.
 
     Host-driven loop over jitted *chunks* of ``chunk_blocks`` blocks (each
@@ -1242,7 +1358,8 @@ def simulate_pallas(medium: LayeredMedium, cfg: PhotonRunConfig, seed: int,
                            (cfg.n_photons // (ROWS * LANES)) * ROWS * LANES))
     eng = PallasPhotonEngine(medium, cfg, lanes, bench_mode=False,
                              k_steps=k_steps, unroll=unroll,
-                             ablate=_ablate)
+                             ablate=_ablate,
+                             interleave_flush=interleave_flush)
     base = cfg.n_photons // eng.n_tiles
     rem = cfg.n_photons - base * eng.n_tiles
     assert base + 1 < 2 ** 24, "per-tile quota must stay exact in f32"

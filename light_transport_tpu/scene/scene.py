@@ -22,6 +22,24 @@ from light_transport_tpu.scene.lights import LightTable
 from light_transport_tpu.scene.material import MaterialTable
 
 
+# with_bvh(treelet="auto") attaches treelet slabs past this triangle
+# count — the MXU brute-force/BVH crossover (dispatch.MXU_MAX_TRIS; kept
+# literal here to avoid a scene<->dispatch import cycle, guarded by a
+# cross-check in tests/test_treelet.py).
+TREELET_AUTO_MIN_TRIS = 1_048_576
+
+
+def _auto_treelet(scene: "Scene") -> bool:
+    """True when dispatch would actually route this scene through the
+    treelet kernel: TPU backend, big mesh, format cap, not watertight."""
+    import jax
+
+    n = scene.mesh.v0.shape[0]
+    return (not scene.watertight
+            and TREELET_AUTO_MIN_TRIS < n < (1 << 24)
+            and jax.default_backend() == "tpu")
+
+
 @struct.dataclass
 class Scene:
     mesh: TriangleMesh
@@ -57,13 +75,24 @@ class Scene:
             analytic=analytic,
         )
 
-    def with_bvh(self, max_leaf: int = 4) -> "Scene":
+    def with_bvh(self, max_leaf: int = 4, treelet="auto") -> "Scene":
         """Attach a BVH (host build; reorders the mesh and rebuilds the
-        light table over the reordered triangle indices)."""
+        light table over the reordered triangle indices).
+
+        ``treelet``: whether to also attach treelet slabs for the Pallas
+        kernel-resident traversal (the measured-best TPU route for meshes
+        past the MXU brute-force crossover — PERF.md §treelet-wavefront).
+        ``"auto"`` (default) attaches them exactly when dispatch would use
+        them: default backend is TPU, the mesh is past the crossover
+        (>2^20 tris), under the table format's 2^24-tri cap, and the scene
+        is not in watertight mode.  ``True`` forces the build (any
+        backend — used by CPU-mesh tests), ``False`` opts out (saves the
+        ~320 B/node slab HBM; a 4.2M-tri mesh carries ~0.85 GB of slabs).
+        """
         from light_transport_tpu.accel import bvh as bvh_mod
 
         bvh, ordered = bvh_mod.build(self.mesh, max_leaf=max_leaf)
-        return Scene(
+        scene = Scene(
             mesh=ordered,
             materials=self.materials,
             # keep the scene's dtype (a float64 scene must not silently
@@ -75,6 +104,10 @@ class Scene:
             analytic=self.analytic,
             watertight=self.watertight,
         )
+        if treelet is True or (treelet == "auto"
+                               and _auto_treelet(scene)):
+            scene = scene.with_treelet()
+        return scene
 
     def with_treelet(self, T: int = 512) -> "Scene":
         """Attach treelet slabs for the Pallas kernel-resident traversal

@@ -59,8 +59,10 @@ def main():
     sphere = TriangleMesh.build(tris, np.zeros(len(tris), np.int32))
     mesh = concat_meshes([base.mesh, sphere])
     t0 = time.perf_counter()
+    # treelet=False: this script measures the coherent-hint MXU-vs-roped
+    # routing; auto-attached slabs would reroute everything to the treelet
     scene = Scene.build(mesh, base.materials, camera=[0.0, 0.0, dim + 0.5]
-                        ).with_bvh()
+                        ).with_bvh(treelet=False)
     print(f"scene+bvh build {time.perf_counter()-t0:.1f}s", flush=True)
 
     def steady(label):

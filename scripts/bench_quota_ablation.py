@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--unroll", type=int, default=1)
     ap.add_argument("--combos", default="full,kernel_only,no_rz,no_det,"
                     "no_vol,no_exits")
+    ap.add_argument("--interleave", action="store_true",
+                    help="interleaved rz flush (r5): stage each window's "
+                         "records and flush between the next window's step "
+                         "chunks")
     args = ap.parse_args()
 
     import dataclasses
@@ -70,11 +74,14 @@ def main():
                              k_steps=args.k_steps,
                              chunk_blocks=args.chunk_blocks,
                              unroll=args.unroll,
-                             timings=timings, _ablate=ab)
+                             timings=timings, _ablate=ab,
+                             interleave_flush=(args.interleave
+                                               and "rz" not in ab))
         jax.block_until_ready(tl.absorb_rz)
         wall = time.perf_counter() - t0
         row = {
             "combo": name,
+            "interleave": bool(args.interleave and "rz" not in ab),
             "steady_steps_per_sec": timings.get("steady_steps_per_sec"),
             "ms_per_block": timings.get("ms_per_block"),
             "steady_occupancy": timings.get("steady_occupancy"),

@@ -53,8 +53,10 @@ def main():
     sphere = TriangleMesh.build(tris, np.zeros(len(tris), np.int32))
     mesh = concat_meshes([base.mesh, sphere])
     t0 = time.perf_counter()
+    # treelet=False: arm A must measure the PRE-treelet default (auto
+    # would attach slabs to a >1M-tri mesh on TPU); arm B re-attaches
     scene = Scene.build(mesh, base.materials, camera=[0.0, 0.0, dim + 0.5]
-                        ).with_bvh()
+                        ).with_bvh(treelet=False)
     print(f"scene+bvh build {time.perf_counter()-t0:.1f}s", flush=True)
 
     def steady(label, sc):

@@ -324,3 +324,61 @@ def test_respawn_windows_exact_and_unbiased():
     assert (res[1][1]["steady_occupancy"]
             > res[0][1]["steady_occupancy"] + 0.02), (
         res[0][1]["steady_occupancy"], res[1][1]["steady_occupancy"])
+
+
+def test_interleaved_rz_flush_equivalent():
+    """interleave_flush=True (r5: window wi-1's rz records flushed between
+    window wi's step chunks, drained across tiles by the last program):
+    physics, RNG order, and every record are identical to the serial
+    flush — tallies must match to f32 re-association (the per-group adds
+    into the shared accumulator re-order the sums), with launch counters
+    and non-rz grids BITWISE equal.  Threefry interpret kernel on CPU."""
+    from light_transport_tpu.ops.pallas.photon_kernel import (
+        LANES, ROWS, simulate_pallas,
+    )
+
+    medium = LayeredMedium.build(
+        [MediumConfig(mu_a=1.0, mu_s=9.0, g=0.7, n=1.37)], n_above=1.0)
+    cfg = PhotonRunConfig(n_photons=60_000, nr=64, nz=64, dr=0.01, dz=0.01,
+                          detector_nx=32, detector_extent=0.16,
+                          vol_nx=16, vol_ny=16, vol_nz=16,
+                          vol_dx=0.04, vol_dy=0.04, vol_dz=0.04,
+                          tally_stride=8, vol_stride=16, respawn_windows=1)
+    # 2 tiles so the staging pipeline crosses a grid-program boundary;
+    # k=32/stride=8 gives 4 windows (3 in-loop flushes + the tail drain)
+    a = simulate_pallas(medium, cfg, seed=5, lanes=ROWS * LANES * 2,
+                        k_steps=32)
+    b = simulate_pallas(medium, cfg, seed=5, lanes=ROWS * LANES * 2,
+                        k_steps=32, interleave_flush=True)
+    assert a.n_launched == b.n_launched == cfg.n_photons
+    ra = np.asarray(a.absorb_rz, np.float64)
+    rb = np.asarray(b.absorb_rz, np.float64)
+    assert abs(ra.sum() - rb.sum()) / ra.sum() < 1e-6
+    assert np.abs(ra - rb).max() / ra.max() < 1e-5
+    np.testing.assert_array_equal(np.asarray(a.absorb_xyz),
+                                  np.asarray(b.absorb_xyz))
+    np.testing.assert_array_equal(np.asarray(a.detector_xy),
+                                  np.asarray(b.detector_xy))
+    np.testing.assert_array_equal(np.asarray(a.refl_r),
+                                  np.asarray(b.refl_r))
+    np.testing.assert_array_equal(np.asarray(a.trans_r),
+                                  np.asarray(b.trans_r))
+    assert float(a.total_reflectance()) == float(b.total_reflectance())
+
+
+def test_interleave_flush_rejects_bad_config():
+    import pytest as _pytest
+
+    from light_transport_tpu.ops.pallas.photon_kernel import (
+        PallasPhotonEngine,
+    )
+
+    medium = LayeredMedium.build(
+        [MediumConfig(mu_a=1.0, mu_s=9.0, g=0.0, n=1.0)])
+    # stride 1 => no windowed mode => interleave must refuse, not silently
+    # fall back (the caller asked for a specific measured schedule)
+    cfg = PhotonRunConfig(n_photons=1000, nr=16, nz=16, dr=0.1, dz=0.1,
+                          tally_stride=1)
+    with _pytest.raises(ValueError, match="interleave_flush"):
+        PallasPhotonEngine(medium, cfg, lanes=8192, bench_mode=False,
+                           interleave_flush=True)
