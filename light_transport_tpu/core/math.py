@@ -67,9 +67,14 @@ def refract(d: jnp.ndarray, n: jnp.ndarray, eta: jnp.ndarray):
     cos_i = -dot(d, n)
     k = 1.0 - eta**2 * (1.0 - cos_i**2)
     tir = k <= 0.0
-    k_safe = jnp.maximum(k, 0.0)
+    # double-where sqrt guard: sqrt'(0) = inf at the TIR boundary, and the
+    # masked-lane cotangent then arrives as inf * 0 = NaN, poisoning the
+    # CV score gradients two bounces downstream (grad_log_pdf_exact).
+    # Values are bitwise unchanged (TIR lanes still see sqrt-of-0 = 0).
+    pos = k > 0.0
+    root = jnp.where(pos, jnp.sqrt(jnp.where(pos, k, 1.0)), 0.0)
     t = d * jnp.expand_dims(eta, -1) + n * jnp.expand_dims(
-        eta * cos_i - jnp.sqrt(k_safe), -1
+        eta * cos_i - root, -1
     )
     return normalize(t), tir
 

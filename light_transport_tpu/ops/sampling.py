@@ -53,7 +53,14 @@ def cosine_weighted_hemisphere(normal: jnp.ndarray, u0, u1):
     normal, which is the estimator the surrounding code intends.
     """
     dx, dy = concentric_sample_disk(u0, u1)
-    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - dx * dx - dy * dy))
+    # double-where sqrt guard: at the disk rim (u0 -> 1, reachable every
+    # sample through the glossy branch's rescaled-u0 clip) sqrt'(0) = inf
+    # and the masked-out cotangent becomes inf * 0 = NaN, poisoning the
+    # shared uniform's gradient in the CV score (tests/test_control_
+    # variates.py caught this).  Values are bitwise unchanged.
+    z2 = jnp.maximum(0.0, 1.0 - dx * dx - dy * dy)
+    pos = z2 > 0.0
+    z = jnp.where(pos, jnp.sqrt(jnp.where(pos, z2, 1.0)), 0.0)
     local = jnp.stack([dx, dy, z], axis=-1)
     direction = lm.to_world(local, normal)
     pdf = z * lm.INV_PI
@@ -81,7 +88,11 @@ def sample_phong_lobe(axis: jnp.ndarray, shininess, u0, u1):
     for low exponents — callers zero those (cos_theta <= 0) like the
     wrong-hemisphere rule of cosine sampling (src/utils.py:158-160)."""
     cos_a = jnp.power(jnp.clip(u0, 1e-12, 1.0), 1.0 / (shininess + 1.0))
-    sin_a = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_a * cos_a))
+    # double-where sqrt guard (see cosine_weighted_hemisphere): u0 = 1
+    # gives cos_a = 1 exactly and sqrt'(0) = inf would NaN the cotangent
+    s2 = jnp.maximum(0.0, 1.0 - cos_a * cos_a)
+    pos = s2 > 0.0
+    sin_a = jnp.where(pos, jnp.sqrt(jnp.where(pos, s2, 1.0)), 0.0)
     phi = 2.0 * jnp.pi * u1
     local = jnp.stack(
         [sin_a * jnp.cos(phi), sin_a * jnp.sin(phi), cos_a], axis=-1)
@@ -92,7 +103,13 @@ def phong_pdf(axis: jnp.ndarray, w: jnp.ndarray, shininess):
     """Solid-angle pdf of :func:`sample_phong_lobe`:
     (n+1)/(2 pi) * max(0, dot(axis, w))^n."""
     cos_a = jnp.maximum(lm.dot(axis, w), 0.0)
-    return (shininess + 1.0) * lm.INV_2PI * jnp.power(cos_a, shininess)
+    # double-where pow guard: d/dc c^n = n c^(n-1) is inf at c = 0 for
+    # n < 1 (shininess 0.1 exists in the presets), and the whole back
+    # hemisphere sits at c = 0 — evaluate pow at a safe point there
+    pos = cos_a > 0.0
+    powed = jnp.where(
+        pos, jnp.power(jnp.where(pos, cos_a, 1.0), shininess), 0.0)
+    return (shininess + 1.0) * lm.INV_2PI * powed
 
 
 def glossy_mix(kd_rgb: jnp.ndarray, ks_rgb: jnp.ndarray):
@@ -119,8 +136,10 @@ def glossy_f(kd_rgb, ks_rgb, shininess, refl_dir, w):
     Promotes src/brdf.py:36-48 (Whitted-only in the reference) into the
     path-transport material model."""
     cos_a = jnp.maximum(lm.dot(refl_dir, w), 0.0)
+    pos = cos_a > 0.0  # double-where pow guard, see phong_pdf
     spec = (shininess + 2.0) * lm.INV_2PI \
-        * jnp.power(cos_a, shininess)
+        * jnp.where(pos, jnp.power(jnp.where(pos, cos_a, 1.0), shininess),
+                    0.0)
     return kd_rgb * lm.INV_PI + ks_rgb * spec[..., None]
 
 

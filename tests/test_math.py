@@ -83,3 +83,31 @@ def test_to_world_preserves_norm_and_z():
     local = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (64, 1))
     w = lm.to_world(local, n)
     np.testing.assert_allclose(np.asarray(w), np.asarray(n), atol=1e-5)
+
+
+def test_refract_gradient_finite_at_tir():
+    """sqrt'(0) at the total-internal-reflection boundary must not leak
+    inf/NaN into cotangents (the masked-branch NaN trap): gradients of the
+    refracted direction w.r.t. the incoming direction stay finite for
+    grazing, boundary, and TIR rays (caught via grad_log_pdf_exact, r5)."""
+    import jax
+
+    from light_transport_tpu.core import math as lm
+
+    n = jnp.asarray([[0.0, 0.0, 1.0]] * 3, jnp.float32)
+    eta = jnp.asarray([1.5, 1.5, 1.5], jnp.float32)  # dense -> sparse
+    # exactly-critical, just-past-critical (TIR), and steep rays
+    sin_c = 1.0 / 1.5
+    cos_c = float(np.sqrt(1.0 - sin_c * sin_c))
+    d = jnp.asarray([
+        [sin_c, 0.0, -cos_c],          # k == 0 exactly (boundary)
+        [0.9, 0.0, -np.sqrt(1 - 0.81)],  # TIR
+        [0.1, 0.0, -np.sqrt(1 - 0.01)],  # refracts
+    ], jnp.float32)
+
+    def f(dd):
+        t, tir = lm.refract(dd, n, eta)
+        return jnp.where(tir[:, None], 0.0, t).sum()
+
+    g = jax.grad(f)(d)
+    assert np.all(np.isfinite(np.asarray(g))), g
