@@ -105,10 +105,12 @@ def run_render(params: dict) -> dict:
     if integrator not in INTEGRATORS:
         raise ValueError(f"unknown integrator {integrator!r}")
     scene, cfg = P.PRESETS[preset]()
+    # server-side clamps (the form's min/max don't bind a raw GET)
+    caps = {"width": 1024, "height": 1024, "spp": 512, "max_depth": 16}
     over = {}
-    for k in ("width", "height", "spp", "max_depth"):
+    for k, cap in caps.items():
         if params.get(k):
-            over[k] = max(1, int(params[k]))
+            over[k] = min(cap, max(1, int(params[k])))
     em = params.get("emission_mode")
     if em and em in EMISSION_MODES and integrator in ("path", "adaptive",
                                                       "cv"):

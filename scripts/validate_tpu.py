@@ -13,7 +13,12 @@ recovers; it batches:
      enough to cross _GATHER_MIN_CLUSTERS (covers the scale-relative
      cluster AABB pad);
   3. photon kernel: exact launch counter at >256 tiles (covers the int32
-     counter_from_sum fold) and chi2 parity vs the XLA engine.
+     counter_from_sum fold) and chi2 parity vs the XLA engine;
+  4. slim windowed quota path (strided tallies, in-kernel MXU folds,
+     per-window respawn): exact quota + energy closure on hardware;
+  5. treelet single-launch kernel: bit-parity vs the roped walk;
+  6. wavefront (resume-mode) treelet driver — the dispatch default for
+     incoherent big-mesh traffic: bit-parity + any-hit.
 
 Exit code 0 = all green.  Keep it fast (~2-4 min after compile).
 """
