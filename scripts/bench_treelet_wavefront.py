@@ -78,7 +78,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nt", type=int, default=1450)
     ap.add_argument("--rays", type=int, default=1 << 20)
-    ap.add_argument("--T", type=int, default=512)
+    ap.add_argument("--T", default="512",
+                    help="csv of treelet sizes — all measured in ONE "
+                         "process (same tunnel phase) for comparable rows")
     ap.add_argument("--configs", default="4:12,2:12,8:8,4:24",
                     help="csv of loads_per_pass:max_passes")
     ap.add_argument("--regimes", default="bounce,shell,camera")
@@ -100,9 +102,7 @@ def main():
     print(f"tris {tris.shape[0]:,} nodes {bvh.num_nodes:,} "
           f"build {time.perf_counter() - t0:.0f}s", flush=True)
     bvh_d = jax.device_put(bvh)
-    tables = jax.jit(build_treelet_tables,
-                     static_argnames=("T",))(bvh_d, T=args.T)
-    jax.block_until_ready(tables.tab)
+    t_list = [int(x) for x in str(args.T).split(",")]
     lo, hi = scene_bounds(mesh_r)
 
     regimes = args.regimes.split(",")
@@ -110,10 +110,13 @@ def main():
     rows = []  # (driver, regime, seconds)
     ref_hits = {}
 
-    def record(driver, regime, secs, extra=""):
-        rows.append({"driver": driver, "regime": regime, "s": round(secs, 3)})
+    def record(driver, regime, secs, extra="", T=None):
+        rows.append({"driver": driver, "regime": regime, "s": round(secs, 3),
+                     **({"T": T} if T is not None else {})})
+        tag = f" T={T}" if T is not None and len(t_list) > 1 else ""
         print(f"{driver:14s} {regime:7s}: {secs:.2f} s "
-              f"({args.rays / secs / 1e6:.2f} Mray/s){extra}", flush=True)
+              f"({args.rays / secs / 1e6:.2f} Mray/s){tag}{extra}",
+              flush=True)
 
     # big arrays (BVH rows, mesh, treelet slab) MUST travel as jit
     # ARGUMENTS: closed-over constants are embedded in the remote-compile
@@ -129,63 +132,69 @@ def main():
             ref_hits[regime] = h
             record("roped", regime, secs)
 
-    @jax.jit
-    def single_call(o, d, tab):
-        # dispatch's single-launch convention: dir-major Morton pre-sort
-        perm = jnp.argsort(ray_sort_key(o, d, lo, hi))
-        inv = jnp.zeros_like(perm).at[perm].set(
-            jnp.arange(perm.shape[0], dtype=perm.dtype))
-        h = intersect_bvh_treelet(o[perm], d[perm],
-                                  tables.replace(tab=tab),
-                                  interpret=interp)
-        return jax.tree.map(lambda x: x[inv], h)
+    for T in t_list:
+        tables = jax.jit(build_treelet_tables,
+                         static_argnames=("T",))(bvh_d, T=T)
+        jax.block_until_ready(tables.tab)
 
-    def single(o, d):
-        return single_call(o, d, tables.tab)
+        @jax.jit
+        def single_call(o, d, tab, tables=tables):
+            # dispatch's single-launch convention: dir-major Morton pre-sort
+            perm = jnp.argsort(ray_sort_key(o, d, lo, hi))
+            inv = jnp.zeros_like(perm).at[perm].set(
+                jnp.arange(perm.shape[0], dtype=perm.dtype))
+            h = intersect_bvh_treelet(o[perm], d[perm],
+                                      tables.replace(tab=tab),
+                                      interpret=interp)
+            return jax.tree.map(lambda x: x[inv], h)
 
-    for regime in regimes:
-        o, d = rays[regime]
-        secs, h = timeit(single, o, d)
-        extra = ""
-        if regime in ref_hits:
-            extra = f" parity={'EXACT' if parity(ref_hits[regime], h) else 'MISMATCH'}"
-        ref_hits[regime] = h
-        record("single", regime, secs, extra)
-
-    tab = tables.tab
-
-    for spec in args.configs.split(","):
-        L, P = (int(x) for x in spec.split(":"))
-
-        @functools.partial(jax.jit, static_argnames=("lp", "mp"))
-        def wf(o, d, tab, lp, mp):
-            return intersect_bvh_treelet_wavefront(
-                o, d, tables.replace(tab=tab), interpret=interp,
-                loads_per_pass=lp, max_passes=mp)
-
-        @functools.partial(jax.jit, static_argnames=("lp", "mp"))
-        def wf_stats(o, d, tab, lp, mp):
-            return intersect_bvh_treelet_wavefront(
-                o, d, tables.replace(tab=tab), interpret=interp,
-                loads_per_pass=lp, max_passes=mp, with_stats=True)
+        def single(o, d):
+            return single_call(o, d, tables.tab)
 
         for regime in regimes:
             o, d = rays[regime]
-            secs, h = timeit(lambda o, d: wf(o, d, tab, L, P), o, d)
-            _, st = retry_compile(
-                lambda: jax.block_until_ready(
-                    wf_stats(o, d, tab, L, P)))
-            ok = parity(ref_hits[regime], h)
-            extra = (f" iters {int(st['iters']):,} loads "
-                     f"{int(st['loads']):,} "
-                     f"parity={'EXACT' if ok else 'MISMATCH'}")
-            record(f"wave {spec}", regime, secs, extra)
-            rows[-1].update(iters=int(st["iters"]), loads=int(st["loads"]),
-                            parity=bool(ok))
+            secs, h = timeit(single, o, d)
+            extra = ""
+            if regime in ref_hits:
+                extra = (f" parity="
+                         f"{'EXACT' if parity(ref_hits[regime], h) else 'MISMATCH'}")
+            ref_hits[regime] = h
+            record("single", regime, secs, extra, T=T)
+
+        tab = tables.tab
+
+        for spec in args.configs.split(","):
+            L, P = (int(x) for x in spec.split(":"))
+
+            @functools.partial(jax.jit, static_argnames=("lp", "mp"))
+            def wf(o, d, tab, lp, mp, tables=tables):
+                return intersect_bvh_treelet_wavefront(
+                    o, d, tables.replace(tab=tab), interpret=interp,
+                    loads_per_pass=lp, max_passes=mp)
+
+            @functools.partial(jax.jit, static_argnames=("lp", "mp"))
+            def wf_stats(o, d, tab, lp, mp, tables=tables):
+                return intersect_bvh_treelet_wavefront(
+                    o, d, tables.replace(tab=tab), interpret=interp,
+                    loads_per_pass=lp, max_passes=mp, with_stats=True)
+
+            for regime in regimes:
+                o, d = rays[regime]
+                secs, h = timeit(lambda o, d: wf(o, d, tab, L, P), o, d)
+                _, st = retry_compile(
+                    lambda: jax.block_until_ready(
+                        wf_stats(o, d, tab, L, P)))
+                ok = parity(ref_hits[regime], h)
+                extra = (f" iters {int(st['iters']):,} loads "
+                         f"{int(st['loads']):,} "
+                         f"parity={'EXACT' if ok else 'MISMATCH'}")
+                record(f"wave {spec}", regime, secs, extra, T=T)
+                rows[-1].update(iters=int(st["iters"]),
+                                loads=int(st["loads"]), parity=bool(ok))
 
     out = {
         "tris": int(tris.shape[0]), "nodes": int(bvh.num_nodes),
-        "rays": args.rays, "T": args.T, "rows": rows,
+        "rays": args.rays, "T": t_list, "rows": rows,
     }
     Path(args.json).parent.mkdir(parents=True, exist_ok=True)
     Path(args.json).write_text(json.dumps(out, indent=1))
