@@ -37,14 +37,22 @@ MXU_MAX_TRIS = 1_048_576
 #   - incoherent rays (bounce/shadow/shell): the wavefront driver's
 #     per-pass cursor re-sort fixes the single-launch kernel's lockstep
 #     collapse — bounce 2.99 s vs single-launch 3.64 s vs roped 6.17 s
-#     (2.06x the roped walk at loads_per_pass=2, max_passes=12);
+#     (2.06x the roped walk at max_passes=12);
 #   - coherent camera grids: the single-launch kernel wins outright
 #     (0.53 s vs the wavefront's 1.46-2.62 s — re-sorting already-sorted
 #     lanes pays pure overhead), so ``coherent=True`` traffic keeps the
 #     dir-Morton pre-sorted single launch.
-# Flip TREELET_WAVEFRONT off to force single-launch everywhere.
+# loads_per_pass settled at 1 by three same-process A/Bs (2026-08-19/20,
+# artifacts/treelet_wavefront_sweep2.json + tw_sweepT.json): 1:12 beat
+# 2:12 on bounce in all three (2.82/2.81/2.76 vs 2.86/2.97/2.92 s) and
+# tied shell/camera.  The same-process T sweep (tw_sweepT.json) kept
+# T=512: T=1024 wins only the single-launch bounce route (3.17 vs
+# 3.63 s), which dispatch never takes — on the routes actually taken it
+# is neutral (camera 0.53/0.53, wave bounce 2.76/2.81) to worse (shell
+# 2.31 vs 2.23 s).  Flip TREELET_WAVEFRONT off to force single-launch
+# everywhere.
 TREELET_WAVEFRONT = True
-WAVEFRONT_LOADS_PER_PASS = 2
+WAVEFRONT_LOADS_PER_PASS = 1
 WAVEFRONT_MAX_PASSES = 12
 
 

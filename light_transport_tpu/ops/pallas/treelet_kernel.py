@@ -624,8 +624,8 @@ def intersect_bvh_treelet_wavefront(
     ray_tile: int = DEFAULT_R,
     interpret: bool = False,
     with_stats: bool = False,
-    loads_per_pass: int = 4,
-    max_passes: int = 16,
+    loads_per_pass: int = 1,
+    max_passes: int = 12,
 ):
     """Fully-traceable wavefront traversal (usable inside jit / scan /
     shard_map, unlike the host-driven :func:`intersect_bvh_treelet_queued`).
