@@ -119,7 +119,20 @@ def run_render(params: dict) -> dict:
         cfg = dataclasses.replace(cfg, **over)
     seed = int(params.get("seed", 0) or 0)
     t0 = time.time()
-    img = np.asarray(render(scene, cfg, seed=seed, integrator=integrator))
+    if integrator == "cv":
+        # api.render has no cv branch (render_cv returns a telemetry
+        # bundle, not an image) — route it like the CLI does (cli.py)
+        import jax
+
+        from light_transport_tpu.integrators.control_variates import (
+            render_cv,
+        )
+
+        img = np.asarray(render_cv(scene, cfg, jax.random.key(seed))
+                         .image_cv)
+    else:
+        img = np.asarray(render(scene, cfg, seed=seed,
+                                integrator=integrator))
     dt = time.time() - t0
     _State.png = _png_bytes(img)
     _State.stats = {

@@ -60,6 +60,15 @@ def test_gui_run_render_direct():
     assert stats["spp"] == 1 and stats["elapsed_s"] >= 0
 
 
+def test_gui_run_render_cv():
+    # cv is not an api.render integrator (render_cv returns a telemetry
+    # bundle) — the GUI must route it like the CLI does
+    stats = gui.run_render({"preset": "lts", "width": "8", "height": "8",
+                            "spp": "2", "max_depth": "2", "seed": "0",
+                            "integrator": "cv"})
+    assert stats["integrator"] == "cv" and 0.0 < stats["mean"] < 1.0
+
+
 def test_cli_render_preview(tmp_path):
     out = str(tmp_path / "img.png")
     rc = main(["render", "--preset", "lts", "--width", "10", "--height",
