@@ -44,6 +44,14 @@ def render(
             f"aperture > 0 (thin-lens DOF) is supported by the path and "
             f"adaptive integrators (and render_cv) only "
             f"(got integrator={integrator!r})")
+    if scene.point_lights is not None and integrator == "bdpt":
+        # bdpt's light subpaths originate on area-light surfaces only
+        # (sample_light_points) — it would silently IGNORE the delta
+        # lights rather than render them
+        raise ValueError(
+            "point lights are supported by the path, adaptive, and "
+            "whitted integrators (and render_cv); bdpt samples area "
+            "lights only")
     if cfg.emission_mode == "mis" and cfg.nee_mode != "one":
         # the power heuristic weighs the NEE strategy's area-sampling
         # density; the 'all' quadrature estimator has no such density

@@ -20,7 +20,8 @@ import time
 
 def _add_render(sub):
     p = sub.add_parser("render", help="render a camera image")
-    p.add_argument("--preset", default="lts", choices=["lts", "glass", "mesh"])
+    p.add_argument("--preset", default="lts",
+                   choices=["lts", "glass", "mesh", "point"])
     p.add_argument("--integrator", default="path",
                    choices=["path", "adaptive", "whitted", "bdpt", "cv"])
     p.add_argument("--width", type=int)

@@ -29,7 +29,7 @@ import time
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-PRESET_NAMES = ("lts", "glass", "mesh")
+PRESET_NAMES = ("lts", "glass", "mesh", "point")
 INTEGRATORS = ("path", "adaptive", "whitted", "bdpt", "cv")
 EMISSION_MODES = ("first_hit", "always", "nee", "mis")
 

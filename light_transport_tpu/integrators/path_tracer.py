@@ -356,6 +356,40 @@ def _bounce(
                                      ray_chunk=ray_chunk, active=nee_active)
             direct = jnp.where(blocked[:, None], 0.0, direct)
 
+    if scene.point_lights is not None:
+        # --- point (delta) lights: deterministic direct term ---------------
+        # f(wi) * I * cos(theta) / r^2 * V summed over the table (reference
+        # GUI 'Point' source, app.py:152-158).  No sampling pdf and no MIS
+        # weight: a delta light cannot be hit by BSDF sampling, so NEE is
+        # the only strategy for it in every emission_mode.  Consumes NO
+        # uniforms — the threefry stream of point-light-free scenes is
+        # bitwise unchanged.
+        plt_ = scene.point_lights
+        for li in range(plt_.num):
+            lp_i = jnp.broadcast_to(plt_.position[li], shadow_o.shape)
+            to_l = lp_i - shadow_o
+            d2 = jnp.maximum(lm.dot(to_l, to_l), 1e-20)
+            dist_i = jnp.sqrt(d2)
+            wi_i = to_l / dist_i[:, None]
+            cos_i = jnp.maximum(lm.dot(n_s, wi_i), 0.0)
+            f_i = jnp.where(
+                is_glossy[:, None],
+                sampling.glossy_f(diffuse_rgb, spec_rgb, shin, m_dir,
+                                  wi_i),
+                f_diffuse)
+            contrib = plt_.intensity[li] * f_i * (cos_i / d2)[:, None]
+            if cfg.shadow_mode == "transmittance":
+                contrib = contrib * scene_transmittance(
+                    scene, shadow_o, wi_i, dist_i * (1.0 - 1e-3),
+                    ray_chunk=ray_chunk, active=nee_active)
+            else:
+                blk = scene_occluded(scene, shadow_o, wi_i,
+                                     dist_i * (1.0 - 1e-3),
+                                     ray_chunk=ray_chunk,
+                                     active=nee_active)
+                contrib = jnp.where(blk[:, None], 0.0, contrib)
+            direct = direct + contrib
+
     d_dir, d_pdf = sampling.cosine_weighted_hemisphere(
         n_s, u[:, rng.U_BSDF0], u[:, rng.U_BSDF1]
     )

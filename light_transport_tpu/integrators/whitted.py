@@ -126,22 +126,51 @@ def _shade_local(scene, o, d, hit, ray_chunk, active):
 
     color = jnp.zeros((n, 3), o.dtype)
     num_l = lp.shape[0]
-    for li in range(num_l):
-        to_l = lp[li] - shifted
+    plt_ = scene.point_lights
+    if plt_ is not None:
+        # with point lights present a degenerate zero-radiance area table
+        # (scenes with no emissive triangles) must not shade — weight each
+        # area row by whether it actually emits.  Point-light-free scenes
+        # keep the legacy static path below bit-identically.
+        row_w = [jnp.any(scene.lights.radiance[li] > 0).astype(o.dtype)
+                 for li in range(num_l)]
+    else:
+        row_w = None
+
+    def phong_row(l_pos, amb_i, dif_i, spec_i):
+        """One Phong-shaded light row toward position ``l_pos`` — the
+        reference's per-light ambient+diffuse+specular with a shadow test
+        (src/render_old.py:70-134)."""
+        to_l = l_pos - shifted
         dist = lm.norm(to_l)
         wi = to_l / jnp.maximum(dist, 1e-20)[:, None]
         shadowed = _occluded(scene, shifted, wi, dist * (1 - 1e-3),
                              ray_chunk, active=hit_ok)
-        illum = o_amb * l_amb[li]
+        illum = o_amb * amb_i
         ndotl = jnp.maximum(lm.dot(wi, n_s), 0.0)
-        diffuse = o_dif * l_dif[li] * ndotl[:, None]
+        diffuse = o_dif * dif_i * ndotl[:, None]
         to_cam = lm.normalize(scene.camera - hp)
         h = lm.normalize(wi + to_cam)
         ndoth = jnp.maximum(lm.dot(n_s, h), 0.0)
-        spec = o_spec * l_spec[li] * (ndoth ** (shin / 4.0))[:, None]
+        spec = o_spec * spec_i * (ndoth ** (shin / 4.0))[:, None]
         lit = illum + diffuse + spec
-        color = color + jnp.where(shadowed[:, None], illum, lit)
-    color = color / max(num_l, 1)
+        return jnp.where(shadowed[:, None], illum, lit)
+
+    for li in range(num_l):
+        row = phong_row(lp[li], l_amb[li], l_dif[li], l_spec[li])
+        color = color + (row if row_w is None else row_w[li] * row)
+    if plt_ is None:
+        color = color / max(num_l, 1)
+    else:
+        # point (delta) lights: Phong rows toward the positions with the
+        # table's light colors (reference GUI 'Point' source,
+        # app.py:152-158; colors come off the light material there)
+        for li in range(plt_.num):
+            pos = jnp.broadcast_to(plt_.position[li], shifted.shape)
+            color = color + phong_row(pos, plt_.ambient[li],
+                                      plt_.diffuse[li], plt_.specular[li])
+        denom = sum(row_w) + plt_.num
+        color = color / jnp.maximum(denom, 1.0)
     color = jnp.where(hit_ok[:, None], color, 0.0)
 
     is_mirror = mats.bsdf[mat_id] == 1

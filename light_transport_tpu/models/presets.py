@@ -99,6 +99,26 @@ def lts_scene(**kw):
     return cornell_box_scene(**kw)
 
 
+def point_light_scene(width=150, height=150, spp=12, max_depth=4):
+    """Cornell box lit by a true point (delta) light — the reference GUI's
+    'Point' source option (app.py:152-158) as a first-class scene.
+
+    Same geometry as the LTS scene with emission=0 (the top panel stays as
+    dark geometry) and one bare-bulb point light in the upper middle of
+    the room — an isotropic point near a surface floods it with 1/r^2
+    irradiance, so a mid-room placement keeps every wall at a sane
+    distance (the reference GUI's default point position is similarly
+    mid-room, app.py:153-156).  Intensity matches the area panel's total
+    power: a one-sided Lambertian panel emits ``pi * L * A``; an
+    isotropic point of equal power has ``I = L * A / 4`` = 200 * 4 / 4 =
+    200."""
+    scene, cfg = cornell_box_scene(width=width, height=height, spp=spp,
+                                   max_depth=max_depth, emission=0.0)
+    scene = scene.with_point_lights([[0.0, 3.0, 0.0]],
+                                    [[200.0, 200.0, 200.0]])
+    return scene, cfg
+
+
 def hard_shadow_scene(width=400, height=400):
     """The reference's hard_shadow.ipynb scene, rebuilt exactly: a 2-unit
     BRONZE cube at [0,2]^3 on a green floor (y=-2, x +/-52, z +/-7), a point
@@ -192,4 +212,5 @@ PRESETS: Dict[str, Callable] = {
     "full_scale": full_scale,
     "lts": lts_scene,
     "glass": glass_scene,
+    "point": point_light_scene,
 }

@@ -82,6 +82,56 @@ class LightTable:
         return self.area.shape[0]
 
 
+@struct.dataclass
+class PointLightTable:
+    """SoA table of point (delta) light sources.
+
+    The reference GUI's 'Point' light option builds ``Light(source=pos,
+    material)`` rows (app.py:152-158) that its integrators shade toward
+    directly; this repo previously only emulated them with tiny emissive
+    quads (models/presets.hard_shadow_scene).  A true delta light has no
+    geometry: the path tracer adds a deterministic direct term
+    ``f(wi) * I * cos(theta) / r^2 * V`` per light (no pdf — the light
+    cannot be BSDF-sampled, so NEE is the only strategy and the MIS
+    weight is 1), and Whitted Phong-shades toward the position with the
+    table's light colors (the reference reads them off the light's
+    material, src/render_old.py:70-134).
+    """
+
+    position: np.ndarray  # (P, 3)
+    intensity: np.ndarray  # (P, 3) radiant intensity I [power/sr]
+    # Whitted Phong light colors (reference light material Color rows)
+    ambient: np.ndarray  # (P, 3)
+    diffuse: np.ndarray  # (P, 3)
+    specular: np.ndarray  # (P, 3)
+
+    @staticmethod
+    def build(positions, intensities, ambient=None, diffuse=None,
+              specular=None, dtype=np.float32) -> "PointLightTable":
+        pos = np.atleast_2d(np.asarray(positions, dtype=dtype))
+        inten = np.broadcast_to(
+            np.atleast_2d(np.asarray(intensities, dtype=dtype)), pos.shape)
+        ones = np.ones_like(pos)
+
+        def norm3(x, default):
+            if x is None:
+                return default
+            return np.broadcast_to(
+                np.atleast_2d(np.asarray(x, dtype=dtype)), pos.shape)
+
+        return PointLightTable(
+            position=jnp.asarray(pos),
+            intensity=jnp.asarray(np.ascontiguousarray(inten)),
+            ambient=jnp.asarray(norm3(ambient, ones)),
+            diffuse=jnp.asarray(norm3(diffuse, ones)),
+            specular=jnp.asarray(norm3(specular, ones)),
+        )
+
+    @property
+    def num(self) -> int:
+        return self.position.shape[0]
+
+
 def sample_light_points(lights: LightTable, u_pick, u0, u1):
     """Sample points uniformly over the union of light surfaces.
 

@@ -55,6 +55,10 @@ class Scene:
     # optional analytic sphere/plane primitives (reference Sphere/Plane,
     # src/primitives.py:41-66, made renderable — scene/analytic.py)
     analytic: Optional["AnalyticPrims"] = None
+    # optional point (delta) lights — the reference GUI's 'Point' source
+    # (app.py:152-158) as a first-class table instead of a tiny emissive
+    # quad; see scene/lights.PointLightTable and with_point_lights()
+    point_lights: Optional["PointLightTable"] = None
     # static flag: route ALL triangle queries through the watertight
     # PBRT-style test (ops/intersect.intersect_rays_watertight) — the
     # reference flagship's convention (pc_triangle_intersect for every hit,
@@ -102,6 +106,7 @@ class Scene:
             camera=self.camera,
             bvh=bvh,
             analytic=self.analytic,
+            point_lights=self.point_lights,
             watertight=self.watertight,
         )
         if treelet is True or (treelet == "auto"
@@ -129,6 +134,20 @@ class Scene:
                 f"{self.mesh.v0.shape[0]:,}")
         return dataclasses.replace(
             self, treelet=build_treelet_tables(self.bvh, T=T))
+
+    def with_point_lights(self, positions, intensities, **phong) -> "Scene":
+        """Attach point (delta) light sources (reference GUI 'Point'
+        option, app.py:152-158).  ``positions``/``intensities`` are
+        (P, 3)-broadcastable; ``**phong`` forwards the optional Whitted
+        light colors (ambient/diffuse/specular) to
+        :class:`~light_transport_tpu.scene.lights.PointLightTable`."""
+        import dataclasses
+
+        from light_transport_tpu.scene.lights import PointLightTable
+
+        return dataclasses.replace(
+            self, point_lights=PointLightTable.build(
+                positions, intensities, dtype=self.camera.dtype, **phong))
 
     def with_watertight(self, on: bool = True) -> "Scene":
         """Select the watertight triangle test for every scene query (the
