@@ -39,6 +39,14 @@ def main():
     out["whitted"] = {"seconds": round(t.seconds, 3),
                       "mean": float(img_w.mean())}
 
+    # bdpt with delta-origin light subpaths: the same transport through
+    # deterministic s=1 connections + isotropic light walks + t=1 splats
+    with timer() as t:
+        img_b = np.asarray(render(scene, cfg, seed=0, integrator="bdpt"))
+    save_image(img_b, "point_light_bdpt.png")
+    out["bdpt"] = {"seconds": round(t.seconds, 3),
+                   "mean": float(img_b.mean())}
+
     # same geometry under the area panel, for the soft-vs-hard shadow A/B
     area_scene, area_cfg = cornell_box_scene(width=192, height=192, spp=16,
                                              max_depth=4)

@@ -30,6 +30,21 @@ Scope notes (documented):
   vertex is specular are excluded from the light-side strategies
   (PT-unreachable transport; raise max_depth to include it);
 - subpath walks do not Russian-roulette (depth is statically bounded);
+- point (delta) lights are supported for point-only scenes (api.render
+  refuses mixed area+delta lighting): light subpaths originate at the
+  delta table (uniform pick, isotropic emission), s=1 connects every
+  camera vertex to every light deterministically, s=0 strategies do not
+  exist, and the MIS partition carries the three delta-origin
+  asymmetries through ``light_side_mis(origin_delta=, nee_pick_ratio=)``
+  and the 1/P-weighted ``pt_rev`` (partition of unity proven in
+  tests/test_pointlights.py).  With light tracing on, bdpt renders
+  delta-light caustics (point -> specular chain -> diffuse -> camera)
+  the path tracer structurally cannot sample at ANY depth — a delta
+  light cannot be BSDF-hit and NEE does not cross glass — so on
+  specular scenes bdpt is strictly MORE complete than PT under point
+  lighting (the splat takes MIS weight 1: every alternative junction
+  holds a delta vertex; measured +5% image mean on the glass-cone
+  Cornell at max_depth=4, tests/test_pointlights.py caustics test);
 - subpath segments inside transmissive objects attenuate by Beer-Lambert
   of the carried interior sigma_a (the PathState convention, one-level
   nesting), so absorbing-media scenes estimate the same transport as the
@@ -344,6 +359,37 @@ def generate_light_subpaths(scene, cfg, key, n, uniforms, ray_chunk=None):
     return verts, light0
 
 
+def generate_light_subpaths_point(scene, cfg, key, n, uniforms,
+                                  ray_chunk=None):
+    """Light-side walk from a point (delta) light table: pick one of the
+    ``P`` lights uniformly, emit isotropically (uniform sphere,
+    pdf = 1/4pi), so ``beta0 = I * P * 4pi``.  The origin is a delta
+    position: it carries no area density and no normal (``l0['ns']`` is
+    the emission direction, used only as an arbitrary unit vector —
+    every consumer gates it out through ``origin_delta``)."""
+    plt_ = scene.point_lights
+    p_count = plt_.num
+    k1, k2 = jax.random.split(key, 2)
+    u_pick = jax.random.uniform(k1, (n,))
+    u_d = jax.random.uniform(k2, (n, 2))
+    idx = jnp.clip((u_pick * p_count).astype(jnp.int32), 0, p_count - 1)
+    lp = plt_.position[idx]
+    inten = plt_.intensity[idx]
+    # uniform sphere direction
+    z = 1.0 - 2.0 * u_d[:, 0]
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = 2.0 * jnp.pi * u_d[:, 1]
+    d0 = jnp.stack([r * jnp.cos(phi), z, r * jnp.sin(phi)], -1)
+    pdf_dir = jnp.full((n,), 1.0 / (4.0 * jnp.pi))
+    pick_p = 1.0 / p_count
+    beta0 = inten / (pick_p * pdf_dir)[:, None]
+    o0 = lp + lm.EPSILON * d0
+    verts = random_walk(scene, o0, d0, beta0, pdf_dir, uniforms,
+                        cfg.max_depth, ray_chunk)
+    light0 = dict(pos=lp, ns=d0, emit=inten, pdf_pos=jnp.full((n,), pick_p))
+    return verts, light0
+
+
 def _remap(p):
     return jnp.where(p == 0.0, 1.0, p)
 
@@ -442,7 +488,8 @@ def cam_side_mis(cam: Vertices, j: int, pt_rev, ptm_rev,
 
 
 def light_side_mis(lv: Vertices, l0: dict, pdf_area_light, end: int,
-                   qs_rev, qsm_rev, skip_s0: bool = False):
+                   qs_rev, qsm_rev, skip_s0: bool = False,
+                   origin_delta: bool = False, nee_pick_ratio: float = 1.0):
     """Balance-heuristic denominator terms from light-side alternative
     strategies.
 
@@ -455,7 +502,17 @@ def light_side_mis(lv: Vertices, l0: dict, pdf_area_light, end: int,
     ``skip_s0`` excludes the s'=0 term (camera walk hits the light): for
     paths at the depth cap that alternative would need a camera walk of
     max_depth+1 vertices, which ``random_walk`` never produces, so it is
-    never sampled and must not enter the partition."""
+    never sampled and must not enter the partition.
+
+    ``origin_delta`` marks a point (delta) light origin: the s'=0 term
+    leaves the partition unconditionally (a camera walk cannot hit a
+    delta position), and the origin's reverse density is 0/remap (it
+    cannot be re-generated by scattering).  ``nee_pick_ratio`` scales the
+    s'=1 (NEE) term only: it is the ratio of NEE's discrete light-choice
+    density to the light walk's (for the deterministic all-lights NEE sum
+    over P point lights the walk picks with 1/P while NEE evaluates each
+    with density 1, so the ratio is P; area lights share the same 1/A
+    position density on both sides, ratio 1)."""
     n = lv.pos.shape[0]
     ri = jnp.ones((n,))
     total = jnp.zeros((n,))
@@ -465,19 +522,24 @@ def light_side_mis(lv: Vertices, l0: dict, pdf_area_light, end: int,
         elif k == end - 1:
             rev = qsm_rev
         elif k == 0:
-            # rev density of the light origin: walk vertex 0 scattering
-            # back toward it (delta -> 0/remap).  This branch fires only
-            # for end >= 2, so the reversed walk reaches lv[0] traveling
-            # from lv[1] (glossy lobe needs the incoming direction)
-            diff0 = ~lv.is_delta[:, 0]
-            v01 = lv.pos[:, 0] - lv.pos[:, 1]
-            w01 = v01 / jnp.sqrt(
-                jnp.maximum(lm.dot(v01, v01), 1e-20))[..., None]
-            rev = jnp.where(
-                diff0,
-                _vertex_pdf_area(lv, 0, l0["pos"], l0["ns"], w_in=w01),
-                0.0,
-            )
+            if origin_delta:
+                # a delta position has zero scatter-to density (remap -> 1
+                # in the ratio; the s'=0 term is excluded below anyway)
+                rev = jnp.zeros((n,))
+            else:
+                # rev density of the light origin: walk vertex 0 scattering
+                # back toward it (delta -> 0/remap).  This branch fires only
+                # for end >= 2, so the reversed walk reaches lv[0] traveling
+                # from lv[1] (glossy lobe needs the incoming direction)
+                diff0 = ~lv.is_delta[:, 0]
+                v01 = lv.pos[:, 0] - lv.pos[:, 1]
+                w01 = v01 / jnp.sqrt(
+                    jnp.maximum(lm.dot(v01, v01), 1e-20))[..., None]
+                rev = jnp.where(
+                    diff0,
+                    _vertex_pdf_area(lv, 0, l0["pos"], l0["ns"], w_in=w01),
+                    0.0,
+                )
         else:
             rev = lv.pdf_rev[:, k - 1]
         fwd = (
@@ -485,11 +547,12 @@ def light_side_mis(lv: Vertices, l0: dict, pdf_area_light, end: int,
             if k == 0 else lv.pdf_fwd[:, k - 1]
         )
         ri = ri * _remap(rev) / _remap(fwd)
-        if k == 0 and skip_s0:
+        if k == 0 and (skip_s0 or origin_delta):
             continue
         d_k = jnp.zeros((n,), bool) if k == 0 else lv.is_delta[:, k - 1]
         d_km = jnp.zeros((n,), bool) if k <= 1 else lv.is_delta[:, k - 2]
-        total = total + jnp.where(~d_k & ~d_km, ri, 0.0)
+        term = ri * nee_pick_ratio if k == 1 else ri
+        total = total + jnp.where(~d_k & ~d_km, term, 0.0)
     return total
 
 
@@ -522,15 +585,37 @@ def render_bdpt(
 
     cam = generate_camera_subpaths(scene, cfg, origins, directions, cam_u,
                                    ray_chunk)
-    lv, l0 = generate_light_subpaths(scene, cfg, k_ls, n, light_u, ray_chunk)
+    # point (delta) lights: the light set is the PointLightTable (api.render
+    # guarantees the area table is dark when both are attached).  The origin
+    # is a delta position, so s=0 strategies do not exist, the origin's
+    # reverse density is 0/remap, and NEE (the deterministic all-lights sum
+    # below) differs from the walk's uniform pick by the factor P — all
+    # three asymmetries flow through light_side_mis's origin_delta /
+    # nee_pick_ratio arguments.
+    point_mode = scene.point_lights is not None
+    if point_mode:
+        lv, l0 = generate_light_subpaths_point(scene, cfg, k_ls, n, light_u,
+                                               ray_chunk)
+        p_count = scene.point_lights.num
+        # the discrete light-pick probability plays the origin-density role
+        # the area measure 1/A plays for area lights (fwd at k==0)
+        pdf_area_light = 1.0 / p_count
+        nee_ratio = float(p_count)
+    else:
+        lv, l0 = generate_light_subpaths(scene, cfg, k_ls, n, light_u,
+                                         ray_chunk)
+        total_area = jnp.maximum(scene.lights.total_area, 1e-12)
+        pdf_area_light = 1.0 / total_area
+        nee_ratio = 1.0
 
     radiance = jnp.zeros((n, 3))
     max_d = cfg.max_depth
-    total_area = jnp.maximum(scene.lights.total_area, 1e-12)
-    pdf_area_light = 1.0 / total_area
 
     # ---- s = 0: camera path hits the light ---------------------------------
-    for j in range(max_d):
+    # (a camera walk cannot hit a delta position — no such strategy exists
+    # in point mode, and every other strategy's MIS partition excludes it
+    # through origin_delta)
+    for j in range(max_d if not point_mode else 0):
         hit_light = cam.valid[:, j] & cam.is_light[:, j]
         contrib = cam.beta[:, j] * cam.emit[:, j]
         # MIS: alternatives are s'>=1 strategies for the same path.
@@ -549,9 +634,48 @@ def render_bdpt(
             hit_light[:, None], contrib * w[:, None], 0.0
         )
 
+    # ---- s = 1 (point mode): deterministic connection to every delta light -
+    if point_mode:
+        inv_4pi = 1.0 / (4.0 * jnp.pi)
+        plt_ = scene.point_lights
+        for j in range(max_d):
+            ok0 = cam.valid[:, j] & ~cam.is_delta[:, j]
+            cp = cam.pos[:, j]
+            cns = cam.ns[:, j]
+            for li in range(p_count):
+                lp = jnp.broadcast_to(plt_.position[li], cp.shape)
+                to_l = lp - cp
+                d2 = jnp.maximum(lm.dot(to_l, to_l), 1e-20)
+                dist = jnp.sqrt(d2)
+                wi = to_l / dist[:, None]
+                cos_c = jnp.abs(lm.dot(cns, wi))
+                f_cam = _vertex_f(cam, j, wi)
+                contrib = cam.beta[:, j] * f_cam * plt_.intensity[li] \
+                    * (cos_c / d2)[:, None]
+                blocked = _occluded(scene, cp + lm.EPSILON * cns, wi,
+                                    dist * (1 - 1e-3), ray_chunk, active=ok0)
+                ok = ok0 & ~blocked
+                # MIS: the only alternatives are camera-side (s' >= 2 light
+                # walks; s'=0 does not exist).  pt_rev = the light walk's
+                # density of generating cam[j]: uniform pick (1/P — NEE
+                # evaluates each light with density 1, so the ratio stays
+                # in pt_rev) x isotropic emission 1/4pi -> area at cam[j]
+                pt_rev = (1.0 / p_count) * inv_4pi * cos_c / d2
+                if j > 0:
+                    ptm_rev = _vertex_pdf_area(cam, j, cam.pos[:, j - 1],
+                                               cam.ns[:, j - 1], w_in=-wi)
+                else:
+                    ptm_rev = jnp.zeros((n,))
+                denom_cam = cam_side_mis(cam, j, pt_rev, ptm_rev,
+                                         light_tracing)
+                w = 1.0 / (1.0 + denom_cam)
+                radiance = radiance + jnp.where(
+                    ok[:, None], contrib * w[:, None], 0.0
+                )
+
     # ---- s = 1: connect camera vertex to a fresh light sample --------------
     ul = jax.random.uniform(k_nee, (n, max_d, 3))
-    for j in range(max_d):
+    for j in range(max_d if not point_mode else 0):
         ok = cam.valid[:, j] & ~cam.is_delta[:, j]
         lp, ln, lrad, pdf_pos = sample_light_points(
             scene.lights, ul[:, j, 0], ul[:, j, 1], ul[:, j, 2]
@@ -647,17 +771,22 @@ def render_bdpt(
             else:
                 ptm_rev = jnp.zeros((n,))
             if i > 0:
-                qsm_pos, qsm_ns = lv.pos[:, i - 1], lv.ns[:, i - 1]
+                qsm_rev = _vertex_pdf_area(lv, i, lv.pos[:, i - 1],
+                                           lv.ns[:, i - 1], w_in=wi)
+            elif point_mode:
+                # a delta origin cannot be re-generated by scattering
+                qsm_rev = jnp.zeros((n,))
             else:
-                qsm_pos, qsm_ns = l0["pos"], l0["ns"]
-            qsm_rev = _vertex_pdf_area(lv, i, qsm_pos, qsm_ns, w_in=wi)
+                qsm_rev = _vertex_pdf_area(lv, i, l0["pos"], l0["ns"],
+                                           w_in=wi)
 
             denom_cam = cam_side_mis(cam, j, pt_rev, ptm_rev, light_tracing)
             # at the cap ((i+1)+(j+1) == max_d) the s'=0 alternative would
             # need a camera walk of max_d+1 vertices — never sampled
             denom_light = light_side_mis(
                 lv, l0, pdf_area_light, i + 1, qs_rev, qsm_rev,
-                skip_s0=(i + 1) + (j + 1) == max_d)
+                skip_s0=(i + 1) + (j + 1) == max_d,
+                origin_delta=point_mode, nee_pick_ratio=nee_ratio)
             w = 1.0 / (1.0 + denom_cam + denom_light)
             radiance = radiance + jnp.where(
                 ok[:, None], contrib * w[:, None], 0.0
@@ -720,18 +849,23 @@ def render_bdpt(
             # MIS: junction rev densities — the camera generating P, and P
             # scattering backward along the light chain
             qs_rev = we * cos_p / r2  # camera area density at P
-            if i > 0:
-                qsm_pos, qsm_ns = lv.pos[:, i - 1], lv.ns[:, i - 1]
-            else:
-                qsm_pos, qsm_ns = l0["pos"], l0["ns"]
             # hypothetical reversed (camera-side) walk reaches P traveling
             # camera -> P, i.e. along -w_dir
-            qsm_rev = _vertex_pdf_area(lv, i, qsm_pos, qsm_ns,
-                                       w_in=-w_dir)
+            if i > 0:
+                qsm_rev = _vertex_pdf_area(lv, i, lv.pos[:, i - 1],
+                                           lv.ns[:, i - 1], w_in=-w_dir)
+            elif point_mode:
+                # a delta origin cannot be re-generated by scattering
+                qsm_rev = jnp.zeros((n,))
+            else:
+                qsm_rev = _vertex_pdf_area(lv, i, l0["pos"], l0["ns"],
+                                           w_in=-w_dir)
             # at i = max_d-1 the splat path has max_d+1 surface vertices;
             # the s'=0 alternative is unreachable for the camera walk
             denom = light_side_mis(lv, l0, pdf_area_light, i + 1, qs_rev,
-                                   qsm_rev, skip_s0=i == max_d - 1)
+                                   qsm_rev, skip_s0=i == max_d - 1,
+                                   origin_delta=point_mode,
+                                   nee_pick_ratio=nee_ratio)
             w_mis = 1.0 / (1.0 + denom)
 
             add = jnp.where(ok[:, None], contrib * w_mis[:, None], 0.0)

@@ -93,9 +93,11 @@ class PointLightTable:
     geometry: the path tracer adds a deterministic direct term
     ``f(wi) * I * cos(theta) / r^2 * V`` per light (no pdf — the light
     cannot be BSDF-sampled, so NEE is the only strategy and the MIS
-    weight is 1), and Whitted Phong-shades toward the position with the
+    weight is 1), Whitted Phong-shades toward the position with the
     table's light colors (the reference reads them off the light's
-    material, src/render_old.py:70-134).
+    material, src/render_old.py:70-134), and bdpt walks light subpaths
+    from the table for point-only scenes
+    (integrators/bdpt.generate_light_subpaths_point).
     """
 
     position: np.ndarray  # (P, 3)

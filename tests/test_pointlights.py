@@ -190,13 +190,166 @@ def test_with_bvh_preserves_point_lights():
                                   np.asarray(scene.point_lights.position))
 
 
-def test_bdpt_refuses_point_lights():
+def test_bdpt_refuses_mixed_area_and_point_lights():
+    """bdpt runs ONE light-origin family per render (area xor delta);
+    a scene carrying both must be refused, not silently half-rendered."""
     from light_transport_tpu.api import render
+    from light_transport_tpu.scene.cornell import cornell_box_scene
 
-    scene = _floor_scene()
-    cfg = RenderConfig(width=4, height=4, spp=1, max_depth=2)
-    with pytest.raises(ValueError, match="point lights"):
+    scene, cfg = cornell_box_scene(width=4, height=4, spp=1, max_depth=2)
+    scene = scene.with_point_lights([[0.0, 0.0, 0.0]], [[5.0, 5.0, 5.0]])
+    with pytest.raises(ValueError, match="dark"):
         render(scene, cfg, integrator="bdpt")
+
+
+def test_bdpt_point_light_renders():
+    """Point-only lighting through bdpt: the delta-origin light subpaths
+    plus the deterministic s=1 connections produce a finite, lit image."""
+    from light_transport_tpu.api import render
+    from light_transport_tpu.models.presets import point_light_scene
+
+    scene, cfg = point_light_scene(width=12, height=12, spp=4, max_depth=3)
+    img = np.asarray(render(scene, cfg, seed=0, integrator="bdpt"))
+    assert np.all(np.isfinite(img)) and 0.05 < img.mean() < 1.0
+
+
+@pytest.mark.slow
+def test_bdpt_point_light_matches_path_tracer():
+    """Both estimators are unbiased on the specular-free point-lit Cornell,
+    so the images must agree within MC error — the strongest check on the
+    delta-origin MIS bookkeeping (origin_delta exclusions, the x P NEE-pick
+    ratio, the 1/P-weighted pt_rev): any density error shifts the
+    brightness.  (The cone is excluded because a delta light seen through
+    glass is transport the path tracer structurally CANNOT sample — see
+    test_bdpt_point_light_caustics_exceed_path_tracer.)"""
+    from light_transport_tpu.integrators.bdpt import render_bdpt
+    from light_transport_tpu.integrators.path_tracer import render_image
+    from light_transport_tpu.scene.cornell import cornell_box_scene
+    from light_transport_tpu.tally.stats import image_mae
+
+    scene, cfg = cornell_box_scene(width=20, height=20, spp=32, max_depth=4,
+                                   include_cone=False, emission=0.0)
+    scene = scene.with_point_lights([[0.0, 3.0, 0.0]],
+                                    [[200.0, 200.0, 200.0]])
+    img_pt = np.asarray(render_image(scene, cfg, jax.random.key(0)))
+    img_bd = np.asarray(render_bdpt(scene, cfg, jax.random.key(1)))
+    assert abs(img_pt.mean() - img_bd.mean()) < 0.01, (
+        img_pt.mean(), img_bd.mean()
+    )
+    assert image_mae(img_pt, img_bd) < 0.06
+
+
+@pytest.mark.slow
+def test_bdpt_point_light_caustics_exceed_path_tracer():
+    """On the glass-cone scene bdpt's light-tracing splats carry point-light
+    caustics (L -> refract -> refract -> diffuse -> camera) that the path
+    tracer structurally cannot sample at ANY depth: a delta light cannot be
+    BSDF-hit, and NEE shadow rays do not cross glass.  So at max_depth=4
+    (the first depth that admits the family):
+
+      - bdpt without light tracing must MATCH the path tracer (the s>=2
+        connection for the caustic sits exactly at the depth cap, where the
+        specular-light-adjacent exclusion keeps PT parity), and
+      - bdpt WITH light tracing must be measurably brighter — the caustic
+        splats take MIS weight 1 (every alternative strategy has a delta
+        vertex at its junction)."""
+    from light_transport_tpu.integrators.bdpt import render_bdpt
+    from light_transport_tpu.integrators.path_tracer import render_image
+    from light_transport_tpu.models.presets import point_light_scene
+
+    scene, cfg = point_light_scene(width=16, height=16, spp=48, max_depth=4)
+    pt = float(np.asarray(render_image(scene, cfg, jax.random.key(0))).mean())
+    bd_no_lt = float(np.asarray(
+        render_bdpt(scene, cfg, jax.random.key(2), None, False)).mean())
+    bd_lt = float(np.asarray(
+        render_bdpt(scene, cfg, jax.random.key(1))).mean())
+    assert abs(pt - bd_no_lt) < 0.01, (pt, bd_no_lt)
+    assert bd_lt > pt + 0.005, (bd_lt, pt)
+
+
+def test_point_mis_partition_of_unity():
+    """Balance-heuristic weights must sum to 1 over the strategies that can
+    produce the 2-segment point-light path (camera -> v1 -> L).  With a
+    delta origin there are exactly TWO (s=0 cannot hit a delta position):
+
+      A: s=1, t=2  (deterministic NEE connect from v1; light picked with
+                    density 1)
+      C: s=2, t=1  (light walk: pick 1/P, isotropic 1/4pi emission to v1,
+                    film splat)
+
+    Evaluated through the module's own cam_side_mis / light_side_mis, so
+    any inconsistency in the delta-origin algebra (origin_delta exclusion,
+    the x P s'=1 ratio, the 1/P factor inside pt_rev) breaks the sum."""
+    import jax.numpy as jnp
+
+    from light_transport_tpu.core import math as lm
+    from light_transport_tpu.integrators.bdpt import (
+        Vertices,
+        _camera_pdf_dir,
+        _to_area,
+        cam_side_mis,
+        generate_camera_subpaths,
+        light_side_mis,
+    )
+    from light_transport_tpu.integrators.path_tracer import camera_rays
+    from light_transport_tpu.models.presets import point_light_scene
+
+    scene, cfg = point_light_scene(width=8, height=8, spp=1, max_depth=2)
+    p_count = scene.point_lights.num
+    n = 64
+    key = jax.random.key(7)
+    u_aa = jax.random.uniform(key, (n, 2))
+    o, d = camera_rays(scene, cfg, jnp.tile(u_aa, (1, 1)))
+    o, d = o[:n], d[:n]
+    cam_u = jax.random.uniform(jax.random.fold_in(key, 1), (n, 2, 2))
+    cam = generate_camera_subpaths(scene, cfg, o, d, cam_u)
+
+    lp = jnp.broadcast_to(scene.point_lights.position[0], (n, 3))
+    v1, v1ns = cam.pos[:, 0], cam.ns[:, 0]
+    usable = np.asarray(cam.valid[:, 0] & ~cam.is_delta[:, 0])
+    zeros = jnp.zeros((n,))
+    pick_p = 1.0 / p_count
+    inv_4pi = 1.0 / (4.0 * np.pi)
+
+    to_l = lp - v1
+    d2 = jnp.maximum(lm.dot(to_l, to_l), 1e-20)
+    cos_c = jnp.abs(lm.dot(v1ns, to_l / jnp.sqrt(d2)[:, None]))
+    # light-walk density of generating v1: pick x isotropic emission, area
+    pt_rev = pick_p * inv_4pi * cos_c / d2
+
+    # A: s=1, t=2 — exactly the denominators the point s=1 block builds
+    # (no light-side terms: s'=0 does not exist for a delta origin)
+    w_a = 1.0 / (1.0 + cam_side_mis(cam, 0, pt_rev, zeros, True))
+
+    # C: s=2, t=1 — light subpath (delta origin, v1 walk vertex) splatted
+    # to the camera; junction rev density = camera area density at v1
+    dir_cp = (v1 - scene.camera) / jnp.linalg.norm(
+        v1 - scene.camera, axis=-1, keepdims=True)
+    cam_area_pdf = _to_area(_camera_pdf_dir(scene, cfg, dir_cp),
+                            jnp.broadcast_to(scene.camera, v1.shape),
+                            v1, v1ns)
+    lv_c = Vertices(
+        pos=(cam.pos * 0.0).at[:, 0].set(v1),
+        ns=(cam.ns * 0.0).at[:, 0].set(v1ns),
+        diffuse=cam.diffuse * 0.0, beta=cam.beta * 0.0,
+        # the walk's stored fwd density carries the direction term only
+        # (the pick enters as the k==0 fwd = pick_p)
+        pdf_fwd=(cam.pdf_fwd * 0.0).at[:, 0].set(inv_4pi * cos_c / d2),
+        pdf_rev=cam.pdf_rev * 0.0,
+        valid=(cam.valid & False).at[:, 0].set(cam.valid[:, 0]),
+        is_light=cam.is_light & False, is_delta=cam.is_delta & False,
+        emit=cam.emit * 0.0, spec=cam.spec * 0.0, shin=cam.shin * 0.0,
+        win=cam.win * 0.0,
+    )
+    l0 = dict(pos=lp, ns=jnp.broadcast_to(
+        jnp.asarray([0.0, -1.0, 0.0]), (n, 3)))
+    w_c = 1.0 / (1.0 + light_side_mis(
+        lv_c, l0, pick_p, 1, cam_area_pdf, zeros,
+        origin_delta=True, nee_pick_ratio=float(p_count)))
+
+    total = np.asarray(w_a + w_c)[usable]
+    assert usable.sum() > 24
+    np.testing.assert_allclose(total, 1.0, rtol=1e-4)
 
 
 def test_cv_render_with_point_lights_runs():

@@ -60,6 +60,21 @@ def test_sharded_render_matches_unsharded():
     np.testing.assert_allclose(img_sharded, img_ref, atol=2e-5)
 
 
+def test_sharded_render_with_point_lights_matches_unsharded():
+    """Point (delta) lights ride the replicated scene pytree through
+    shard_map — the sharded estimator must match the single-device one
+    exactly (same uniforms, same lane layout)."""
+    from light_transport_tpu.integrators.path_tracer import render_image
+    from light_transport_tpu.models.presets import point_light_scene
+
+    scene, cfg = point_light_scene(width=12, height=12, spp=4, max_depth=3)
+    mesh = make_mesh()
+    img_sharded = np.asarray(render_sharded(scene, cfg, jax.random.key(3),
+                                            mesh=mesh))
+    img_ref = np.asarray(render_image(scene, cfg, jax.random.key(3)))
+    np.testing.assert_allclose(img_sharded, img_ref, atol=2e-5)
+
+
 def test_sharded_render_honors_sampler_and_dof():
     """render_sharded shares the single-device lane preamble
     (path_tracer._camera_lanes), so cfg.sampler='sobol' and the thin-lens
