@@ -56,6 +56,18 @@ def main():
     out["area_path"] = {"seconds": round(t.seconds, 3),
                         "mean": float(img_a.mean())}
 
+    # MIXED lighting through bdpt: area panel AND the point source in one
+    # render — the light walks pick their origin family per lane with a
+    # power-proportional probability (integrators/bdpt._light_family)
+    mixed_scene = area_scene.with_point_lights([[0.0, 3.0, 0.0]],
+                                               [[40.0, 40.0, 40.0]])
+    with timer() as t:
+        img_m = np.asarray(render(mixed_scene, area_cfg, seed=0,
+                                  integrator="bdpt"))
+    save_image(img_m, "mixed_light_bdpt.png")
+    out["mixed_bdpt"] = {"seconds": round(t.seconds, 3),
+                         "mean": float(img_m.mean())}
+
     report("point_light", sum(v["seconds"] for v in out.values()), **out)
 
 

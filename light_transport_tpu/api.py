@@ -44,21 +44,6 @@ def render(
             f"aperture > 0 (thin-lens DOF) is supported by the path and "
             f"adaptive integrators (and render_cv) only "
             f"(got integrator={integrator!r})")
-    if scene.point_lights is not None and integrator == "bdpt":
-        # bdpt's light subpaths originate either on area-light surfaces
-        # (sample_light_points) or at the delta table
-        # (generate_light_subpaths_point) — one family per render.  A
-        # mixed scene would need a discrete area-vs-delta origin choice
-        # threaded through every MIS density; refuse rather than silently
-        # ignore one light set.
-        import numpy as _np
-
-        if float(_np.asarray(scene.lights.radiance).max()) > 0.0:
-            raise ValueError(
-                "bdpt supports point lights only when the area-light "
-                "table is dark (no emissive triangles); mixed "
-                "area+point lighting is supported by the path, "
-                "adaptive, and whitted integrators (and render_cv)")
     if cfg.emission_mode == "mis" and cfg.nee_mode != "one":
         # the power heuristic weighs the NEE strategy's area-sampling
         # density; the 'all' quadrature estimator has no such density

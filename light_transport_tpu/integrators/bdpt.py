@@ -30,14 +30,21 @@ Scope notes (documented):
   vertex is specular are excluded from the light-side strategies
   (PT-unreachable transport; raise max_depth to include it);
 - subpath walks do not Russian-roulette (depth is statically bounded);
-- point (delta) lights are supported for point-only scenes (api.render
-  refuses mixed area+delta lighting): light subpaths originate at the
-  delta table (uniform pick, isotropic emission), s=1 connects every
-  camera vertex to every light deterministically, s=0 strategies do not
-  exist, and the MIS partition carries the three delta-origin
-  asymmetries through ``light_side_mis(origin_delta=, nee_pick_ratio=)``
-  and the 1/P-weighted ``pt_rev`` (partition of unity proven in
-  tests/test_pointlights.py).  With light tracing on, bdpt renders
+- point (delta) lights are first-class: point-only scenes walk light
+  subpaths from the delta table (uniform pick, isotropic emission), s=1
+  connects every camera vertex to every light deterministically, s=0
+  strategies do not exist, and the MIS partition carries the three
+  delta-origin asymmetries through
+  ``light_side_mis(origin_delta=, nee_pick_ratio=)`` and the
+  1/P-weighted ``pt_rev`` (partition of unity proven in
+  tests/test_pointlights.py).  MIXED area+point scenes run both
+  families in one render: the light walk picks its origin family per
+  lane with a power-proportional probability (``_light_family``), both
+  s=1 blocks execute, and every MIS density carries the family-pick
+  factor — exact because a path's light endpoint determines its family,
+  so the two partitions never share strategies (additivity and
+  mixed-partition tests in tests/test_pointlights.py).  With light
+  tracing on, bdpt renders
   delta-light caustics (point -> specular chain -> diffuse -> camera)
   the path tracer structurally cannot sample at ANY depth — a delta
   light cannot be BSDF-hit and NEE does not cross glass — so on
@@ -390,6 +397,67 @@ def generate_light_subpaths_point(scene, cfg, key, n, uniforms,
     return verts, light0
 
 
+def generate_light_subpaths_mixed(scene, cfg, key, n, uniforms, q_point,
+                                  ray_chunk=None):
+    """Light-side walk for MIXED area+point scenes: each lane first picks
+    an origin FAMILY (point with probability ``q_point``, else area), then
+    samples that family's origin exactly like the single-family generators.
+    ``beta0`` divides by the full pick density including the family factor
+    (``q_point * 1/P * 1/4pi`` / ``q_area * 1/A * cos/pi``), so the s>=2
+    and t=1 estimators stay unbiased lane-wise.  Returns
+    ``(verts, l0, pick_point)`` — the per-lane family mask feeds the MIS
+    densities (``origin_delta``, per-lane ``pdf_area_light`` and
+    ``nee_pick_ratio``).  Both families' origins are one masked select
+    before ONE shared walk: SoA lockstep, no per-family dispatch."""
+    plt_ = scene.point_lights
+    p_count = plt_.num
+    q_area = 1.0 - q_point
+    k_f, k1, k2, k3 = jax.random.split(key, 4)
+    u_f = jax.random.uniform(k_f, (n,))
+    pick_point = u_f < q_point
+
+    # area-family origin (the generate_light_subpaths sampler)
+    u_pick = jax.random.uniform(k1, (n,))
+    u_a = jax.random.uniform(k2, (n, 2))
+    u_d = jax.random.uniform(k3, (n, 2))
+    lp_a, ln_a, lrad, pdf_pos = sample_light_points(
+        scene.lights, u_pick, u_a[:, 0], u_a[:, 1]
+    )
+    d_a, pdf_dir_a = sampling.cosine_weighted_hemisphere(
+        ln_a, u_d[:, 0], u_d[:, 1])
+    cos0 = jnp.abs(lm.dot(d_a, ln_a))
+    beta_a = lrad * (cos0 / jnp.maximum(
+        q_area * pdf_pos * pdf_dir_a, 1e-12))[:, None]
+
+    # point-family origin (the generate_light_subpaths_point sampler),
+    # reusing u_pick for the discrete pick and u_d for the sphere direction
+    idx = jnp.clip((u_pick * p_count).astype(jnp.int32), 0, p_count - 1)
+    lp_p = plt_.position[idx]
+    inten = plt_.intensity[idx]
+    z = 1.0 - 2.0 * u_d[:, 0]
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = 2.0 * jnp.pi * u_d[:, 1]
+    d_p = jnp.stack([r * jnp.cos(phi), z, r * jnp.sin(phi)], -1)
+    inv_4pi = 1.0 / (4.0 * jnp.pi)
+    pick_p = 1.0 / p_count
+    beta_p = inten / jnp.maximum(q_point * pick_p * inv_4pi, 1e-12)
+
+    pp = pick_point[:, None]
+    o0 = jnp.where(pp, lp_p + lm.EPSILON * d_p, lp_a + lm.EPSILON * d_a)
+    d0 = jnp.where(pp, d_p, d_a)
+    beta0 = jnp.where(pp, beta_p, beta_a)
+    pdf_dir0 = jnp.where(pick_point, inv_4pi, pdf_dir_a)
+    verts = random_walk(scene, o0, d0, beta0, pdf_dir0, uniforms,
+                        cfg.max_depth, ray_chunk)
+    light0 = dict(
+        pos=jnp.where(pp, lp_p, lp_a),
+        ns=jnp.where(pp, d_p, ln_a),  # arbitrary unit vec on point lanes
+        emit=jnp.where(pp, inten, lrad),
+        pdf_pos=jnp.where(pick_point, pick_p, pdf_pos),
+    )
+    return verts, light0, pick_point
+
+
 def _remap(p):
     return jnp.where(p == 0.0, 1.0, p)
 
@@ -460,7 +528,7 @@ def _vertex_f(v: Vertices, k: int, w_out):
 
 
 def cam_side_mis(cam: Vertices, j: int, pt_rev, ptm_rev,
-                 light_tracing: bool):
+                 light_tracing: bool, s1_ratio=None):
     """Balance-heuristic denominator terms from camera-side alternative
     strategies: ``sum_i ri`` where ``ri = prod p_rev/p_fwd`` down the camera
     subpath from the junction vertex ``j`` (PBRT's camera-side recursion;
@@ -469,7 +537,16 @@ def cam_side_mis(cam: Vertices, j: int, pt_rev, ptm_rev,
     ``pt_rev``/``ptm_rev`` override the reverse densities at vertices ``j``
     and ``j-1`` (they depend on the sampled junction).  With
     ``light_tracing`` the recursion extends to the first surface vertex
-    (the t'=1 alternative)."""
+    (the t'=1 alternative).
+
+    ``s1_ratio`` multiplies the ``i == j`` TERM only (the cumulative
+    product ``ri`` — which deeper terms extend — is untouched).  Mixed
+    area+point scenes need it in the s=0 block: there the i==j alternative
+    is s'=1 NEE (density 1/A) while every deeper alternative is a light
+    walk whose origin density carries the family-pick factor
+    (``pt_rev = q_area/A``), so the s'=1 term is restored with
+    ``s1_ratio = 1/q_area``.  ``None`` keeps the single-density behavior
+    (pure-area scenes: NEE and the walk share 1/A)."""
     n = cam.pos.shape[0]
     ri = jnp.ones((n,))
     total = jnp.zeros((n,))
@@ -478,12 +555,13 @@ def cam_side_mis(cam: Vertices, j: int, pt_rev, ptm_rev,
         rev = pt_rev if i == j else (
             ptm_rev if i == j - 1 else cam.pdf_rev[:, i])
         ri = ri * _remap(rev) / _remap(cam.pdf_fwd[:, i])
+        term = ri * s1_ratio if (i == j and s1_ratio is not None) else ri
         if i == 0:
             # t'=1: the camera vertex is non-delta (film sampling)
             not_delta = ~cam.is_delta[:, 0]
         else:
             not_delta = ~cam.is_delta[:, i] & ~cam.is_delta[:, i - 1]
-        total = total + jnp.where(not_delta & cam.valid[:, i], ri, 0.0)
+        total = total + jnp.where(not_delta & cam.valid[:, i], term, 0.0)
     return total
 
 
@@ -505,15 +583,21 @@ def light_side_mis(lv: Vertices, l0: dict, pdf_area_light, end: int,
     never sampled and must not enter the partition.
 
     ``origin_delta`` marks a point (delta) light origin: the s'=0 term
-    leaves the partition unconditionally (a camera walk cannot hit a
-    delta position), and the origin's reverse density is 0/remap (it
-    cannot be re-generated by scattering).  ``nee_pick_ratio`` scales the
-    s'=1 (NEE) term only: it is the ratio of NEE's discrete light-choice
-    density to the light walk's (for the deterministic all-lights NEE sum
-    over P point lights the walk picks with 1/P while NEE evaluates each
-    with density 1, so the ratio is P; area lights share the same 1/A
-    position density on both sides, ratio 1)."""
+    leaves the partition (a camera walk cannot hit a delta position), and
+    the origin's reverse density is 0/remap (it cannot be re-generated by
+    scattering).  It may be a per-lane bool array — mixed area+point
+    scenes pick the walk's origin family per lane.  ``nee_pick_ratio``
+    scales the s'=1 (NEE) term only: it is the ratio of NEE's light-choice
+    density to the light walk's origin density (for the deterministic
+    all-lights NEE sum over P point lights the walk picks with
+    ``q_point/P`` while NEE evaluates each with density 1, so the ratio is
+    ``P/q_point``; area lights sample 1/A on both sides but the walk adds
+    the family factor, ratio ``1/q_area``; single-family scenes have
+    ``q = 1``).  ``pdf_area_light`` is the walk's TRUE origin density
+    including any family-pick factor (per-lane in mixed mode) — it enters
+    only the s'=0 term's denominator."""
     n = lv.pos.shape[0]
+    od = jnp.broadcast_to(jnp.asarray(origin_delta, bool), (n,))
     ri = jnp.ones((n,))
     total = jnp.zeros((n,))
     for k in range(end, -1, -1):
@@ -522,36 +606,37 @@ def light_side_mis(lv: Vertices, l0: dict, pdf_area_light, end: int,
         elif k == end - 1:
             rev = qsm_rev
         elif k == 0:
-            if origin_delta:
-                # a delta position has zero scatter-to density (remap -> 1
-                # in the ratio; the s'=0 term is excluded below anyway)
-                rev = jnp.zeros((n,))
-            else:
-                # rev density of the light origin: walk vertex 0 scattering
-                # back toward it (delta -> 0/remap).  This branch fires only
-                # for end >= 2, so the reversed walk reaches lv[0] traveling
-                # from lv[1] (glossy lobe needs the incoming direction)
-                diff0 = ~lv.is_delta[:, 0]
-                v01 = lv.pos[:, 0] - lv.pos[:, 1]
-                w01 = v01 / jnp.sqrt(
-                    jnp.maximum(lm.dot(v01, v01), 1e-20))[..., None]
-                rev = jnp.where(
-                    diff0,
-                    _vertex_pdf_area(lv, 0, l0["pos"], l0["ns"], w_in=w01),
-                    0.0,
-                )
+            # rev density of the light origin: walk vertex 0 scattering
+            # back toward it (delta vertex or delta origin -> 0/remap: a
+            # delta position has zero scatter-to density).  This branch
+            # fires only for end >= 2, so the reversed walk reaches lv[0]
+            # traveling from lv[1] (glossy lobe needs the incoming
+            # direction)
+            diff0 = ~lv.is_delta[:, 0]
+            v01 = lv.pos[:, 0] - lv.pos[:, 1]
+            w01 = v01 / jnp.sqrt(
+                jnp.maximum(lm.dot(v01, v01), 1e-20))[..., None]
+            rev = jnp.where(
+                diff0 & ~od,
+                _vertex_pdf_area(lv, 0, l0["pos"], l0["ns"], w_in=w01),
+                0.0,
+            )
         else:
             rev = lv.pdf_rev[:, k - 1]
         fwd = (
-            jnp.full((n,), pdf_area_light)
+            jnp.broadcast_to(jnp.asarray(pdf_area_light), (n,))
             if k == 0 else lv.pdf_fwd[:, k - 1]
         )
         ri = ri * _remap(rev) / _remap(fwd)
-        if k == 0 and (skip_s0 or origin_delta):
+        if k == 0 and skip_s0:
             continue
         d_k = jnp.zeros((n,), bool) if k == 0 else lv.is_delta[:, k - 1]
         d_km = jnp.zeros((n,), bool) if k <= 1 else lv.is_delta[:, k - 2]
         term = ri * nee_pick_ratio if k == 1 else ri
+        if k == 0:
+            # a camera walk cannot hit a delta position — the s'=0 term
+            # leaves the partition on delta-origin lanes
+            term = jnp.where(od, 0.0, term)
         total = total + jnp.where(~d_k & ~d_km, term, 0.0)
     return total
 
@@ -559,7 +644,36 @@ def light_side_mis(lv: Vertices, l0: dict, pdf_area_light, end: int,
 from functools import partial
 
 
-@partial(jax.jit, static_argnums=(1, 3, 4))
+def _light_family(scene: Scene):
+    """Host-side static decision of the light-origin family for a BDPT
+    render: ``("area", 0.0)``, ``("point", 1.0)``, or ``("mixed", q_point)``.
+
+    Mixed scenes pick the light walk's origin family per lane with
+    probability ``q_point``, set power-proportionally (point power
+    = 4pi * sum|I|; area power = pi * sum(radiance * area), the Lambertian
+    emitter integral) and clamped to [0.05, 0.95] so neither family
+    starves.  Host-side (not traced) because the mode shapes the compiled
+    program — which strategy blocks exist — and ``render_bdpt`` is a
+    process-level entry that always sees concrete scenes."""
+    if scene.point_lights is None:
+        return "area", 0.0
+    import numpy as np
+
+    from light_transport_tpu.core.hostio import host_get
+
+    rad = np.asarray(host_get(scene.lights.radiance), np.float64)
+    area = np.asarray(host_get(scene.lights.area), np.float64)
+    inten = np.asarray(host_get(scene.point_lights.intensity), np.float64)
+    area_power = float(np.pi * (rad * area[:, None]).sum())
+    point_power = float(4.0 * np.pi * inten.sum())
+    if area_power <= 0.0:
+        return "point", 1.0
+    if point_power <= 0.0:
+        return "area", 0.0
+    q = point_power / (point_power + area_power)
+    return "mixed", float(np.clip(q, 0.05, 0.95))
+
+
 def render_bdpt(
     scene: Scene,
     cfg: RenderConfig,
@@ -573,7 +687,30 @@ def render_bdpt(
     connect straight to the camera and splat onto the film through the
     pixel-footprint importance function; the MIS weights of every other
     strategy then include the t'=1 alternative (the camera-side recursion
-    extends to the first surface vertex)."""
+    extends to the first surface vertex).
+
+    Light-origin families: pure-area and pure-point scenes run their
+    single-family estimators; scenes carrying BOTH an emissive-triangle
+    table and a PointLightTable run the mixed estimator — the light walk
+    picks a family per lane (:func:`_light_family` sets the probability),
+    both s=1 blocks execute, and every MIS density carries the family-pick
+    factor (see :func:`light_side_mis`).  The decision is made host-side,
+    so call this with concrete (non-traced) scenes."""
+    mode, q_point = _light_family(scene)
+    return _render_bdpt(scene, cfg, key, ray_chunk, light_tracing, mode,
+                        jnp.asarray(q_point, jnp.float32))
+
+
+@partial(jax.jit, static_argnums=(1, 3, 4, 5))
+def _render_bdpt(
+    scene: Scene,
+    cfg: RenderConfig,
+    key: jax.Array,
+    ray_chunk: Optional[int],
+    light_tracing: bool,
+    mode: str,
+    q_point: jax.Array,
+):
     from light_transport_tpu.integrators.path_tracer import camera_rays
 
     n = cfg.height * cfg.width * cfg.spp
@@ -585,15 +722,19 @@ def render_bdpt(
 
     cam = generate_camera_subpaths(scene, cfg, origins, directions, cam_u,
                                    ray_chunk)
-    # point (delta) lights: the light set is the PointLightTable (api.render
-    # guarantees the area table is dark when both are attached).  The origin
-    # is a delta position, so s=0 strategies do not exist, the origin's
-    # reverse density is 0/remap, and NEE (the deterministic all-lights sum
-    # below) differs from the walk's uniform pick by the factor P — all
-    # three asymmetries flow through light_side_mis's origin_delta /
-    # nee_pick_ratio arguments.
-    point_mode = scene.point_lights is not None
-    if point_mode:
+    # Light-origin family (static): "area" and "point" are the
+    # single-family estimators; "mixed" picks the walk's family per lane
+    # and threads the pick probability through every density.  A delta
+    # origin has no s=0 strategy, a 0/remap reverse density, and an
+    # all-lights NEE whose discrete density differs from the walk's pick —
+    # the three asymmetries flow through light_side_mis's origin_delta /
+    # nee_pick_ratio / pdf_area_light arguments (per-lane arrays in mixed
+    # mode).
+    has_area = mode != "point"
+    has_point = mode != "area"
+    pick_point = None
+    q_area = 1.0 - q_point
+    if mode == "point":
         lv, l0 = generate_light_subpaths_point(scene, cfg, k_ls, n, light_u,
                                                ray_chunk)
         p_count = scene.point_lights.num
@@ -601,25 +742,40 @@ def render_bdpt(
         # the area measure 1/A plays for area lights (fwd at k==0)
         pdf_area_light = 1.0 / p_count
         nee_ratio = float(p_count)
-    else:
+        origin_delta = True
+    elif mode == "area":
         lv, l0 = generate_light_subpaths(scene, cfg, k_ls, n, light_u,
                                          ray_chunk)
         total_area = jnp.maximum(scene.lights.total_area, 1e-12)
         pdf_area_light = 1.0 / total_area
+        inv_area = pdf_area_light
         nee_ratio = 1.0
+        origin_delta = False
+    else:  # mixed
+        lv, l0, pick_point = generate_light_subpaths_mixed(
+            scene, cfg, k_ls, n, light_u, q_point, ray_chunk)
+        p_count = scene.point_lights.num
+        inv_area = 1.0 / jnp.maximum(scene.lights.total_area, 1e-12)
+        pdf_area_light = jnp.where(
+            pick_point, q_point / p_count, q_area * inv_area)
+        nee_ratio = jnp.where(
+            pick_point, p_count / q_point, 1.0 / q_area)
+        origin_delta = pick_point
 
     radiance = jnp.zeros((n, 3))
     max_d = cfg.max_depth
 
     # ---- s = 0: camera path hits the light ---------------------------------
-    # (a camera walk cannot hit a delta position — no such strategy exists
-    # in point mode, and every other strategy's MIS partition excludes it
-    # through origin_delta)
-    for j in range(max_d if not point_mode else 0):
+    # (a camera walk cannot hit a delta position — the strategy exists only
+    # for area-family paths; point/mixed delta lanes are excluded through
+    # origin_delta)
+    for j in range(max_d if has_area else 0):
         hit_light = cam.valid[:, j] & cam.is_light[:, j]
         contrib = cam.beta[:, j] * cam.emit[:, j]
         # MIS: alternatives are s'>=1 strategies for the same path.
-        # pt (= cam[j]) rev density: light origin pdf (area) = 1/A
+        # pt (= cam[j]) rev density: the light WALK's origin density
+        # (q_area/A in mixed mode; the i==j term is s'=1 NEE at 1/A, so
+        # s1_ratio=1/q_area restores it)
         # ptMinus rev density: light emission pdf toward cam[j-1]
         if j == 0:
             w = jnp.ones((n,))  # only strategy for a directly seen light
@@ -628,16 +784,24 @@ def render_bdpt(
                 cam.ns[:, j], cam.pos[:, j], cam.pos[:, j - 1],
                 cam.ns[:, j - 1],
             )  # cosine emission: same |cos|/pi shape
-            denom_cam = cam_side_mis(cam, j, pdf_area_light, ptm_rev, light_tracing)
+            if mode == "mixed":
+                denom_cam = cam_side_mis(cam, j, q_area * inv_area, ptm_rev,
+                                         light_tracing,
+                                         s1_ratio=1.0 / q_area)
+            else:
+                denom_cam = cam_side_mis(cam, j, pdf_area_light, ptm_rev,
+                                         light_tracing)
             w = 1.0 / (1.0 + denom_cam)
         radiance = radiance + jnp.where(
             hit_light[:, None], contrib * w[:, None], 0.0
         )
 
-    # ---- s = 1 (point mode): deterministic connection to every delta light -
-    if point_mode:
+    # ---- s = 1 (delta): deterministic connection to every point light ------
+    if has_point:
         inv_4pi = 1.0 / (4.0 * jnp.pi)
         plt_ = scene.point_lights
+        p_count = scene.point_lights.num
+        fam_p = q_point if mode == "mixed" else 1.0
         for j in range(max_d):
             ok0 = cam.valid[:, j] & ~cam.is_delta[:, j]
             cp = cam.pos[:, j]
@@ -657,10 +821,11 @@ def render_bdpt(
                 ok = ok0 & ~blocked
                 # MIS: the only alternatives are camera-side (s' >= 2 light
                 # walks; s'=0 does not exist).  pt_rev = the light walk's
-                # density of generating cam[j]: uniform pick (1/P — NEE
-                # evaluates each light with density 1, so the ratio stays
-                # in pt_rev) x isotropic emission 1/4pi -> area at cam[j]
-                pt_rev = (1.0 / p_count) * inv_4pi * cos_c / d2
+                # density of generating cam[j]: family pick x uniform pick
+                # (fam_p/P — NEE evaluates each light with density 1, so
+                # the ratio stays in pt_rev) x isotropic emission 1/4pi
+                # -> area at cam[j]
+                pt_rev = (fam_p / p_count) * inv_4pi * cos_c / d2
                 if j > 0:
                     ptm_rev = _vertex_pdf_area(cam, j, cam.pos[:, j - 1],
                                                cam.ns[:, j - 1], w_in=-wi)
@@ -675,7 +840,7 @@ def render_bdpt(
 
     # ---- s = 1: connect camera vertex to a fresh light sample --------------
     ul = jax.random.uniform(k_nee, (n, max_d, 3))
-    for j in range(max_d if not point_mode else 0):
+    for j in range(max_d if has_area else 0):
         ok = cam.valid[:, j] & ~cam.is_delta[:, j]
         lp, ln, lrad, pdf_pos = sample_light_points(
             scene.lights, ul[:, j, 0], ul[:, j, 1], ul[:, j, 2]
@@ -709,6 +874,12 @@ def render_bdpt(
         else:
             ptm_rev = jnp.zeros((n,))
         denom_cam = cam_side_mis(cam, j, pt_rev, ptm_rev, light_tracing)
+        if mode == "mixed":
+            # every camera-side alternative here is an s'>=2 light walk,
+            # whose origin density carries the family factor q_area the
+            # sampled NEE strategy lacks (pt_rev holds emission density
+            # only — the 1/A position densities cancel, q_area does not)
+            denom_cam = q_area * denom_cam
         # light side: the only alternative is s'=0 (camera walk continues
         # into the light), ri = remap(qs_rev)/remap(pdf_pos) — but at
         # j = max_d-1 that walk would need max_d+1 vertices, which
@@ -773,12 +944,16 @@ def render_bdpt(
             if i > 0:
                 qsm_rev = _vertex_pdf_area(lv, i, lv.pos[:, i - 1],
                                            lv.ns[:, i - 1], w_in=wi)
-            elif point_mode:
+            elif mode == "point":
                 # a delta origin cannot be re-generated by scattering
                 qsm_rev = jnp.zeros((n,))
-            else:
+            elif mode == "area":
                 qsm_rev = _vertex_pdf_area(lv, i, l0["pos"], l0["ns"],
                                            w_in=wi)
+            else:  # mixed: per-lane family (delta lanes -> 0/remap)
+                qsm_rev = jnp.where(
+                    pick_point, 0.0,
+                    _vertex_pdf_area(lv, i, l0["pos"], l0["ns"], w_in=wi))
 
             denom_cam = cam_side_mis(cam, j, pt_rev, ptm_rev, light_tracing)
             # at the cap ((i+1)+(j+1) == max_d) the s'=0 alternative would
@@ -786,7 +961,7 @@ def render_bdpt(
             denom_light = light_side_mis(
                 lv, l0, pdf_area_light, i + 1, qs_rev, qsm_rev,
                 skip_s0=(i + 1) + (j + 1) == max_d,
-                origin_delta=point_mode, nee_pick_ratio=nee_ratio)
+                origin_delta=origin_delta, nee_pick_ratio=nee_ratio)
             w = 1.0 / (1.0 + denom_cam + denom_light)
             radiance = radiance + jnp.where(
                 ok[:, None], contrib * w[:, None], 0.0
@@ -854,17 +1029,22 @@ def render_bdpt(
             if i > 0:
                 qsm_rev = _vertex_pdf_area(lv, i, lv.pos[:, i - 1],
                                            lv.ns[:, i - 1], w_in=-w_dir)
-            elif point_mode:
+            elif mode == "point":
                 # a delta origin cannot be re-generated by scattering
                 qsm_rev = jnp.zeros((n,))
-            else:
+            elif mode == "area":
                 qsm_rev = _vertex_pdf_area(lv, i, l0["pos"], l0["ns"],
                                            w_in=-w_dir)
+            else:  # mixed: per-lane family (delta lanes -> 0/remap)
+                qsm_rev = jnp.where(
+                    pick_point, 0.0,
+                    _vertex_pdf_area(lv, i, l0["pos"], l0["ns"],
+                                     w_in=-w_dir))
             # at i = max_d-1 the splat path has max_d+1 surface vertices;
             # the s'=0 alternative is unreachable for the camera walk
             denom = light_side_mis(lv, l0, pdf_area_light, i + 1, qs_rev,
                                    qsm_rev, skip_s0=i == max_d - 1,
-                                   origin_delta=point_mode,
+                                   origin_delta=origin_delta,
                                    nee_pick_ratio=nee_ratio)
             w_mis = 1.0 / (1.0 + denom)
 

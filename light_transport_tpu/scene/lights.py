@@ -96,8 +96,9 @@ class PointLightTable:
     weight is 1), Whitted Phong-shades toward the position with the
     table's light colors (the reference reads them off the light's
     material, src/render_old.py:70-134), and bdpt walks light subpaths
-    from the table for point-only scenes
-    (integrators/bdpt.generate_light_subpaths_point).
+    from the table (integrators/bdpt.generate_light_subpaths_point;
+    mixed area+point scenes pick the origin family per lane,
+    generate_light_subpaths_mixed).
     """
 
     position: np.ndarray  # (P, 3)

@@ -190,16 +190,72 @@ def test_with_bvh_preserves_point_lights():
                                   np.asarray(scene.point_lights.position))
 
 
-def test_bdpt_refuses_mixed_area_and_point_lights():
-    """bdpt runs ONE light-origin family per render (area xor delta);
-    a scene carrying both must be refused, not silently half-rendered."""
+def test_bdpt_mixed_lights_render():
+    """MIXED area+point scenes run both light-origin families in one
+    render (per-lane family pick, _light_family): the image must be
+    finite and carry BOTH light sets' energy (brighter than either
+    single-family render of the same scene)."""
     from light_transport_tpu.api import render
+    from light_transport_tpu.integrators.bdpt import _light_family
     from light_transport_tpu.scene.cornell import cornell_box_scene
 
-    scene, cfg = cornell_box_scene(width=4, height=4, spp=1, max_depth=2)
-    scene = scene.with_point_lights([[0.0, 0.0, 0.0]], [[5.0, 5.0, 5.0]])
-    with pytest.raises(ValueError, match="dark"):
-        render(scene, cfg, integrator="bdpt")
+    scene, cfg = cornell_box_scene(width=10, height=10, spp=4, max_depth=3)
+    mixed = scene.with_point_lights([[0.0, 3.0, 0.0]], [[30.0, 30.0, 30.0]])
+    mode, q = _light_family(mixed)
+    assert mode == "mixed" and 0.05 <= q <= 0.95
+    img_a = np.asarray(render(scene, cfg, seed=0, integrator="bdpt"))
+    img_m = np.asarray(render(mixed, cfg, seed=0, integrator="bdpt"))
+    assert np.all(np.isfinite(img_m))
+    assert img_m.mean() > img_a.mean() + 0.005
+
+
+@pytest.mark.slow
+def test_bdpt_mixed_lights_additive():
+    """Radiance is linear in emission, so on an unclipped scene the mixed
+    render's expectation is the SUM of the area-only and point-only
+    renders — the strongest end-to-end check on the family-pick MIS
+    algebra (any wrong q factor de-partitions the weights and shifts the
+    brightness)."""
+    from light_transport_tpu.integrators.bdpt import render_bdpt
+    from light_transport_tpu.scene.cornell import cornell_box_scene
+
+    pos, inten = [[0.0, 3.0, 0.0]], [[15.0, 15.0, 15.0]]
+    s_area, cfg = cornell_box_scene(width=16, height=16, spp=24, max_depth=3,
+                                    include_cone=False, emission=0.35)
+    s_point, _ = cornell_box_scene(width=16, height=16, spp=24, max_depth=3,
+                                   include_cone=False, emission=0.0)
+    s_point = s_point.with_point_lights(pos, inten)
+    s_mixed = s_area.with_point_lights(pos, inten)
+
+    ia = np.asarray(render_bdpt(s_area, cfg, jax.random.key(0)))
+    ip = np.asarray(render_bdpt(s_point, cfg, jax.random.key(1)))
+    im = np.asarray(render_bdpt(s_mixed, cfg, jax.random.key(2)))
+    assert max(ia.max(), ip.max(), im.max()) < 0.99  # nothing clipped
+    assert abs((ia.mean() + ip.mean()) - im.mean()) < 0.004, (
+        ia.mean(), ip.mean(), im.mean()
+    )
+
+
+@pytest.mark.slow
+def test_bdpt_mixed_lights_match_path_tracer():
+    """On a specular-free mixed-lit Cornell both estimators are unbiased
+    (PT: area NEE + deterministic point term; BDPT: per-lane family
+    walks), so the images must agree within MC error."""
+    from light_transport_tpu.integrators.bdpt import render_bdpt
+    from light_transport_tpu.integrators.path_tracer import render_image
+    from light_transport_tpu.scene.cornell import cornell_box_scene
+    from light_transport_tpu.tally.stats import image_mae
+
+    scene, cfg = cornell_box_scene(width=20, height=20, spp=32, max_depth=4,
+                                   include_cone=False, emission=0.6)
+    scene = scene.with_point_lights([[0.0, 3.0, 0.0]],
+                                    [[60.0, 60.0, 60.0]])
+    img_pt = np.asarray(render_image(scene, cfg, jax.random.key(0)))
+    img_bd = np.asarray(render_bdpt(scene, cfg, jax.random.key(1)))
+    assert abs(img_pt.mean() - img_bd.mean()) < 0.012, (
+        img_pt.mean(), img_bd.mean()
+    )
+    assert image_mae(img_pt, img_bd) < 0.06
 
 
 def test_bdpt_point_light_renders():
@@ -350,6 +406,134 @@ def test_point_mis_partition_of_unity():
     total = np.asarray(w_a + w_c)[usable]
     assert usable.sum() > 24
     np.testing.assert_allclose(total, 1.0, rtol=1e-4)
+
+
+def test_mixed_mis_partition_of_unity():
+    """MIXED-mode partition of unity, both families, through the module's
+    own cam_side_mis / light_side_mis with the family-pick factors.
+
+    Point-family 2-segment path (camera -> v1 -> point light L): two
+    strategies —
+      A: s=1, t=2 (deterministic NEE, density 1 per light)
+      C: s=2, t=1 (light walk: family pick q_point, light pick 1/P,
+                   isotropic emission, film splat)
+    Area-family 2-segment path (camera -> v1 -> area point L): three —
+      A': s=1, t=2 (area NEE, density 1/A; the walk alternatives carry
+                    q_area, applied outside cam_side_mis as in the s=1
+                    block)
+      B': s=0, t=3 (camera walk hits the light; the s'=1 alternative is
+                    NEE at 1/A while deeper walks carry q_area/A —
+                    s1_ratio=1/q_area)
+      C': s=2, t=1 (area-family light walk + splat,
+                    nee_pick_ratio=1/q_area)
+    Any wrong q factor in any hook breaks one of the sums."""
+    import jax.numpy as jnp
+
+    from light_transport_tpu.core import math as lm
+    from light_transport_tpu.integrators.bdpt import (
+        Vertices,
+        _camera_pdf_dir,
+        _diffuse_pdf_area,
+        _remap,
+        _to_area,
+        cam_side_mis,
+        generate_camera_subpaths,
+        light_side_mis,
+    )
+    from light_transport_tpu.integrators.path_tracer import camera_rays
+    from light_transport_tpu.scene.cornell import cornell_box_scene
+    from light_transport_tpu.scene.lights import sample_light_points
+
+    scene, cfg = cornell_box_scene(width=8, height=8, spp=1, max_depth=2,
+                                   include_cone=False)
+    scene = scene.with_point_lights([[0.0, 3.0, 0.0]],
+                                    [[25.0, 25.0, 25.0]])
+    q_point = 0.37  # any interior value must partition
+    q_area = 1.0 - q_point
+    p_count = scene.point_lights.num
+    n = 64
+    key = jax.random.key(7)
+    u_aa = jax.random.uniform(key, (n, 2))
+    o, d = camera_rays(scene, cfg, jnp.tile(u_aa, (1, 1)))
+    o, d = o[:n], d[:n]
+    cam_u = jax.random.uniform(jax.random.fold_in(key, 1), (n, 2, 2))
+    cam = generate_camera_subpaths(scene, cfg, o, d, cam_u)
+    v1, v1ns = cam.pos[:, 0], cam.ns[:, 0]
+    usable = np.asarray(
+        cam.valid[:, 0] & ~cam.is_delta[:, 0] & ~cam.is_light[:, 0]
+    )
+    zeros = jnp.zeros((n,))
+    dir_cp = (v1 - scene.camera) / jnp.linalg.norm(
+        v1 - scene.camera, axis=-1, keepdims=True)
+    cam_area_pdf = _to_area(_camera_pdf_dir(scene, cfg, dir_cp),
+                            jnp.broadcast_to(scene.camera, v1.shape),
+                            v1, v1ns)
+
+    def light_walk_verts(fwd0):
+        base = Vertices(
+            pos=(cam.pos * 0.0).at[:, 0].set(v1),
+            ns=(cam.ns * 0.0).at[:, 0].set(v1ns),
+            diffuse=cam.diffuse * 0.0, beta=cam.beta * 0.0,
+            pdf_fwd=(cam.pdf_fwd * 0.0).at[:, 0].set(fwd0),
+            pdf_rev=cam.pdf_rev * 0.0,
+            valid=(cam.valid & False).at[:, 0].set(cam.valid[:, 0]),
+            is_light=cam.is_light & False, is_delta=cam.is_delta & False,
+            emit=cam.emit * 0.0, spec=cam.spec * 0.0, shin=cam.shin * 0.0,
+            win=cam.win * 0.0,
+        )
+        return base
+
+    # ---- point family ----------------------------------------------------
+    lp_p = jnp.broadcast_to(scene.point_lights.position[0], (n, 3))
+    to_l = lp_p - v1
+    d2 = jnp.maximum(lm.dot(to_l, to_l), 1e-20)
+    cos_c = jnp.abs(lm.dot(v1ns, to_l / jnp.sqrt(d2)[:, None]))
+    inv_4pi = 1.0 / (4.0 * np.pi)
+    pick_p = 1.0 / p_count
+    # the walk's density of generating v1 includes the family pick
+    pt_rev_p = q_point * pick_p * inv_4pi * cos_c / d2
+    w_a_p = 1.0 / (1.0 + cam_side_mis(cam, 0, pt_rev_p, zeros, True))
+    lv_p = light_walk_verts(inv_4pi * cos_c / d2)
+    l0_p = dict(pos=lp_p, ns=jnp.broadcast_to(
+        jnp.asarray([0.0, -1.0, 0.0]), (n, 3)))
+    w_c_p = 1.0 / (1.0 + light_side_mis(
+        lv_p, l0_p, q_point * pick_p, 1, cam_area_pdf, zeros,
+        origin_delta=True, nee_pick_ratio=float(p_count) / q_point))
+    total_p = np.asarray(w_a_p + w_c_p)[usable]
+
+    # ---- area family -----------------------------------------------------
+    ul = jax.random.uniform(jax.random.fold_in(key, 2), (n, 3))
+    lp, ln, _, pdf_pos = sample_light_points(scene.lights, ul[:, 0],
+                                             ul[:, 1], ul[:, 2])
+    inv_area = 1.0 / float(scene.lights.total_area)
+    qs_rev = _diffuse_pdf_area(v1ns, v1, lp, ln)  # v1 scatters -> L
+    pt_rev = _diffuse_pdf_area(ln, lp, v1, v1ns)  # L emits -> v1
+    # A': the s=1 block — every camera-side alternative is a q_area walk
+    denom_a = q_area * cam_side_mis(cam, 0, pt_rev, zeros, True) \
+        + _remap(qs_rev) / _remap(pdf_pos)
+    w_a = 1.0 / (1.0 + denom_a)
+    # B': the s=0 block — pt_rev carries the walk's q_area/A, the i==j
+    # (s'=1 NEE) term is restored with s1_ratio
+    cam_b = cam._replace(
+        pos=cam.pos.at[:, 1].set(lp),
+        ns=cam.ns.at[:, 1].set(ln),
+        pdf_fwd=cam.pdf_fwd.at[:, 1].set(qs_rev),
+        valid=cam.valid.at[:, 1].set(cam.valid[:, 0]),
+        is_delta=cam.is_delta.at[:, 1].set(False),
+    )
+    w_b = 1.0 / (1.0 + cam_side_mis(cam_b, 1, q_area * inv_area, pt_rev,
+                                    True, s1_ratio=1.0 / q_area))
+    # C': the t=1 block — origin density q_area/A, NEE ratio 1/q_area
+    lv_a = light_walk_verts(pt_rev)
+    l0_a = dict(pos=lp, ns=ln)
+    w_c = 1.0 / (1.0 + light_side_mis(
+        lv_a, l0_a, q_area * inv_area, 1, cam_area_pdf, qs_rev,
+        origin_delta=False, nee_pick_ratio=1.0 / q_area))
+    total_a = np.asarray(w_a + w_b + w_c)[usable]
+
+    assert usable.sum() > 24
+    np.testing.assert_allclose(total_p, 1.0, rtol=1e-4)
+    np.testing.assert_allclose(total_a, 1.0, rtol=1e-4)
 
 
 def test_cv_render_with_point_lights_runs():
