@@ -120,9 +120,9 @@ def main(argv=None):
                 f"only (got --integrator {args.integrator})")
         if overrides:
             cfg = dataclasses.replace(cfg, **overrides)
-        if args.sharded and args.integrator != "path":
+        if args.sharded and args.integrator not in ("path", "bdpt"):
             parser.error(
-                f"--sharded renders with the path tracer only "
+                f"--sharded renders with the path tracer or bdpt only "
                 f"(got --integrator {args.integrator})")
         t0 = time.time()
         if args.integrator == "cv":
@@ -130,6 +130,12 @@ def main(argv=None):
 
             out = render_cv(scene, cfg, jax.random.key(args.seed))
             img = np.asarray(out.image_cv)
+        elif args.sharded and args.integrator == "bdpt":
+            from light_transport_tpu.parallel.mesh import render_bdpt_sharded
+
+            img = np.asarray(
+                render_bdpt_sharded(scene, cfg, jax.random.key(args.seed))
+            )
         elif args.sharded:
             from light_transport_tpu.parallel.mesh import render_sharded
 

@@ -352,6 +352,14 @@ def generate_light_subpaths(scene, cfg, key, n, uniforms, ray_chunk=None):
     u_pick = jax.random.uniform(k1, (n,))
     u_a = jax.random.uniform(k2, (n, 2))
     u_d = jax.random.uniform(k3, (n, 2))
+    return _light_subpaths_area(scene, cfg, u_pick, u_a, u_d, uniforms,
+                                ray_chunk)
+
+
+def _light_subpaths_area(scene, cfg, u_pick, u_a, u_d, uniforms,
+                         ray_chunk=None):
+    """:func:`generate_light_subpaths` body on pre-drawn origin uniforms
+    (the sharded render draws all lanes at global width, then shards)."""
     lp, ln, lrad, pdf_pos = sample_light_points(
         scene.lights, u_pick, u_a[:, 0], u_a[:, 1]
     )
@@ -374,11 +382,18 @@ def generate_light_subpaths_point(scene, cfg, key, n, uniforms,
     position: it carries no area density and no normal (``l0['ns']`` is
     the emission direction, used only as an arbitrary unit vector —
     every consumer gates it out through ``origin_delta``)."""
-    plt_ = scene.point_lights
-    p_count = plt_.num
     k1, k2 = jax.random.split(key, 2)
     u_pick = jax.random.uniform(k1, (n,))
     u_d = jax.random.uniform(k2, (n, 2))
+    return _light_subpaths_point(scene, cfg, u_pick, u_d, uniforms,
+                                 ray_chunk)
+
+
+def _light_subpaths_point(scene, cfg, u_pick, u_d, uniforms, ray_chunk=None):
+    """:func:`generate_light_subpaths_point` body on pre-drawn uniforms."""
+    plt_ = scene.point_lights
+    p_count = plt_.num
+    n = u_pick.shape[0]
     idx = jnp.clip((u_pick * p_count).astype(jnp.int32), 0, p_count - 1)
     lp = plt_.position[idx]
     inten = plt_.intensity[idx]
@@ -409,17 +424,24 @@ def generate_light_subpaths_mixed(scene, cfg, key, n, uniforms, q_point,
     densities (``origin_delta``, per-lane ``pdf_area_light`` and
     ``nee_pick_ratio``).  Both families' origins are one masked select
     before ONE shared walk: SoA lockstep, no per-family dispatch."""
-    plt_ = scene.point_lights
-    p_count = plt_.num
-    q_area = 1.0 - q_point
     k_f, k1, k2, k3 = jax.random.split(key, 4)
     u_f = jax.random.uniform(k_f, (n,))
-    pick_point = u_f < q_point
-
-    # area-family origin (the generate_light_subpaths sampler)
     u_pick = jax.random.uniform(k1, (n,))
     u_a = jax.random.uniform(k2, (n, 2))
     u_d = jax.random.uniform(k3, (n, 2))
+    return _light_subpaths_mixed(scene, cfg, u_f, u_pick, u_a, u_d,
+                                 uniforms, q_point, ray_chunk)
+
+
+def _light_subpaths_mixed(scene, cfg, u_f, u_pick, u_a, u_d, uniforms,
+                          q_point, ray_chunk=None):
+    """:func:`generate_light_subpaths_mixed` body on pre-drawn uniforms."""
+    plt_ = scene.point_lights
+    p_count = plt_.num
+    q_area = 1.0 - q_point
+    pick_point = u_f < q_point
+
+    # area-family origin (the generate_light_subpaths sampler)
     lp_a, ln_a, lrad, pdf_pos = sample_light_points(
         scene.lights, u_pick, u_a[:, 0], u_a[:, 1]
     )
@@ -701,6 +723,57 @@ def render_bdpt(
                         jnp.asarray(q_point, jnp.float32))
 
 
+def _bdpt_lane_uniforms(scene, cfg, key, mode):
+    """Draw every per-lane random input of a BDPT render at GLOBAL width:
+    camera rays, walk uniforms, NEE uniforms, and the mode's light-origin
+    uniforms, plus a ``mask`` of live lanes (the sharded render pads to a
+    device multiple and gates film splats on it).  The key-split sequence
+    matches the single-device render exactly, so sharded lanes are
+    bitwise-identical to unsharded ones."""
+    from light_transport_tpu.integrators.path_tracer import camera_rays
+
+    n = cfg.height * cfg.width * cfg.spp
+    k_aa, k_cu, k_lu, k_ls, k_nee = jax.random.split(key, 5)
+    u_aa = jax.random.uniform(k_aa, (n, 2), dtype=scene.camera.dtype)
+    origins, directions = camera_rays(scene, cfg, u_aa)
+    lanes = dict(
+        o=origins,
+        d=directions,
+        cam_u=jax.random.uniform(k_cu, (n, cfg.max_depth, 2)),
+        light_u=jax.random.uniform(k_lu, (n, cfg.max_depth, 2)),
+        ul=jax.random.uniform(k_nee, (n, cfg.max_depth, 3)),
+        mask=jnp.ones((n,), bool),
+    )
+    if mode == "point":
+        k1, k2 = jax.random.split(k_ls, 2)
+        lanes["lu_pick"] = jax.random.uniform(k1, (n,))
+        lanes["lu_d"] = jax.random.uniform(k2, (n, 2))
+    elif mode == "area":
+        k1, k2, k3 = jax.random.split(k_ls, 3)
+        lanes["lu_pick"] = jax.random.uniform(k1, (n,))
+        lanes["lu_a"] = jax.random.uniform(k2, (n, 2))
+        lanes["lu_d"] = jax.random.uniform(k3, (n, 2))
+    else:  # mixed
+        k_f, k1, k2, k3 = jax.random.split(k_ls, 4)
+        lanes["lu_f"] = jax.random.uniform(k_f, (n,))
+        lanes["lu_pick"] = jax.random.uniform(k1, (n,))
+        lanes["lu_a"] = jax.random.uniform(k2, (n, 2))
+        lanes["lu_d"] = jax.random.uniform(k3, (n, 2))
+    return lanes
+
+
+def _bdpt_assemble(cfg, radiance, splat):
+    """Film assembly: per-pixel sample mean plus the (1/N-paths)-weighted
+    light-tracing splat plane."""
+    n = cfg.height * cfg.width * cfg.spp
+    samples = jnp.moveaxis(
+        radiance.reshape(cfg.spp, cfg.height, cfg.width, 3), 0, 2
+    )
+    image = jnp.mean(samples, axis=2)
+    image = image + splat.reshape(cfg.height, cfg.width, 3) / n
+    return jnp.clip(image, 0.0, 1.0)
+
+
 @partial(jax.jit, static_argnums=(1, 3, 4, 5))
 def _render_bdpt(
     scene: Scene,
@@ -711,17 +784,24 @@ def _render_bdpt(
     mode: str,
     q_point: jax.Array,
 ):
-    from light_transport_tpu.integrators.path_tracer import camera_rays
+    lanes = _bdpt_lane_uniforms(scene, cfg, key, mode)
+    radiance, splat = _bdpt_body(scene, cfg, lanes, ray_chunk,
+                                 light_tracing, mode, q_point)
+    return _bdpt_assemble(cfg, radiance, splat)
 
-    n = cfg.height * cfg.width * cfg.spp
-    k_aa, k_cu, k_lu, k_ls, k_nee = jax.random.split(key, 5)
-    u_aa = jax.random.uniform(k_aa, (n, 2), dtype=scene.camera.dtype)
-    cam_u = jax.random.uniform(k_cu, (n, cfg.max_depth, 2))
-    light_u = jax.random.uniform(k_lu, (n, cfg.max_depth, 2))
-    origins, directions = camera_rays(scene, cfg, u_aa)
 
-    cam = generate_camera_subpaths(scene, cfg, origins, directions, cam_u,
-                                   ray_chunk)
+def _bdpt_body(scene, cfg, lanes, ray_chunk, light_tracing, mode, q_point):
+    """Per-lane BDPT estimator over a lane bundle from
+    :func:`_bdpt_lane_uniforms` (possibly a shard of it): returns the
+    per-lane radiance ``(n, 3)`` and the film splat plane ``(H*W, 3)``.
+    ``lanes['mask']`` gates splat contributions — False lanes are padding
+    in the sharded render (their radiance rows are sliced away by the
+    caller, but a splat would land on the shared film, so it is masked
+    here)."""
+    n = lanes["o"].shape[0]
+    lane_mask = lanes["mask"]
+    cam = generate_camera_subpaths(scene, cfg, lanes["o"], lanes["d"],
+                                   lanes["cam_u"], ray_chunk)
     # Light-origin family (static): "area" and "point" are the
     # single-family estimators; "mixed" picks the walk's family per lane
     # and threads the pick probability through every density.  A delta
@@ -735,8 +815,9 @@ def _render_bdpt(
     pick_point = None
     q_area = 1.0 - q_point
     if mode == "point":
-        lv, l0 = generate_light_subpaths_point(scene, cfg, k_ls, n, light_u,
-                                               ray_chunk)
+        lv, l0 = _light_subpaths_point(scene, cfg, lanes["lu_pick"],
+                                       lanes["lu_d"], lanes["light_u"],
+                                       ray_chunk)
         p_count = scene.point_lights.num
         # the discrete light-pick probability plays the origin-density role
         # the area measure 1/A plays for area lights (fwd at k==0)
@@ -744,16 +825,18 @@ def _render_bdpt(
         nee_ratio = float(p_count)
         origin_delta = True
     elif mode == "area":
-        lv, l0 = generate_light_subpaths(scene, cfg, k_ls, n, light_u,
-                                         ray_chunk)
+        lv, l0 = _light_subpaths_area(scene, cfg, lanes["lu_pick"],
+                                      lanes["lu_a"], lanes["lu_d"],
+                                      lanes["light_u"], ray_chunk)
         total_area = jnp.maximum(scene.lights.total_area, 1e-12)
         pdf_area_light = 1.0 / total_area
         inv_area = pdf_area_light
         nee_ratio = 1.0
         origin_delta = False
     else:  # mixed
-        lv, l0, pick_point = generate_light_subpaths_mixed(
-            scene, cfg, k_ls, n, light_u, q_point, ray_chunk)
+        lv, l0, pick_point = _light_subpaths_mixed(
+            scene, cfg, lanes["lu_f"], lanes["lu_pick"], lanes["lu_a"],
+            lanes["lu_d"], lanes["light_u"], q_point, ray_chunk)
         p_count = scene.point_lights.num
         inv_area = 1.0 / jnp.maximum(scene.lights.total_area, 1e-12)
         pdf_area_light = jnp.where(
@@ -839,7 +922,7 @@ def _render_bdpt(
                 )
 
     # ---- s = 1: connect camera vertex to a fresh light sample --------------
-    ul = jax.random.uniform(k_nee, (n, max_d, 3))
+    ul = lanes["ul"]
     for j in range(max_d if has_area else 0):
         ok = cam.valid[:, j] & ~cam.is_delta[:, j]
         lp, ln, lrad, pdf_pos = sample_light_points(
@@ -976,7 +1059,7 @@ def _render_bdpt(
         a_samp = (1.0 / cfg.width) * (1.0 / cfg.height)
         cam_pos = scene.camera
         for i in range(max_d):
-            ok = lv.valid[:, i] & ~lv.is_delta[:, i]
+            ok = lv.valid[:, i] & ~lv.is_delta[:, i] & lane_mask
             if i == max_d - 1 and i > 0:
                 # same depth-cap coverage contract as the s>=2 block: at
                 # i = max_d-1 the splat path has max_d+1 surface vertices
@@ -1051,10 +1134,6 @@ def _render_bdpt(
             add = jnp.where(ok[:, None], contrib * w_mis[:, None], 0.0)
             splat = splat.at[pix].add(add)
 
-    samples = jnp.moveaxis(
-        radiance.reshape(cfg.spp, cfg.height, cfg.width, 3), 0, 2
-    )
-    image = jnp.mean(samples, axis=2)
-    # light-tracing estimator: (1/N_light_paths) * sum of splats, N = n
-    image = image + splat.reshape(cfg.height, cfg.width, 3) / n
-    return jnp.clip(image, 0.0, 1.0)
+    # light-tracing estimator: (1/N_light_paths) * sum of splats, with N
+    # the GLOBAL path count — applied in _bdpt_assemble
+    return radiance, splat

@@ -290,3 +290,60 @@ def render_sharded(
         radiance.reshape(cfg.spp, cfg.height, cfg.width, 3), 0, 2
     )
     return jnp.clip(jnp.mean(samples, axis=2), 0.0, 1.0)
+
+
+def render_bdpt_sharded(
+    scene: Scene,
+    cfg: RenderConfig,
+    key: jax.Array,
+    mesh: Optional[Mesh] = None,
+    ray_chunk: Optional[int] = None,
+    light_tracing: bool = True,
+):
+    """BDPT render with camera AND light-subpath lanes sharded over the
+    mesh (every (s, t) strategy, all three light-origin families:
+    area / point / mixed).
+
+    Lane uniforms are drawn at GLOBAL width with the single-device
+    key-split sequence (``bdpt._bdpt_lane_uniforms``), so each lane's
+    transport is bitwise-identical to the unsharded render.  Per-lane
+    radiance shards over the batch axis like :func:`render_sharded`; the
+    t=1 light-tracing splat plane is a per-device partial FILM that psums
+    over ICI (summation order differs from the single-device scatter, so
+    splat pixels match to float tolerance, not bitwise).  Lanes padded to
+    a device multiple carry ``mask=False``: their radiance rows are
+    sliced away and their light walks are barred from splatting."""
+    from light_transport_tpu.integrators import bdpt as B
+
+    mode, q_point = B._light_family(scene)
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    n = cfg.height * cfg.width * cfg.spp
+    pad = (-n) % n_dev
+
+    lanes = B._bdpt_lane_uniforms(scene, cfg, key, mode)
+    if pad:
+        def padlane(x):
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths)  # mask pads False, uniforms pad 0
+
+        lanes = {k: padlane(v) for k, v in lanes.items()}
+        # keep pad-lane camera rays well-formed (unit direction, away
+        # from the film) — their output is masked/sliced regardless
+        lanes["d"] = lanes["d"].at[n:].set(
+            jnp.asarray([0.0, 0.0, 1.0], lanes["d"].dtype))
+
+    def per_device(lane_shard):
+        rad, splat = B._bdpt_body(scene, cfg, lane_shard, ray_chunk,
+                                  light_tracing, mode, q_point)
+        return rad, jax.lax.psum(splat, BATCH)
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(BATCH),),
+        out_specs=(P(BATCH), P()),
+        check_vma=False,
+    )
+    radiance, splat = fn(lanes)
+    return B._bdpt_assemble(cfg, radiance[:n], splat)

@@ -60,6 +60,56 @@ def test_sharded_render_matches_unsharded():
     np.testing.assert_allclose(img_sharded, img_ref, atol=2e-5)
 
 
+def test_sharded_bdpt_matches_unsharded():
+    """BDPT with camera AND light-subpath lanes sharded over the mesh:
+    lane uniforms are drawn at global width (bitwise-identical per-lane
+    transport), and the t=1 splat film psums over the batch axis —
+    tolerance covers only the splat's cross-device summation order."""
+    from light_transport_tpu.integrators.bdpt import render_bdpt
+    from light_transport_tpu.parallel.mesh import render_bdpt_sharded
+
+    scene, cfg = cornell_box_scene(width=12, height=12, spp=2, max_depth=3)
+    mesh = make_mesh()
+    img_s = np.asarray(render_bdpt_sharded(scene, cfg, jax.random.key(5),
+                                           mesh=mesh))
+    img_r = np.asarray(render_bdpt(scene, cfg, jax.random.key(5)))
+    np.testing.assert_allclose(img_s, img_r, atol=5e-6)
+
+
+def test_sharded_bdpt_point_lights_and_padding():
+    """Point-light (delta-origin) sharded BDPT on a lane count NOT
+    divisible by the device count (13*5*1 = 65 over 8 devices, 7 pad
+    lanes): pad lanes must neither splat onto the film nor leak into the
+    sliced radiance rows."""
+    from light_transport_tpu.integrators.bdpt import render_bdpt
+    from light_transport_tpu.models.presets import point_light_scene
+    from light_transport_tpu.parallel.mesh import render_bdpt_sharded
+
+    scene, cfg = point_light_scene(width=13, height=5, spp=1, max_depth=3)
+    mesh = make_mesh()
+    img_s = np.asarray(render_bdpt_sharded(scene, cfg, jax.random.key(6),
+                                           mesh=mesh))
+    img_r = np.asarray(render_bdpt(scene, cfg, jax.random.key(6)))
+    np.testing.assert_allclose(img_s, img_r, atol=5e-6)
+
+
+@pytest.mark.slow
+def test_sharded_bdpt_mixed_lights_matches_unsharded():
+    """Mixed area+point sharded BDPT: the per-lane family pick and every
+    per-lane MIS density ride the shard."""
+    from light_transport_tpu.integrators.bdpt import render_bdpt
+    from light_transport_tpu.parallel.mesh import render_bdpt_sharded
+
+    scene, cfg = cornell_box_scene(width=12, height=12, spp=2, max_depth=3)
+    scene = scene.with_point_lights([[0.0, 3.0, 0.0]],
+                                    [[30.0, 30.0, 30.0]])
+    mesh = make_mesh()
+    img_s = np.asarray(render_bdpt_sharded(scene, cfg, jax.random.key(7),
+                                           mesh=mesh))
+    img_r = np.asarray(render_bdpt(scene, cfg, jax.random.key(7)))
+    np.testing.assert_allclose(img_s, img_r, atol=5e-6)
+
+
 def test_sharded_render_with_point_lights_matches_unsharded():
     """Point (delta) lights ride the replicated scene pytree through
     shard_map — the sharded estimator must match the single-device one
